@@ -1,0 +1,41 @@
+"""L1 transforms: FFT/IFFT (1-D/2-D/N-D, real/complex), convolution.
+
+TPU-native counterpart of the reference fft package (/root/reference/fft/).
+Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
+(bluestein.py); fused Pallas TPU kernels live in godsp_tpu.ops.
+"""
+
+from godsp_tpu.fft.bluestein import bluestein_fft
+from godsp_tpu.fft.core import (
+    convolve,
+    ensure_radix2_factors,
+    fft,
+    fft2,
+    fft2_real,
+    fft_real,
+    fftn,
+    ifft,
+    ifft2,
+    ifft2_real,
+    ifft_real,
+    ifftn,
+)
+from godsp_tpu.fft.stockham import stockham_fft, twiddles
+
+__all__ = [
+    "bluestein_fft",
+    "convolve",
+    "ensure_radix2_factors",
+    "fft",
+    "fft2",
+    "fft2_real",
+    "fft_real",
+    "fftn",
+    "ifft",
+    "ifft2",
+    "ifft2_real",
+    "ifft_real",
+    "ifftn",
+    "stockham_fft",
+    "twiddles",
+]

@@ -1,0 +1,18 @@
+"""L2 spectral analysis: Welch PSD (reference spectral/).
+
+The reference's serial per-segment loop (pwelch.go:107-122) is
+embarrassingly parallel; here it is one batched frame->window->FFT->|.|^2
+->mean computation that XLA fuses, vmaps over the segment axis, and (in
+godsp_tpu.parallel) shards over a device mesh.
+"""
+
+from godsp_tpu.spectral.pwelch import PwelchOptions, pwelch, pwelch_from_frames
+from godsp_tpu.spectral.segment import num_segments, segment
+
+__all__ = [
+    "PwelchOptions",
+    "num_segments",
+    "pwelch",
+    "pwelch_from_frames",
+    "segment",
+]

@@ -1,0 +1,120 @@
+"""Benchmark timing, metrics, and the per-chip roofline model.
+
+SURVEY.md §5/§6: the reference ships only a Go benchmark harness with no
+recorded numbers; the TPU build reports achieved GB/s and GFLOP/s against
+the chip's HBM-bandwidth roofline (BASELINE target: >=80% on batched
+1k/4k-point FFT).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass
+from typing import Callable, Optional
+
+import jax
+
+__all__ = ["BenchResult", "time_fn", "roofline", "hbm_bandwidth_gbs", "fft_flops", "fft_bytes"]
+
+# Peak HBM bandwidth per chip, GB/s.  v5e (TPU v5 lite): 819 GB/s;
+# v4: 1228 GB/s; v5p: 2765 GB/s.  Keyed on jax device_kind substrings.
+_HBM_GBS = {
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v4": 1228.0,
+    "v5p": 2765.0,
+    "v6": 1640.0,
+}
+
+
+def hbm_bandwidth_gbs(device=None) -> Optional[float]:
+    """Peak HBM GB/s for the given (default: first) device, if known."""
+    device = device or jax.devices()[0]
+    kind = device.device_kind.lower()
+    for key, bw in _HBM_GBS.items():
+        if key in kind:
+            return bw
+    return None
+
+
+def fft_flops(n: int, batch: int = 1) -> float:
+    """Standard FFT flop count: 5 N log2 N per transform."""
+    import math
+
+    return 5.0 * n * math.log2(n) * batch
+
+
+def fft_bytes(n: int, batch: int, bytes_per_element: int = 8) -> float:
+    """Ideal HBM traffic for a fused batched FFT: one read + one write of
+    the complex array (c64 = 8 bytes/element)."""
+    return 2.0 * n * batch * bytes_per_element
+
+
+@dataclass
+class BenchResult:
+    name: str
+    wall_s: float
+    flops: float = 0.0
+    bytes_moved: float = 0.0
+
+    @property
+    def gflops(self) -> float:
+        return self.flops / self.wall_s / 1e9 if self.wall_s else 0.0
+
+    @property
+    def gbs(self) -> float:
+        return self.bytes_moved / self.wall_s / 1e9 if self.wall_s else 0.0
+
+    def roofline_fraction(self, peak_gbs: Optional[float] = None) -> Optional[float]:
+        peak = peak_gbs if peak_gbs is not None else hbm_bandwidth_gbs()
+        if peak is None:
+            return None
+        return self.gbs / peak
+
+    def json_line(self, **extra) -> str:
+        d = asdict(self)
+        d.update(gflops=self.gflops, gbs=self.gbs, **extra)
+        return json.dumps(d)
+
+
+def time_fn(
+    fn: Callable,
+    *args,
+    iters: int = 10,
+    warmup: int = 2,
+    name: str = "bench",
+    flops: float = 0.0,
+    bytes_moved: float = 0.0,
+) -> BenchResult:
+    """Median-of-iters wall time of fn(*args), blocking on the result.
+
+    Warmup iterations absorb compilation (the analogue of the reference
+    pre-warming twiddles before its timed region, fft_test.go:262-280).
+    """
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    return BenchResult(name=name, wall_s=med, flops=flops, bytes_moved=bytes_moved)
+
+
+def roofline(n: int, batch: int, wall_s: float, bytes_per_element: int = 8) -> dict:
+    """Roofline summary for a batched n-point FFT run."""
+    moved = fft_bytes(n, batch, bytes_per_element)
+    peak = hbm_bandwidth_gbs()
+    gbs = moved / wall_s / 1e9
+    return {
+        "n": n,
+        "batch": batch,
+        "wall_s": wall_s,
+        "gflops": fft_flops(n, batch) / wall_s / 1e9,
+        "gbs": gbs,
+        "peak_gbs": peak,
+        "roofline_fraction": (gbs / peak) if peak else None,
+    }

@@ -1,0 +1,240 @@
+"""RIFF/WAVE ingest (reference wav/wav.go:23-161).
+
+Host-side streaming reader that feeds device shards.  Semantics preserved
+exactly, including the reference's documented quirks (SURVEY.md appendix):
+
+  * formats: PCM 8/16-bit and IEEE float32 only (wav.go:33-36, 90-95);
+  * unknown chunks (JUNK, bext, ...) are skipped (wav.go:105-106);
+  * Samples = data_size / BitsPerSample * 8 — ignores NumChannels
+    (wav.go:101); Duration DOES divide by NumChannels (wav.go:102);
+  * read_floats normalizes uint8 -> v/255 in [0,1] and
+    int16 -> (v + 32768)/65535 in [0,1] — NOT the conventional [-1,1]
+    (wav.go:144-159).
+
+Decoding is vectorized numpy (bulk frombuffer, not per-sample unpacking);
+`blocks()` streams fixed-size time blocks for the distributed Pwelch
+pipeline (the analogue of ReadSamples' LimitReader streaming).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator, Union
+
+import numpy as np
+
+__all__ = ["Header", "Wav", "new", "read_wav", "write_wav", "WavFormatError"]
+
+WAV_FORMAT_PCM = 1
+WAV_FORMAT_IEEE_FLOAT = 3
+
+
+class WavFormatError(ValueError):
+    """Raised for malformed or unsupported WAV data (reference returns
+    error values, wav.go:67-99)."""
+
+
+@dataclass
+class Header:
+    """fmt-chunk data (wav.go:39-46), little-endian packed order."""
+
+    audio_format: int = 0
+    num_channels: int = 0
+    sample_rate: int = 0
+    byte_rate: int = 0
+    block_align: int = 0
+    bits_per_sample: int = 0
+
+
+class Wav:
+    """Streaming WAV reader (wav.go:49-57).
+
+    Attributes:
+      header:      parsed fmt chunk.
+      samples:     total available samples = data_size/bits*8 — note this
+                   intentionally ignores num_channels (wav.go:101).
+      duration_ns: estimated duration in integer nanoseconds, computed as
+                   samples * 1e9 // rate // channels like Go's
+                   time.Duration arithmetic (wav.go:102).
+    """
+
+    def __init__(self, header: Header, data_size: int, r: BinaryIO):
+        self.header = header
+        self.samples = data_size // header.bits_per_sample * 8
+        self.duration_ns = (
+            self.samples * 1_000_000_000 // header.sample_rate // header.num_channels
+        )
+        self._remaining = data_size  # LimitReader equivalent (wav.go:103)
+        self._r = r
+
+    # convenience accessors mirroring the embedded Header
+    @property
+    def audio_format(self) -> int:
+        return self.header.audio_format
+
+    @property
+    def num_channels(self) -> int:
+        return self.header.num_channels
+
+    @property
+    def sample_rate(self) -> int:
+        return self.header.sample_rate
+
+    @property
+    def bits_per_sample(self) -> int:
+        return self.header.bits_per_sample
+
+    @property
+    def duration_seconds(self) -> float:
+        return self.duration_ns / 1e9
+
+    def _sample_dtype(self) -> np.dtype:
+        if self.header.audio_format == WAV_FORMAT_PCM:
+            if self.header.bits_per_sample == 8:
+                return np.dtype("<u1")
+            if self.header.bits_per_sample == 16:
+                return np.dtype("<i2")
+            raise WavFormatError(
+                f"wav: unknown bits per sample: {self.header.bits_per_sample}"
+            )
+        if self.header.audio_format == WAV_FORMAT_IEEE_FLOAT:
+            return np.dtype("<f4")
+        raise WavFormatError("wav: unknown audio format")
+
+    def read_samples(self, n: int) -> np.ndarray:
+        """Next n raw samples as uint8 | int16 | float32 (wav.go:113-134).
+
+        Raises EOFError if fewer than n samples remain (binary.Read
+        semantics: all-or-nothing).
+        """
+        dt = self._sample_dtype()
+        nbytes = n * dt.itemsize
+        if nbytes > self._remaining:
+            raise EOFError("wav: unexpected EOF")
+        buf = self._r.read(nbytes)
+        if len(buf) < nbytes:
+            raise EOFError("wav: unexpected EOF")
+        self._remaining -= nbytes
+        return np.frombuffer(buf, dtype=dt)
+
+    def read_floats(self, n: int) -> np.ndarray:
+        """Next n samples normalized to float32 (wav.go:138-161).
+
+        Quirk preserved: integer formats map to [0, 1], not [-1, 1]:
+        uint8 -> v/255, int16 -> (v + 32768)/65535.
+        """
+        d = self.read_samples(n)
+        if d.dtype == np.uint8:
+            return d.astype(np.float32) / 255.0
+        if d.dtype == np.int16:
+            return (d.astype(np.float32) + 32768.0) / 65535.0
+        return d  # float32 passthrough
+
+    @property
+    def samples_remaining(self) -> int:
+        return self._remaining // self._sample_dtype().itemsize
+
+    def blocks(self, block_size: int, pad_final: bool = False) -> Iterator[np.ndarray]:
+        """Stream normalized-float time blocks of block_size samples.
+
+        The host-side feeder for the sharded streaming Pwelch pipeline.
+        The final partial block is yielded as-is (or zero-padded to
+        block_size when pad_final), never dropped.
+        """
+        while self.samples_remaining > 0:
+            n = min(block_size, self.samples_remaining)
+            block = self.read_floats(n)
+            if pad_final and n < block_size:
+                block = np.pad(block, (0, block_size - n))
+            yield block
+
+
+def new(r: Union[BinaryIO, bytes]) -> Wav:
+    """Parse the WAV header from a stream (wav.go:60-110).
+
+    Scans RIFF chunks, parsing `fmt ` and stopping at `data`; all other
+    chunk types are skipped.  Raises WavFormatError / EOFError where the
+    reference returns errors.
+    """
+    if isinstance(r, (bytes, bytearray)):
+        r = io.BytesIO(r)
+
+    def read_full(n: int) -> bytes:
+        b = r.read(n)
+        if len(b) < n:
+            raise EOFError("wav: unexpected EOF")
+        return b
+
+    hdr = read_full(12)
+    if hdr[0:4] != b"RIFF":
+        raise WavFormatError("wav: missing RIFF")
+    if hdr[8:12] != b"WAVE":
+        raise WavFormatError("wav: missing WAVE")
+
+    header: Header | None = None
+    while True:
+        chunk = read_full(8)
+        typ = chunk[:4]
+        sz = struct.unpack("<I", chunk[4:])[0]
+        if typ == b"fmt ":
+            if sz < 16:
+                raise WavFormatError("wav: bad fmt size")
+            f = read_full(sz)
+            fields = struct.unpack("<HHIIHH", f[:16])
+            header = Header(*fields)
+            if header.audio_format not in (WAV_FORMAT_PCM, WAV_FORMAT_IEEE_FLOAT):
+                raise WavFormatError(
+                    f"wav: unknown audio format: {header.audio_format:02x}"
+                )
+        elif typ == b"data":
+            if header is None:
+                raise WavFormatError("wav: unexpected fmt chunk")
+            return Wav(header, sz, r)
+        else:
+            read_full(sz)  # skip JUNK/bext/... (wav.go:105-106)
+
+
+def read_wav(src) -> Wav:
+    """Open a WAV by filesystem path, byte buffer, or stream."""
+    if isinstance(src, str):
+        return new(open(src, "rb"))
+    return new(src)
+
+
+def write_wav(path_or_stream, samples: np.ndarray, sample_rate: int) -> None:
+    """Write a mono WAV file (PCM16 for integer input, IEEE float32 for
+    float input).  Test/benchmark fixture generator; the reference has no
+    writer.
+    """
+    samples = np.asarray(samples)
+    if samples.dtype.kind == "f":
+        data = samples.astype("<f4").tobytes()
+        fmt, bits = WAV_FORMAT_IEEE_FLOAT, 32
+    else:
+        data = samples.astype("<i2").tobytes()
+        fmt, bits = WAV_FORMAT_PCM, 16
+    byte_rate = sample_rate * bits // 8
+    block_align = bits // 8
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        fmt,
+        1,
+        sample_rate,
+        byte_rate,
+        block_align,
+        bits,
+        b"data",
+        len(data),
+    )
+    if hasattr(path_or_stream, "write"):
+        path_or_stream.write(hdr + data)
+    else:
+        with open(path_or_stream, "wb") as f:
+            f.write(hdr + data)

@@ -1,0 +1,226 @@
+"""FFT tests; golden tables ported from reference fft/fft_test.go, plus
+round-trips and numpy.fft cross-validation (an oracle the reference
+never had — SURVEY.md §4)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from godsp_tpu import dsputils, fft
+
+SQRT2_2 = math.sqrt(2) / 2
+
+# fft_test.go:38-141
+FFT_TESTS = [
+    # impulse responses
+    ([1], [1]),
+    ([1, 0], [1, 1]),
+    ([1, 0, 0, 0], [1, 1, 1, 1]),
+    ([1, 0, 0, 0, 0, 0, 0, 0], [1] * 8),
+    # shifted impulse responses
+    ([0, 1], [1, -1]),
+    ([0, 1, 0, 0], [1, -1j, -1, 1j]),
+    (
+        [0, 1, 0, 0, 0, 0, 0, 0],
+        [
+            1,
+            complex(SQRT2_2, -SQRT2_2),
+            -1j,
+            complex(-SQRT2_2, -SQRT2_2),
+            -1,
+            complex(-SQRT2_2, SQRT2_2),
+            1j,
+            complex(SQRT2_2, SQRT2_2),
+        ],
+    ),
+    # other
+    ([1, 2, 3, 4], [10, complex(-2, 2), -2, complex(-2, -2)]),
+    ([1, 3, 5, 7], [16, complex(-4, 4), -4, complex(-4, -4)]),
+    (
+        [1, 2, 3, 4, 5, 6, 7, 8],
+        [
+            36,
+            complex(-4, 9.65685425),
+            complex(-4, 4),
+            complex(-4, 1.65685425),
+            -4,
+            complex(-4, -1.65685425),
+            complex(-4, -4),
+            complex(-4, -9.65685425),
+        ],
+    ),
+    # non power of 2 lengths (Bluestein path)
+    ([1, 0, 0, 0, 0], [1, 1, 1, 1, 1]),
+    ([1, 2, 3], [6, complex(-1.5, 0.8660254), complex(-1.5, -0.8660254)]),
+    ([1, 1, 1], [3, 0, 0]),
+]
+
+# fft_test.go:148-162
+FFT2_TESTS = [
+    (
+        [[1, 2, 3], [3, 4, 5]],
+        [
+            [18, complex(-3, 1.73205081), complex(-3, -1.73205081)],
+            [-6, 0, 0],
+        ],
+    ),
+    (
+        [[0.1, 0.2, 0.3, 0.4, 0.5], [1, 2, 3, 4, 5], [3, 2, 1, 0, -1]],
+        [
+            [
+                21.5,
+                complex(-0.25, 0.34409548),
+                complex(-0.25, 0.08122992),
+                complex(-0.25, -0.08122992),
+                complex(-0.25, -0.34409548),
+            ],
+            [
+                complex(-8.5, -8.66025404),
+                complex(5.70990854, 4.6742225),
+                complex(1.15694356, 4.41135694),
+                complex(-1.65694356, 4.24889709),
+                complex(-6.20990854, 3.98603154),
+            ],
+            [
+                complex(-8.5, 8.66025404),
+                complex(-6.20990854, -3.98603154),
+                complex(-1.65694356, -4.24889709),
+                complex(1.15694356, -4.41135694),
+                complex(5.70990854, -4.6742225),
+            ],
+        ],
+    ),
+]
+
+# fft_test.go:170-181
+FFTN_TEST = {
+    "in": [4, 2, 3, 8, 5, 6, 7, 2, 13, 24, 13, 17],
+    "dim": [2, 2, 3],
+    "out": [
+        104,
+        complex(12.5, 14.72243186),
+        complex(12.5, -14.72243186),
+        -42,
+        complex(-10.5, 6.06217783),
+        complex(-10.5, -6.06217783),
+        -48,
+        complex(-4.5, -11.25833025),
+        complex(-4.5, 11.25833025),
+        22,
+        complex(8.5, -6.06217783),
+        complex(8.5, 6.06217783),
+    ],
+}
+
+
+@pytest.mark.parametrize("x,expected", FFT_TESTS, ids=lambda v: str(v)[:24])
+def test_fft_golden(x, expected):
+    got = np.asarray(fft.fft_real(jnp.asarray(x, dtype=jnp.float64)))
+    assert dsputils.pretty_close_c(got, np.asarray(expected, np.complex128)), got
+
+
+@pytest.mark.parametrize("x,expected", FFT_TESTS, ids=lambda v: str(v)[:24])
+def test_ifft_roundtrip_golden(x, expected):
+    back = np.asarray(fft.ifft(jnp.asarray(expected, dtype=jnp.complex128)))
+    assert dsputils.pretty_close_c(back, np.asarray(x, np.complex128)), back
+
+
+def test_fft_empty_and_single():
+    assert fft.fft(jnp.zeros(0, jnp.complex128)).shape == (0,)
+    np.testing.assert_allclose(np.asarray(fft.fft(jnp.array([3.0 + 1j]))), [3 + 1j])
+    np.testing.assert_allclose(np.asarray(fft.ifft(jnp.array([3.0 + 1j]))), [3 + 1j])
+
+
+@pytest.mark.parametrize("x,expected", FFT2_TESTS, ids=["2x3", "3x5"])
+def test_fft2_golden(x, expected):
+    got = np.asarray(fft.fft2_real(x))
+    assert dsputils.pretty_close_2(got, np.asarray(expected, np.complex128)), got
+    back = np.asarray(fft.ifft2(jnp.asarray(expected, dtype=jnp.complex128)))
+    assert dsputils.pretty_close_2(back, np.asarray(x, np.complex128))
+
+
+def test_fft2_errors():
+    with pytest.raises(ValueError, match="empty"):
+        fft.fft2([])
+    with pytest.raises(ValueError, match="ragged"):
+        fft.fft2([[1, 2], [3]])
+
+
+def test_fftn_golden():
+    m = dsputils.make_matrix(
+        dsputils.to_complex(jnp.asarray(FFTN_TEST["in"], jnp.float64)), FFTN_TEST["dim"]
+    )
+    o = dsputils.make_matrix(np.asarray(FFTN_TEST["out"], np.complex128), FFTN_TEST["dim"])
+    v = fft.fftn(m)
+    assert v.pretty_close(o), np.asarray(v.array)
+    vi = fft.ifftn(o)
+    assert vi.pretty_close(m)
+
+
+def test_fftn_on_plain_array():
+    x = np.random.default_rng(0).normal(size=(2, 3, 4)).astype(np.complex128)
+    got = np.asarray(fft.fftn(x))
+    np.testing.assert_allclose(got, np.fft.fftn(x), rtol=1e-10, atol=1e-10)
+
+
+def test_convolve():
+    # Circular convolution of impulse with anything is identity.
+    x = jnp.asarray(np.random.default_rng(1).normal(size=8), jnp.float64)
+    e = jnp.zeros(8, jnp.float64).at[0].set(1.0)
+    got = np.asarray(fft.convolve(x, e))
+    np.testing.assert_allclose(got.real, np.asarray(x), atol=1e-10)
+    np.testing.assert_allclose(got.imag, 0, atol=1e-10)
+
+
+def test_convolve_unequal_lengths():
+    with pytest.raises(ValueError, match="equal size"):
+        fft.convolve(jnp.zeros(4), jnp.zeros(8))
+
+
+@pytest.mark.parametrize("n", [2, 4, 8, 64, 256, 1024, 3, 5, 6, 7, 12, 100, 1000, 1331])
+def test_fft_vs_numpy(n):
+    """Cross-validate against numpy.fft at >=120 dB SNR (BASELINE bound)."""
+    rng = np.random.default_rng(n)
+    x = rng.normal(size=n) + 1j * rng.normal(size=n)
+    got = np.asarray(fft.fft(jnp.asarray(x)))
+    want = np.fft.fft(x)
+    assert dsputils.snr_db(got, want) >= 120.0
+    back = np.asarray(fft.ifft(jnp.asarray(want)))
+    assert dsputils.snr_db(back, x) >= 120.0
+
+
+@pytest.mark.parametrize("n", [8, 1024, 1000])
+def test_fft_batched_matches_loop(n):
+    rng = np.random.default_rng(7)
+    xs = rng.normal(size=(5, n)) + 1j * rng.normal(size=(5, n))
+    batched = np.asarray(fft.fft(jnp.asarray(xs)))
+    for i in range(5):
+        single = np.asarray(fft.fft(jnp.asarray(xs[i])))
+        np.testing.assert_allclose(batched[i], single, rtol=1e-12, atol=1e-12)
+
+
+def test_fft_axis_argument():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4, 6)) + 1j * rng.normal(size=(4, 6))
+    got = np.asarray(fft.fft(jnp.asarray(x), axis=0))
+    np.testing.assert_allclose(got, np.fft.fft(x, axis=0), rtol=1e-10, atol=1e-10)
+
+
+def test_lyons_example():
+    """ExampleFFTReal (fft_test.go:283-320): Lyons §3.1.1 two-tone."""
+    n = np.arange(8)
+    a = np.sin(2 * np.pi * n / 8) + 0.5 * np.sin(2 * np.pi * n / 4 + 3 * np.pi / 4)
+    X = np.asarray(fft.fft_real(jnp.asarray(a)))
+    mag = np.abs(X)
+    phase_deg = np.degrees(np.angle(X))
+    np.testing.assert_allclose(mag, [0, 4, 2, 0, 0, 0, 2, 4], atol=1e-8)
+    assert abs(phase_deg[1] - (-90)) < 1e-6
+    assert abs(phase_deg[2] - 45) < 1e-6
+    assert abs(phase_deg[6] - (-45)) < 1e-6
+    assert abs(phase_deg[7] - 90) < 1e-6
+
+
+def test_ensure_radix2_factors():
+    fft.ensure_radix2_factors(1 << 12)  # smoke: pre-warms the twiddle cache

@@ -1,0 +1,150 @@
+"""Spectral tests; golden tables ported from reference
+spectral/pwelch_test.go:28-46 and spectral_test.go:21-56, plus
+scipy-style cross-checks via numpy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from godsp_tpu import dsputils, spectral, window
+
+# pwelch_test.go:39-46: 100-point ramp, Fs=2, default options ->
+# 129 golden Pxx values and 129 golden freqs (matplotlib-compatible).
+GOLDEN_PXX = [
+    3.66817103e+04, 6.16097526e+04, 3.70964854e+04, 1.76858083e+04,
+    8.82747121e+03, 5.58636625e+03, 3.86686565e+03, 2.79695091e+03,
+    2.14687978e+03, 1.68918004e+03, 1.36571705e+03, 1.13024093e+03,
+    9.48033939e+02, 8.08850444e+02, 6.97809757e+02, 6.08092372e+02,
+    5.35404251e+02, 4.74620274e+02, 4.24037212e+02, 3.81226909e+02,
+    3.44548926e+02, 3.13192558e+02, 2.85886182e+02, 2.62122493e+02,
+    2.41303266e+02, 2.22870690e+02, 2.06594463e+02, 1.92060902e+02,
+    1.79062190e+02, 1.67411631e+02, 1.56878696e+02, 1.47375046e+02,
+    1.38742768e+02, 1.30879468e+02, 1.23716560e+02, 1.17146757e+02,
+    1.11127186e+02, 1.05591138e+02, 1.00482309e+02, 9.57717459e+01,
+    9.14056404e+01, 8.73592894e+01, 8.36025117e+01, 8.01022290e+01,
+    7.68443525e+01, 7.38005900e+01, 7.09550385e+01, 6.82933042e+01,
+    6.57951735e+01, 6.34526724e+01, 6.12504908e+01, 5.91777124e+01,
+    5.72271084e+01, 5.53860529e+01, 5.36493451e+01, 5.20085636e+01,
+    5.04559628e+01, 4.89876620e+01, 4.75956980e+01, 4.62762918e+01,
+    4.50247688e+01, 4.38355570e+01, 4.27063668e+01, 4.16321728e+01,
+    4.06100428e+01, 3.96373615e+01, 3.87101146e+01, 3.78267782e+01,
+    3.69842029e+01, 3.61800421e+01, 3.54128094e+01, 3.46796320e+01,
+    3.39793658e+01, 3.33100629e+01, 3.26698301e+01, 3.20577904e+01,
+    3.14719152e+01, 3.09112634e+01, 3.03746526e+01, 2.98605643e+01,
+    2.93684407e+01, 2.88968774e+01, 2.84450603e+01, 2.80122875e+01,
+    2.75973586e+01, 2.71998759e+01, 2.68188936e+01, 2.64536948e+01,
+    2.61038720e+01, 2.57684964e+01, 2.54472465e+01, 2.51395088e+01,
+    2.48446551e+01, 2.45624511e+01, 2.42921985e+01, 2.40336109e+01,
+    2.37863119e+01, 2.35497603e+01, 2.33238184e+01, 2.31079809e+01,
+    2.29019795e+01, 2.27056035e+01, 2.25183990e+01, 2.23402769e+01,
+    2.21708920e+01, 2.20099898e+01, 2.18574728e+01, 2.17129732e+01,
+    2.15764231e+01, 2.14476081e+01, 2.13262901e+01, 2.12124459e+01,
+    2.11057929e+01, 2.10062684e+01, 2.09137648e+01, 2.08280657e+01,
+    2.07491945e+01, 2.06769518e+01, 2.06112729e+01, 2.05521368e+01,
+    2.04993557e+01, 2.04529802e+01, 2.04128917e+01, 2.03790224e+01,
+    2.03514209e+01, 2.03299362e+01, 2.03146325e+01, 2.03054705e+01,
+    1.01511907e+01,
+]
+
+
+class TestSegment:
+    # spectral_test.go:21-56
+    X10 = jnp.arange(1.0, 11.0)
+
+    def test_noverlap_0(self):
+        got = np.asarray(spectral.segment(self.X10, 4, 0))
+        np.testing.assert_allclose(got, [[1, 2, 3, 4], [5, 6, 7, 8]])
+
+    def test_noverlap_1(self):
+        got = np.asarray(spectral.segment(self.X10, 4, 1))
+        np.testing.assert_allclose(got, [[1, 2, 3, 4], [4, 5, 6, 7], [7, 8, 9, 10]])
+
+    def test_noverlap_2(self):
+        got = np.asarray(spectral.segment(self.X10, 4, 2))
+        np.testing.assert_allclose(
+            got, [[1, 2, 3, 4], [3, 4, 5, 6], [5, 6, 7, 8], [7, 8, 9, 10]]
+        )
+
+    def test_exact_length_one_segment(self):
+        got = np.asarray(spectral.segment(jnp.arange(4.0), 4, 0))
+        assert got.shape == (1, 4)
+
+    def test_too_short_zero_segments(self):
+        assert spectral.segment(jnp.arange(3.0), 4, 0).shape == (0, 4)
+
+
+class TestPwelch:
+    def test_empty_input(self):
+        # pwelch_test.go:32-38
+        pxx, freqs = spectral.pwelch(jnp.zeros(0), 0.0)
+        assert pxx.shape == (0,) and freqs.shape == (0,)
+
+    def test_golden_ramp(self):
+        # pwelch_test.go:39-46: the end-to-end milestone of SURVEY.md §7.6.
+        x = jnp.arange(100, dtype=jnp.float64)
+        pxx, freqs = spectral.pwelch(x, 2.0, spectral.PwelchOptions())
+        assert pxx.shape == (129,) and freqs.shape == (129,)
+        assert dsputils.pretty_close(np.asarray(pxx), GOLDEN_PXX), np.asarray(pxx)[:5]
+        expect_freqs = np.arange(129) * (2.0 / 256.0)
+        assert dsputils.pretty_close(np.asarray(freqs), expect_freqs)
+
+    def test_parseval_white_noise(self):
+        """Integrated PSD of white noise approximates its variance."""
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=65536)
+        fs = 1000.0
+        opts = spectral.PwelchOptions(nfft=1024, noverlap=512)
+        pxx, freqs = spectral.pwelch(jnp.asarray(x), fs, opts)
+        df = freqs[1] - freqs[0]
+        total = float(jnp.sum(pxx) * df)
+        assert abs(total - 1.0) < 0.05  # unit variance
+
+    def test_scale_off(self):
+        x = jnp.arange(100, dtype=jnp.float64)
+        p_on, _ = spectral.pwelch(x, 2.0, spectral.PwelchOptions())
+        p_off, _ = spectral.pwelch(x, 2.0, spectral.PwelchOptions(scale_off=True))
+        np.testing.assert_allclose(np.asarray(p_off), np.asarray(p_on) * 2.0, rtol=1e-12)
+
+    def test_pad_gt_nfft(self):
+        """pad > nfft: window of length pad applied to the padded segment
+        (pwelch.go:108-109) while Sum(w^2) uses the nfft window."""
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=512)
+        opts = spectral.PwelchOptions(nfft=128, pad=256)
+        pxx, freqs = spectral.pwelch(jnp.asarray(x), 1.0, opts)
+        assert pxx.shape == (129,)
+        # Reproduce with a literal transcription of the reference loop.
+        w_pad = np.asarray(window.hann(256), np.float64)
+        w_nfft = np.asarray(window.hann(128), np.float64)
+        segs = [x[i : i + 128] for i in range(0, 512 - 128 + 1, 128)]
+        acc = np.zeros(129)
+        for s in segs:
+            padded = np.zeros(256)
+            padded[:128] = s
+            spec = np.fft.fft(padded * w_pad)[:129]
+            d = np.abs(spec) ** 2 / len(segs)
+            d[1:-1] *= 2
+            acc += d
+        acc /= np.sum(w_nfft**2) * 1.0
+        np.testing.assert_allclose(np.asarray(pxx), acc, rtol=1e-8, atol=1e-12)
+
+    def test_short_input_zero_padded(self):
+        x = jnp.ones(10, dtype=jnp.float64)
+        pxx, freqs = spectral.pwelch(x, 1.0, spectral.PwelchOptions())
+        assert pxx.shape == (129,)  # padded to nfft=256, one segment
+
+    def test_window_by_name(self):
+        x = jnp.arange(100, dtype=jnp.float64)
+        p1, _ = spectral.pwelch(x, 2.0, spectral.PwelchOptions(window="hann"))
+        p2, _ = spectral.pwelch(x, 2.0, spectral.PwelchOptions(window=window.hann))
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+
+    def test_batched_frames(self):
+        """pwelch_from_frames vmaps over extra leading axes."""
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(3, 8, 256))  # 3 channels, 8 segments each
+        opts = spectral.PwelchOptions(nfft=256)
+        pxx, _ = spectral.pwelch_from_frames(jnp.asarray(x), 1.0, opts)
+        assert pxx.shape == (3, 129)
+        single, _ = spectral.pwelch_from_frames(jnp.asarray(x[1]), 1.0, opts)
+        np.testing.assert_allclose(np.asarray(pxx[1]), np.asarray(single), rtol=1e-12)

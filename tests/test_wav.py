@@ -1,0 +1,190 @@
+"""WAV ingest tests; header-validation and fixture cases ported from
+reference wav/wav_test.go (fixtures read in place from the read-only
+reference checkout), plus synthetic round-trips through our writer."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from godsp_tpu import wav
+
+
+class TestHeaderValidation:
+    # wav_test.go:15-51
+    def test_short_header(self):
+        short = bytes([0x52, 0x49, 0x46, 0x46, 0x72, 0x8C, 0x34, 0x00, 0x57, 0x41, 0x56, 0x45])
+        with pytest.raises(EOFError):
+            wav.new(short)
+
+    def test_nil_header(self):
+        with pytest.raises(EOFError):
+            wav.new(b"")
+
+    def test_missing_riff(self):
+        with pytest.raises(wav.WavFormatError, match="RIFF"):
+            wav.new(bytes(44))
+
+    def test_missing_wave(self):
+        b = bytearray(44)
+        b[:4] = b"RIFF"
+        with pytest.raises(wav.WavFormatError, match="WAVE"):
+            wav.new(bytes(b))
+
+    def test_missing_fmt(self):
+        b = bytearray(44)
+        b[:4] = b"RIFF"
+        b[8:12] = b"WAVE"
+        # chunk id is zeros -> skipped, then EOF before fmt/data
+        with pytest.raises((wav.WavFormatError, EOFError)):
+            wav.new(bytes(b))
+
+    def test_data_before_fmt(self):
+        b = bytearray()
+        b += b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        b += b"data" + (0).to_bytes(4, "little")
+        with pytest.raises(wav.WavFormatError, match="unexpected fmt"):
+            wav.new(bytes(b))
+
+    def test_unknown_audio_format(self):
+        import struct
+
+        b = bytearray()
+        b += b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        b += b"fmt " + (16).to_bytes(4, "little")
+        b += struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)  # mu-law: unsupported
+        with pytest.raises(wav.WavFormatError, match="unknown audio format"):
+            wav.new(bytes(b))
+
+
+class TestReferenceFixtures:
+    # wav_test.go:58-105 — exact header/sample/duration expectations.
+    def test_small_wav(self, reference_wav_dir):
+        w = wav.read_wav(os.path.join(reference_wav_dir, "small.wav"))
+        assert w.header == wav.Header(
+            audio_format=1,
+            num_channels=1,
+            sample_rate=44100,
+            byte_rate=88200,
+            block_align=2,
+            bits_per_sample=16,
+        )
+        assert w.samples == 41888
+        assert w.duration_ns == 949841269
+
+    def test_float_wav(self, reference_wav_dir):
+        w = wav.read_wav(os.path.join(reference_wav_dir, "float.wav"))
+        assert w.header == wav.Header(
+            audio_format=3,
+            num_channels=1,
+            sample_rate=44100,
+            byte_rate=176400,
+            block_align=4,
+            bits_per_sample=32,
+        )
+        assert w.samples == 1889280 // 4
+        assert w.duration_ns == 10710204081
+
+    def test_small_wav_read_floats_range(self, reference_wav_dir):
+        w = wav.read_wav(os.path.join(reference_wav_dir, "small.wav"))
+        f = w.read_floats(1000)
+        assert f.dtype == np.float32
+        # int16 normalization maps into [0, 1] (wav.go:150-155 quirk).
+        assert float(f.min()) >= 0.0 and float(f.max()) <= 1.0
+
+    def test_streaming_blocks(self, reference_wav_dir):
+        w = wav.read_wav(os.path.join(reference_wav_dir, "small.wav"))
+        available = w.samples_remaining
+        # Quirk: Samples (41888) truncates sz/bits before *8 (wav.go:101),
+        # undercounting the 41895 int16 samples actually in the data chunk;
+        # the stream serves everything, like the reference's LimitReader.
+        assert w.samples == 41888 and available == 41895
+        total = sum(b.shape[0] for b in w.blocks(4096))
+        assert total == available
+
+
+class TestNormalization:
+    def _wav_bytes(self, fmt, bits, payload):
+        import struct
+
+        b = bytearray()
+        b += b"RIFF" + (36 + len(payload)).to_bytes(4, "little") + b"WAVE"
+        b += b"fmt " + (16).to_bytes(4, "little")
+        b += struct.pack("<HHIIHH", fmt, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        b += b"data" + len(payload).to_bytes(4, "little")
+        b += payload
+        return bytes(b)
+
+    def test_uint8_normalization(self):
+        payload = np.array([0, 128, 255], np.uint8).tobytes()
+        w = wav.new(self._wav_bytes(1, 8, payload))
+        f = w.read_floats(3)
+        np.testing.assert_allclose(f, [0.0, 128 / 255, 1.0], rtol=1e-6)
+
+    def test_int16_normalization(self):
+        payload = np.array([-32768, 0, 32767], "<i2").tobytes()
+        w = wav.new(self._wav_bytes(1, 16, payload))
+        f = w.read_floats(3)
+        np.testing.assert_allclose(f, [0.0, 32768 / 65535, 1.0], rtol=1e-6)
+
+    def test_float32_passthrough(self):
+        vals = np.array([-0.5, 0.25, 1.0], "<f4")
+        w = wav.new(self._wav_bytes(3, 32, vals.tobytes()))
+        np.testing.assert_array_equal(w.read_floats(3), vals)
+
+    def test_junk_chunk_skipped(self):
+        import struct
+
+        payload = np.arange(16, dtype="<i2").tobytes()  # 32 bytes
+        b = bytearray()
+        b += b"RIFF" + (0).to_bytes(4, "little") + b"WAVE"
+        b += b"JUNK" + (4).to_bytes(4, "little") + b"\x00" * 4
+        b += b"fmt " + (16).to_bytes(4, "little")
+        b += struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        b += b"bext" + (2).to_bytes(4, "little") + b"\x00" * 2
+        b += b"data" + len(payload).to_bytes(4, "little") + payload
+        w = wav.new(bytes(b))
+        assert w.samples == 16
+        np.testing.assert_array_equal(w.read_samples(16), np.arange(16, dtype=np.int16))
+
+    def test_samples_formula_truncation_quirk(self):
+        """Samples = sz/bits*8 truncates BEFORE multiplying (wav.go:101):
+        a 6-byte int16 payload (3 real samples) reports 0."""
+        payload = np.array([1, 2, 3], "<i2").tobytes()
+        import struct
+
+        b = bytearray()
+        b += b"RIFF" + (36 + len(payload)).to_bytes(4, "little") + b"WAVE"
+        b += b"fmt " + (16).to_bytes(4, "little")
+        b += struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        b += b"data" + len(payload).to_bytes(4, "little") + payload
+        w = wav.new(bytes(b))
+        assert w.samples == 6 // 16 * 8 == 0
+        assert w.samples_remaining == 3  # the stream still serves them
+
+    def test_eof_on_overread(self):
+        payload = np.array([1, 2, 3], "<i2").tobytes()
+        w = wav.new(self._wav_bytes(1, 16, payload))
+        with pytest.raises(EOFError):
+            w.read_samples(4)
+
+
+class TestWriterRoundtrip:
+    def test_pcm16_roundtrip(self, tmp_path):
+        sig = (np.sin(np.linspace(0, 20 * np.pi, 8000)) * 20000).astype(np.int16)
+        p = str(tmp_path / "t.wav")
+        wav.write_wav(p, sig, 8000)
+        w = wav.read_wav(p)
+        assert w.sample_rate == 8000 and w.bits_per_sample == 16
+        got = w.read_samples(8000)
+        np.testing.assert_array_equal(got, sig)
+
+    def test_float32_roundtrip(self):
+        sig = np.sin(np.linspace(0, 2 * np.pi, 100)).astype(np.float32)
+        buf = io.BytesIO()
+        wav.write_wav(buf, sig, 44100)
+        buf.seek(0)
+        w = wav.new(buf.read())
+        assert w.audio_format == wav.WAV_FORMAT_IEEE_FLOAT
+        np.testing.assert_array_equal(w.read_floats(100), sig)
