@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Benchmark harness — batched FFT roofline + Pwelch throughput.
+
+Runs on whatever jax.devices() provides (the real TPU chip under axon).
+Prints ONE summary JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+vs_baseline is achieved/target against the BASELINE.json north star
+(>=80% of HBM-bandwidth roofline for the batched 1k-point FFT).
+Diagnostics go to stderr.
+
+Timing notes (see utils.metrics): on tunneled TPU transports
+block_until_ready is unreliable, so each measurement is a jitted
+data-dependent chain of K applications ending in a scalar readback, with
+the readback RTT measured and subtracted.  Complex operands are placed
+via _dtypes.put (split-plane transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+
+    from godsp_tpu import fft, spectral
+    from godsp_tpu._dtypes import put
+    from godsp_tpu.parallel import MeshConfig, make_mesh, stream_pwelch
+    from godsp_tpu.utils.metrics import (
+        fft_bytes,
+        fft_flops,
+        hbm_bandwidth_gbs,
+        measure_rtt,
+        time_chained,
+    )
+
+    dev = jax.devices()[0]
+    peak = hbm_bandwidth_gbs(dev)
+    rtt = measure_rtt()
+    log(f"device: {dev.device_kind}, peak HBM {peak} GB/s, readback RTT {rtt*1e3:.1f} ms")
+
+    results = {}
+
+    # --- batched FFT roofline (BASELINE configs: 1k and 4k points) -----
+    rng = np.random.default_rng(0)
+    for n, batch in ((1024, 16384), (4096, 4096)):
+        x = put(
+            (rng.normal(size=(batch, n)) + 1j * rng.normal(size=(batch, n))).astype(
+                np.complex64
+            )
+        )
+        r = time_chained(
+            fft.fft,
+            x,
+            chain=8,
+            name=f"fft{n}",
+            flops=fft_flops(n, batch),
+            bytes_moved=fft_bytes(n, batch, 8),
+            rtt=rtt,
+        )
+        frac = r.roofline_fraction(peak)
+        results[f"fft{n}"] = {
+            "wall_s": r.wall_s,
+            "gflops": r.gflops,
+            "gbs": r.gbs,
+            "roofline_fraction": frac,
+        }
+        log(
+            f"fft n={n} batch={batch}: {r.wall_s*1e3:.3f} ms  "
+            f"{r.gflops:.0f} GFLOP/s  {r.gbs:.0f} GB/s  "
+            f"roofline={frac and f'{frac:.3f}'}"
+        )
+
+    # --- XLA built-in FFT for comparison --------------------------------
+    try:
+        import jax.numpy as jnp
+
+        n, batch = 1024, 16384
+        x = put(
+            (rng.normal(size=(batch, n)) + 1j * rng.normal(size=(batch, n))).astype(
+                np.complex64
+            )
+        )
+        r = time_chained(
+            jnp.fft.fft, x, chain=8, name="jnpfft",
+            bytes_moved=fft_bytes(n, batch, 8), rtt=rtt,
+        )
+        log(f"jnp.fft.fft n={n}: {r.wall_s*1e3:.3f} ms  {r.gbs:.0f} GB/s")
+        results["jnp_fft1024"] = {"wall_s": r.wall_s, "gbs": r.gbs}
+    except Exception as e:  # pragma: no cover
+        log("jnp.fft comparison failed:", e)
+
+    # --- Pwelch streaming throughput, single chip -----------------------
+    fs = 44100.0
+    opts = spectral.PwelchOptions(nfft=1024, noverlap=512)
+    total = 1 << 24  # ~16.8 M samples
+    sig = rng.normal(size=total).astype(np.float32)
+    mesh = make_mesh(MeshConfig(dp=1, sp=1), jax.devices()[:1])
+    stream_pwelch([sig[: 1 << 22]], fs, opts, mesh, segs_per_chunk_shard=4096)  # warm
+    t0 = time.perf_counter()
+    pxx, freqs = stream_pwelch(
+        (sig[i : i + (1 << 22)] for i in range(0, total, 1 << 22)),
+        fs,
+        opts,
+        mesh,
+        segs_per_chunk_shard=4096,
+    )
+    wall = time.perf_counter() - t0
+    msps = total / wall / 1e6
+    results["pwelch_stream"] = {"wall_s": wall, "msamples_per_s": msps}
+    log(f"pwelch streaming: {msps:.1f} Msamples/s ({wall:.3f}s for {total} samples)")
+
+    # --- summary line ----------------------------------------------------
+    frac1k = results["fft1024"]["roofline_fraction"] or 0.0
+    summary = {
+        "metric": "fft1024_roofline_fraction",
+        "value": round(frac1k, 4),
+        "unit": "fraction_of_hbm_roofline",
+        "vs_baseline": round(frac1k / 0.80, 4),
+        "detail": results,
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ __all__ = [
     "real_for",
     "as_complex_array",
     "as_real_array",
+    "put",
 ]
 
 
@@ -81,6 +82,32 @@ def as_real_array(x) -> jax.Array:
     if x.dtype.kind != "f":
         x = x.astype(default_float())
     return x
+
+
+@jax.jit
+def _combine_planes(re, im):
+    return jax.lax.complex(re, im)
+
+
+def put(x) -> jax.Array:
+    """Move input to the default device, safely for complex dtypes.
+
+    Some TPU transports cannot transfer complex buffers in either
+    direction; host complex data is split into real/imaginary planes,
+    transferred as floats, and recombined on device.  Device arrays and
+    real host data pass through jnp.asarray.  Every public entry point
+    routes its inputs through here (see also utils.to_host for the
+    device->host direction).
+    """
+    if isinstance(x, jax.Array):
+        return x
+    x = np.asarray(x)
+    if x.dtype.kind == "c":
+        rdt = np.float64 if (x.dtype == np.complex128 and jax.config.jax_enable_x64) else np.float32
+        re = jnp.asarray(np.ascontiguousarray(x.real).astype(rdt, copy=False))
+        im = jnp.asarray(np.ascontiguousarray(x.imag).astype(rdt, copy=False))
+        return _combine_planes(re, im)
+    return jnp.asarray(x)
 
 
 def np_float() -> np.dtype:

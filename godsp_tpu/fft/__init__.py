@@ -20,6 +20,7 @@ from godsp_tpu.fft.core import (
     ifft_real,
     ifftn,
 )
+from godsp_tpu.fft.four_step import four_step_fft
 from godsp_tpu.fft.stockham import stockham_fft, twiddles
 
 __all__ = [
@@ -27,6 +28,7 @@ __all__ = [
     "convolve",
     "ensure_radix2_factors",
     "fft",
+    "four_step_fft",
     "fft2",
     "fft2_real",
     "fft_real",

@@ -22,7 +22,7 @@ import numpy as np
 
 from godsp_tpu._dtypes import complex_for
 from godsp_tpu.dsputils.utils import next_power_of_2
-from godsp_tpu.fft.stockham import stockham_fft
+from godsp_tpu.fft.four_step import four_step_fft
 
 __all__ = ["bluestein_fft"]
 
@@ -75,7 +75,7 @@ def bluestein_fft(x: jax.Array) -> jax.Array:
     a = jnp.pad(a, pad)
 
     # Circular convolution with the chirp filter; FFT(b) is precomputed.
-    conv = stockham_fft(stockham_fft(a) * fft_b, inverse=True) / la
+    conv = four_step_fft(four_step_fft(a) * fft_b, inverse=True) / la
 
     # Postmultiply and truncate (bluestein.go:89-93).
     return conv[..., :n] * jnp.conj(w)

@@ -23,13 +23,13 @@ from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from godsp_tpu._dtypes import as_complex_array, complex_for
+from godsp_tpu._dtypes import as_complex_array, complex_for, put
 from godsp_tpu.dsputils.matrix import Matrix
 from godsp_tpu.dsputils.utils import is_power_of_2
 from godsp_tpu.fft.bluestein import bluestein_fft
-from godsp_tpu.fft.stockham import ensure_radix2_factors, stockham_fft
+from godsp_tpu.fft.four_step import four_step_fft
+from godsp_tpu.fft.stockham import ensure_radix2_factors
 
 __all__ = [
     "fft",
@@ -47,19 +47,16 @@ __all__ = [
 ]
 
 
-# Public entry points are jitted: the whole transform compiles into one
-# XLA computation per (shape, dtype) — required on TPU, where eager op-by-
-# op dispatch of complex slices is not supported, and faster everywhere.
+# The whole transform compiles into one XLA computation per
+# (shape, dtype) via jit — required on TPU, where eager op-by-op dispatch
+# of complex slices is not supported, and faster everywhere.  The thin
+# public wrappers route host inputs through put(), which moves complex
+# data as split real planes (some TPU transports cannot transfer complex
+# buffers at all).
 
 
 @partial(jax.jit, static_argnames=("axis",))
-def fft(x, axis: int = -1) -> jax.Array:
-    """Forward DFT along `axis` (default trailing), batched over the rest.
-
-    Dispatch mirrors fft.FFT (fft.go:72-87): length <= 1 is returned
-    as-is, power-of-2 lengths take the radix-2 (Stockham) kernel,
-    everything else takes Bluestein.
-    """
+def _fft_jit(x, axis: int = -1) -> jax.Array:
     x = as_complex_array(x)
     if axis not in (-1, x.ndim - 1):
         x = jnp.moveaxis(x, axis, -1)
@@ -67,26 +64,42 @@ def fft(x, axis: int = -1) -> jax.Array:
     return _fft_last(x)
 
 
+def fft(x, axis: int = -1) -> jax.Array:
+    """Forward DFT along `axis` (default trailing), batched over the rest.
+
+    Dispatch mirrors fft.FFT (fft.go:72-87): length <= 1 is returned
+    as-is, power-of-2 lengths take the radix-2 (Stockham) kernel,
+    everything else takes Bluestein.
+    """
+    return _fft_jit(put(x), axis=axis)
+
+
 def _fft_last(x: jax.Array) -> jax.Array:
     n = x.shape[-1]
     if n <= 1:
         return x
     if is_power_of_2(n):
-        return stockham_fft(x)
+        # Four-step MXU path (fft/four_step.py); the Stockham kernel
+        # remains available as an independent oracle (fft/stockham.py).
+        return four_step_fft(x)
     return bluestein_fft(x)
 
 
 @partial(jax.jit, static_argnames=("axis",))
-def ifft(x, axis: int = -1) -> jax.Array:
-    """Inverse DFT along `axis`: reverse indices mod N, forward FFT,
-    scale by 1/N (fft.go:35-52)."""
+def _ifft_jit(x, axis: int = -1) -> jax.Array:
     x = as_complex_array(x)
     n = x.shape[axis]
     if n <= 1:
         return x
     # y[0] = x[0], y[i] = x[n-i]  (fft.go:39-43)
     rev = jnp.roll(jnp.flip(x, axis=axis), 1, axis=axis)
-    return _fft_last(rev) / n if axis in (-1, x.ndim - 1) else fft(rev, axis=axis) / n
+    return _fft_jit(rev, axis=axis) / n
+
+
+def ifft(x, axis: int = -1) -> jax.Array:
+    """Inverse DFT along `axis`: reverse indices mod N, forward FFT,
+    scale by 1/N (fft.go:35-52)."""
+    return _ifft_jit(put(x), axis=axis)
 
 
 def fft_real(x, axis: int = -1) -> jax.Array:
@@ -112,8 +125,8 @@ def convolve(x, y) -> jax.Array:
     Batched over leading axes; raises ValueError where the reference
     panics on unequal trailing lengths.
     """
-    x = as_complex_array(x)
-    y = as_complex_array(y)
+    x = put(x)
+    y = put(y)
     if x.shape[-1] != y.shape[-1]:
         raise ValueError("arrays not of equal size")
     return _convolve_impl(x, y)
@@ -153,7 +166,7 @@ def _as_2d(x) -> jax.Array:
         for row in x:
             if len(row) != width:
                 raise ValueError("ragged input array")
-    arr = jnp.asarray(x)
+    arr = put(x)
     if arr.ndim != 2:
         raise ValueError("fft2 requires a 2-D input")
     return arr
@@ -161,12 +174,12 @@ def _as_2d(x) -> jax.Array:
 
 def fft2(x) -> jax.Array:
     """2-D forward DFT (fft.go:109-111)."""
-    return _fft2_impl(as_complex_array(_as_2d(x)), inverse=False)
+    return _fft2_impl(_as_2d(x), inverse=False)
 
 
 def ifft2(x) -> jax.Array:
     """2-D inverse DFT (fft.go:119-121)."""
-    return _fft2_impl(as_complex_array(_as_2d(x)), inverse=True)
+    return _fft2_impl(_as_2d(x), inverse=True)
 
 
 def fft2_real(x) -> jax.Array:
@@ -193,10 +206,12 @@ def _fftn_jit(arr, inverse: bool):
 
 
 def _fftn_impl(m: MatrixLike, inverse: bool):
+    from godsp_tpu.utils.host import to_host
+
     is_matrix = isinstance(m, Matrix)
-    arr = as_complex_array(jnp.asarray(m.array if is_matrix else m))
+    arr = put(m.array if is_matrix else m)
     out = _fftn_jit(arr, inverse)
-    return Matrix.from_array(np.asarray(out)) if is_matrix else out
+    return Matrix.from_array(to_host(out)) if is_matrix else out
 
 
 def fftn(m: MatrixLike):

@@ -61,6 +61,11 @@ def stockham_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
 
     x: (..., N) complex.  Forward transform, unnormalized (the 1/N inverse
     scale lives in the public ifft, matching fft/fft.go:47-50).
+
+    Runs TIME-MAJOR internally: the stage state is (L, M*B) with the
+    batch minor, so every butterfly keeps a large trailing dimension and
+    maps onto the TPU's 8x128 vector layout (the batch-major arrangement
+    measures ~10x slower on a v5e).
     """
     n = x.shape[-1]
     if n & (n - 1):
@@ -72,16 +77,20 @@ def stockham_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
         return x
     sign = 1 if inverse else -1
 
-    # State invariant: t has shape (..., L, M) holding M interleaved
-    # sub-transforms of remaining length L; concatenating the butterfly
-    # halves along M performs the Stockham self-sort.
-    t = x[..., None]
+    lead = x.shape[:-1]
+    t = jnp.moveaxis(x.reshape(-1, n), 0, 1)  # (N, B) time-major
+
+    # State invariant: t is (L, M*B) holding M interleaved sub-transforms
+    # of remaining length L over B batch lanes (M-major in the merged
+    # axis); concatenating the butterfly halves along it performs the
+    # Stockham self-sort with unit-stride accesses throughout.
     L = n
     while L > 1:
         half = L // 2
         w = twiddles(L, sign, cdtype)  # (half,)
-        a = t[..., :half, :]
-        b = t[..., half:, :]
-        t = jnp.concatenate([a + b, (a - b) * w[:, None]], axis=-1)
+        a = t[:half]
+        b = t[half:]
+        t = jnp.concatenate([a + b, (a - b) * w[:, None]], axis=1)
         L = half
-    return t.reshape(x.shape)
+
+    return jnp.moveaxis(t.reshape(n, -1), 0, 1).reshape(*lead, n)

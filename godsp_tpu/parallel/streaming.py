@@ -1,0 +1,240 @@
+"""Streaming distributed Welch PSD with checkpoint/resume.
+
+The production driver for hours-long recordings (SURVEY.md §5): time
+blocks stream from the host (e.g. wav.Wav.blocks), each chunk is
+processed by the sharded partial step (halo exchange + psum), and the
+running (periodogram sum, segment count) reduction state is periodically
+snapshotted so a restart resumes at the last completed chunk — everything
+else is recomputable.  Failure policy is fail-fast per JAX multi-host
+convention; no elastic resize.
+
+Exactness: chunk boundaries pass the head of the next chunk as the tail
+halo, so the union of per-chunk segments is exactly the reference's
+global segmentation ((L-nfft)/stride+1, spectral.go:26-33) — no segment
+is dropped or double-counted.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from godsp_tpu import window as win
+from godsp_tpu._dtypes import default_float
+from godsp_tpu.parallel.pwelch_sharded import resolve_geometry, sharded_partial_step
+from godsp_tpu.spectral.pwelch import PwelchOptions
+
+__all__ = ["StreamingPwelch", "stream_pwelch"]
+
+log = logging.getLogger("godsp_tpu.streaming")
+
+
+@dataclass
+class StreamingMetrics:
+    """Per-run observability (the reference has none — SURVEY.md §5)."""
+
+    samples_in: int = 0
+    segments_done: int = 0
+    chunks_done: int = 0
+    wall_s: float = 0.0
+
+    @property
+    def samples_per_s(self) -> float:
+        return self.samples_in / self.wall_s if self.wall_s else 0.0
+
+    def json_line(self) -> str:
+        return json.dumps(
+            dict(
+                samples_in=self.samples_in,
+                segments=self.segments_done,
+                chunks=self.chunks_done,
+                wall_s=self.wall_s,
+                msamples_per_s=self.samples_per_s / 1e6,
+            )
+        )
+
+
+class StreamingPwelch:
+    """Accumulates a Welch PSD over a sample stream, sharded over a mesh.
+
+    Usage:
+        sp = StreamingPwelch(fs, options, mesh, segs_per_chunk_shard=512)
+        for block in wav.blocks(1 << 20):
+            sp.update(block)
+        pxx, freqs = sp.finalize()
+
+    update() buffers on the host and launches one device step per full
+    chunk (chunk = n_sp * segs_per_chunk_shard * stride samples, plus the
+    noverlap-sample halo that update() peeks from the following data).
+    """
+
+    def __init__(
+        self,
+        fs: float,
+        options: Optional[PwelchOptions] = None,
+        mesh: Optional[Mesh] = None,
+        segs_per_chunk_shard: int = 256,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every_chunks: int = 0,
+    ):
+        from godsp_tpu.parallel.mesh import make_mesh
+
+        self.fs = float(fs)
+        self.options = options or PwelchOptions()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        (
+            self.nfft,
+            self._wf,
+            self.pad,
+            self.noverlap,
+            self._scaling,
+            self.stride,
+            self.lp,
+        ) = resolve_geometry(self.options)
+        self.n_sp = self.mesh.shape["sp"]
+        self.segs_per_shard = int(segs_per_chunk_shard)
+        self.chunk_len = self.n_sp * self.segs_per_shard * self.stride
+        self.halo = max(self.nfft - self.stride, 0)
+        if self.halo > self.segs_per_shard * self.stride:
+            raise ValueError(
+                f"per-shard block ({self.segs_per_shard * self.stride}) must hold "
+                f"the {self.halo}-sample overlap halo; raise segs_per_chunk_shard"
+            )
+
+        fdt = default_float()
+        self._w_pad = win.window_table(self._wf, self.pad).astype(fdt)
+        w_nfft = win.window_table_np(self._wf, self.nfft)
+        self._w_norm = float(np.sum(w_nfft * w_nfft)) * (self.fs if self._scaling else 1.0)
+
+        self._buf = np.zeros(0, dtype=np.float64)
+        self._p_sum = np.zeros(self.lp, dtype=np.float64)
+        self._count = 0.0
+        self._consumed = 0  # global samples fully folded into the state
+        self.metrics = StreamingMetrics()
+
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = int(checkpoint_every_chunks)
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            self._restore(checkpoint_path)
+
+    # -- checkpoint / resume (SURVEY.md §5) -----------------------------
+    def _snapshot(self) -> None:
+        tmp = self.checkpoint_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(
+                f,
+                p_sum=self._p_sum,
+                count=self._count,
+                consumed=self._consumed,
+                buf=self._buf,
+                chunks=self.metrics.chunks_done,
+                segments=self.metrics.segments_done,
+                samples_in=self.metrics.samples_in,
+            )
+        os.replace(tmp, self.checkpoint_path)
+        log.info("checkpoint @ chunk %d -> %s", self.metrics.chunks_done, self.checkpoint_path)
+
+    def _restore(self, path: str) -> None:
+        z = np.load(path)
+        self._p_sum = z["p_sum"]
+        self._count = float(z["count"])
+        self._consumed = int(z["consumed"])
+        self._buf = z["buf"]
+        self.metrics.chunks_done = int(z["chunks"])
+        self.metrics.segments_done = int(z["segments"])
+        self.metrics.samples_in = int(z["samples_in"])
+        log.info("resumed from %s at chunk %d", path, self.metrics.chunks_done)
+
+    # -- streaming ------------------------------------------------------
+    def update(self, samples: np.ndarray) -> None:
+        """Fold a new block of samples into the running PSD."""
+        samples = np.asarray(samples, dtype=np.float64).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self.metrics.samples_in += samples.shape[0]
+        # A chunk is processable once its tail halo is also buffered.
+        while self._buf.shape[0] >= self.chunk_len + self.halo:
+            self._process(
+                self._buf[: self.chunk_len],
+                self._buf[self.chunk_len : self.chunk_len + self.halo],
+                total_segs=self.n_sp * self.segs_per_shard,
+            )
+            self._buf = self._buf[self.chunk_len :]
+            self._consumed += self.chunk_len
+            # Snapshot only after the buffer is trimmed, so a resume
+            # replays nothing and skips nothing.
+            if (
+                self.checkpoint_path
+                and self.checkpoint_every
+                and self.metrics.chunks_done % self.checkpoint_every == 0
+            ):
+                self._snapshot()
+
+    def _process(self, chunk: np.ndarray, tail: np.ndarray, total_segs: int) -> None:
+        t0 = time.perf_counter()
+        fdt = default_float()
+        p, c = sharded_partial_step(
+            jnp.asarray(chunk, dtype=fdt),
+            jnp.asarray(tail, dtype=fdt),
+            self._w_pad,
+            self.mesh,
+            self.nfft,
+            self.pad,
+            self.stride,
+            self.segs_per_shard,
+            self.lp,
+            total_segs,
+        )
+        self._p_sum += np.asarray(p, dtype=np.float64)
+        self._count += float(c)
+        self.metrics.chunks_done += 1
+        self.metrics.segments_done += int(total_segs)
+        self.metrics.wall_s += time.perf_counter() - t0
+
+    def finalize(self) -> tuple[np.ndarray, np.ndarray]:
+        """Flush the remainder and return (Pxx, freqs).
+
+        The remainder is zero-padded to one chunk and its incomplete
+        segments masked, so the final count equals the reference's
+        (L-nfft)/stride+1 over the whole stream.
+        """
+        rem = self._buf
+        if 0 < rem.shape[0] < self.nfft and self._count == 0 and self.metrics.chunks_done == 0:
+            # Whole stream shorter than nfft: the reference zero-pads to
+            # one full segment (pwelch.go:97-99).
+            rem = np.pad(rem, (0, self.nfft - rem.shape[0]))
+        if rem.shape[0] >= self.nfft:
+            rem_segs = (rem.shape[0] - self.nfft) // self.stride + 1
+            padded = np.zeros(self.chunk_len + self.halo, dtype=np.float64)
+            padded[: rem.shape[0]] = rem
+            self._process(
+                padded[: self.chunk_len],
+                padded[self.chunk_len :],
+                total_segs=rem_segs,
+            )
+            self._buf = np.zeros(0, dtype=np.float64)
+        pxx = self._p_sum / (self._count * self._w_norm) if self._count else self._p_sum
+        freqs = np.arange(self.lp) * (self.fs / self.pad)
+        log.info("finalize: %s", self.metrics.json_line())
+        return pxx, freqs
+
+
+def stream_pwelch(
+    blocks: Iterable[np.ndarray],
+    fs: float,
+    options: Optional[PwelchOptions] = None,
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One-call streaming Pwelch over an iterable of sample blocks."""
+    sp = StreamingPwelch(fs, options, mesh, **kwargs)
+    for b in blocks:
+        sp.update(b)
+    return sp.finalize()

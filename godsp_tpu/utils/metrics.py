@@ -104,6 +104,68 @@ def time_fn(
     return BenchResult(name=name, wall_s=med, flops=flops, bytes_moved=bytes_moved)
 
 
+def measure_rtt(iters: int = 5) -> float:
+    """Median round-trip of a trivial dispatch + scalar readback.
+
+    On tunneled TPU transports block_until_ready can return before the
+    device finishes, so timed regions must end in a host readback; this
+    measures the fixed cost of that readback for subtraction.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    tiny = jax.jit(lambda s: s * 2.0)
+    s = jnp.float32(1.0)
+    float(np.asarray(tiny(s)))  # warm
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(np.asarray(tiny(s)))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def time_chained(
+    fn: Callable,
+    x,
+    chain: int = 8,
+    iters: int = 3,
+    name: str = "bench",
+    flops: float = 0.0,
+    bytes_moved: float = 0.0,
+    rtt: Optional[float] = None,
+) -> BenchResult:
+    """Time fn via a data-dependent chain of `chain` applications.
+
+    fn must map an array to a same-shaped array.  The chain is jitted as
+    one program (so iterations cannot be CSE'd away or overlapped with
+    host timing gaps), ends in a scalar reduction, and the readback RTT
+    is subtracted.  flops/bytes_moved are per single application.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    scale = 1.0 / np.sqrt(np.prod(np.asarray(x.shape[-1:], dtype=np.float64)))
+
+    @jax.jit
+    def chained(z):
+        for _ in range(chain):
+            z = fn(z) * scale  # keep magnitudes stable, force dependency
+        return jnp.sum(jnp.abs(z[(0,) * (z.ndim - 1)]))
+
+    float(np.asarray(chained(x)))  # compile + warm
+    if rtt is None:
+        rtt = measure_rtt()
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(np.asarray(chained(x)))
+        best = min(best, time.perf_counter() - t0)
+    per = max((best - rtt) / chain, 1e-9)
+    return BenchResult(name=name, wall_s=per, flops=flops, bytes_moved=bytes_moved)
+
+
 def roofline(n: int, batch: int, wall_s: float, bytes_per_element: int = 8) -> dict:
     """Roofline summary for a batched n-point FFT run."""
     moved = fft_bytes(n, batch, bytes_per_element)

@@ -28,6 +28,7 @@ __all__ = [
     "flat_top",
     "blackman",
     "window_table",
+    "window_table_np",
     "WINDOWS",
 ]
 
@@ -99,6 +100,16 @@ def window_table(window, L: int) -> jnp.ndarray:
     if callable(window):
         return jnp.asarray(window(L))
     return jnp.asarray(WINDOWS[window](L))
+
+
+def window_table_np(window, L: int) -> np.ndarray:
+    """Resolve a window to a float64 numpy table (host-side use)."""
+    if isinstance(window, str):
+        return _table(window, L)
+    name = getattr(window, "__name__", None)
+    if name in WINDOWS:
+        return _table(name, L)
+    return np.asarray(window(L), dtype=np.float64)
 
 
 def apply(x, window) -> jnp.ndarray:

@@ -1,0 +1,132 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+sharded Pwelch must equal single-device Pwelch within tolerance, halo
+logic included; streaming must equal one-shot on the same data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from godsp_tpu import spectral
+from godsp_tpu.parallel import (
+    MeshConfig,
+    StreamingPwelch,
+    make_mesh,
+    pwelch_sharded,
+    stream_pwelch,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _signal(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    return (
+        np.sin(2 * np.pi * 0.01 * t) + 0.5 * np.sin(2 * np.pi * 0.1 * t) + rng.normal(size=n)
+    )
+
+
+class TestShardedPwelch:
+    @pytest.mark.parametrize("noverlap", [0, 64, 128, 255])
+    def test_matches_single_device(self, noverlap):
+        opts = spectral.PwelchOptions(nfft=256, noverlap=noverlap)
+        stride = 256 - noverlap
+        # block per shard must hold the noverlap-sample halo
+        segs_per_shard = max(16, -(-noverlap // stride) + 1)
+        L = 8 * stride * segs_per_shard
+        x = jnp.asarray(_signal(L))
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        p_sh, f_sh = pwelch_sharded(x, 2.0, opts, mesh)
+        p_1, f_1 = spectral.pwelch(x, 2.0, opts)
+        np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_1), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_1))
+
+    def test_dp_sp_mesh_batch(self):
+        opts = spectral.PwelchOptions(nfft=128, noverlap=64)
+        L = 4 * 64 * 32
+        xb = jnp.asarray(np.stack([_signal(L, 1), _signal(L, 2)]))
+        mesh = make_mesh(MeshConfig(dp=2, sp=4))
+        pb, _ = pwelch_sharded(xb, 1.0, opts, mesh)
+        assert pb.shape == (2, 65)
+        for i in range(2):
+            ref, _ = spectral.pwelch(xb[i], 1.0, opts)
+            np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(ref), rtol=1e-10)
+
+    def test_indivisible_length_raises(self):
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        with pytest.raises(ValueError, match="divisible"):
+            pwelch_sharded(jnp.ones(1000), 1.0, spectral.PwelchOptions(nfft=256), mesh)
+
+    def test_pad_gt_nfft_sharded(self):
+        opts = spectral.PwelchOptions(nfft=128, pad=256, noverlap=0)
+        L = 8 * 128 * 4
+        x = jnp.asarray(_signal(L))
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        p_sh, _ = pwelch_sharded(x, 1.0, opts, mesh)
+        p_1, _ = spectral.pwelch(x, 1.0, opts)
+        np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_1), rtol=1e-10)
+
+
+class TestStreaming:
+    def test_stream_equals_oneshot(self):
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        L = 100_000  # deliberately not chunk-aligned
+        x = _signal(L)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        blocks = [x[i : i + 7777] for i in range(0, L, 7777)]
+        pxx, freqs = stream_pwelch(blocks, 2.0, opts, mesh, segs_per_chunk_shard=8)
+        ref, ref_f = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        np.testing.assert_allclose(pxx, np.asarray(ref), rtol=1e-9)
+        np.testing.assert_allclose(freqs, np.asarray(ref_f))
+
+    def test_stream_short_input(self):
+        opts = spectral.PwelchOptions(nfft=256)
+        x = _signal(100)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        pxx, freqs = stream_pwelch([x], 2.0, opts, mesh, segs_per_chunk_shard=4)
+        ref, _ = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        np.testing.assert_allclose(pxx, np.asarray(ref), rtol=1e-9)
+
+    def test_checkpoint_resume(self, tmp_path):
+        opts = spectral.PwelchOptions(nfft=128, noverlap=64)
+        x = _signal(60_000)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        ckpt = str(tmp_path / "state.npz")
+
+        # Run A: process half, checkpointing every chunk, then "crash".
+        a = StreamingPwelch(
+            2.0, opts, mesh, segs_per_chunk_shard=8,
+            checkpoint_path=ckpt, checkpoint_every_chunks=1,
+        )
+        a.update(x[:30_000])
+        done_chunks = a.metrics.chunks_done
+        assert done_chunks > 0
+
+        # Run B: resume from the checkpoint, replay the unconsumed tail.
+        b = StreamingPwelch(
+            2.0, opts, mesh, segs_per_chunk_shard=8,
+            checkpoint_path=ckpt, checkpoint_every_chunks=1,
+        )
+        assert b.metrics.chunks_done == done_chunks
+        consumed = b.metrics.chunks_done * b.chunk_len - b._buf.shape[0]
+        # feed everything after what run A had folded in at its last snapshot
+        fed_to_a = 30_000
+        already = b.metrics.chunks_done * b.chunk_len + b._buf.shape[0]
+        b.update(x[already:])
+        pxx, _ = b.finalize()
+        ref, _ = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        np.testing.assert_allclose(pxx, np.asarray(ref), rtol=1e-9)
+
+    def test_metrics(self):
+        opts = spectral.PwelchOptions(nfft=128)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        sp = StreamingPwelch(1.0, opts, mesh, segs_per_chunk_shard=4)
+        sp.update(_signal(20_000))
+        sp.finalize()
+        assert sp.metrics.samples_in == 20_000
+        assert sp.metrics.segments_done > 0
+        assert sp.metrics.wall_s > 0
+        assert "msamples_per_s" in sp.metrics.json_line()
