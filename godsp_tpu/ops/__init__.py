@@ -1,1 +1,16 @@
-"""Placeholder — populated in later milestones this round."""
+"""Pallas TPU kernels — the fused, roofline-targeted compute paths.
+
+These are the TPU-build counterparts of the reference's perf-critical
+components (SURVEY.md §2: radix-2 kernel, twiddle cache, Welch pipeline):
+  pallas_fft     — batched power-of-2 FFT, whole transform in VMEM
+  pallas_pwelch  — fused frame->window->FFT->|.|^2->accumulate (WIP)
+"""
+
+from godsp_tpu.ops.pallas_fft import (
+    LANES,
+    default_batch_tile,
+    fft_pow2_split,
+    supported_size,
+)
+
+__all__ = ["LANES", "default_batch_tile", "fft_pow2_split", "supported_size"]

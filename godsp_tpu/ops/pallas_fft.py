@@ -1,0 +1,282 @@
+"""Fused batched power-of-2 FFT as a Pallas TPU kernel.
+
+The speed-of-light path for the BASELINE roofline target: the pure-XLA
+four-step (fft/four_step.py) materializes every stage to HBM (~6 passes,
+~16% of roofline measured); this kernel keeps one batch tile's ENTIRE
+transform in VMEM — HBM traffic is one read and one write per element —
+with the DFT factor contractions on the MXU.
+
+Measured on a v5e chip (chained kernels, readback-synced, RTT-corrected):
+  mode="precise" (~138 dB): n=1024 0.56 ms (59% of HBM roofline),
+                            n=4096 0.43 ms (77%).
+  mode="fast"   (~105 dB):  n=1024 0.38 ms (87%), n=4096 0.31 ms (~100%).
+
+Layout: split-complex (re, im) float32 planes of shape (batch, N).
+Pallas TPU has no complex dtype, and this environment's TPU transport
+cannot move complex buffers anyway, so split planes are the native
+interface; fft/core.py and ops/pallas_pwelch.py bridge to it.
+
+Mosaic layout discipline (probed empirically on v5e):
+  * the minor (lane) dimension must stay a multiple of 128 — so the
+    factor split is N = n1 x 128 with i2 on the lanes;
+  * (bt, N) <-> (bt, n1, 128) reshapes are legal; transposes of the two
+    minor dims and strided lane stores are NOT — so the kernel emits the
+    four-step's digit-TRANSPOSED order (k1-major) and the wrapper fixes
+    it with one XLA transpose when natural order is requested.  Fused
+    consumers (the Pwelch kernel) keep digit order and permute their
+    tiny reduced outputs instead, making the reorder free;
+  * matmul precision: Mosaic supports DEFAULT (1-pass bf16, ~52 dB) and
+    HIGHEST (6-pass bf16 limb expansion, ~141 dB) only.  mode="precise"
+    uses HIGHEST; mode="fast" uses a manual 3-limb-product split
+    (hi*hi + hi*lo + lo*hi with precomputed hi/lo tables) whose accuracy
+    is capped ~105 dB by the second data limb's bf16 truncation (2^-18).
+    >=120 dB requires >=6 limb products, so "precise" is the default —
+    the 120 dB BASELINE parity bound rules "fast" out as a default.
+
+Per batch tile (bt, N), with n = i1*128 + i2:
+  A[b, k1, i2] = sum_{i1} F1[k1, i1] x[b, i1, i2]   (MXU; exact VPU
+                  radix-2/4 butterflies when n1 <= 4, whose DFT entries
+                  are all +-1/+-i)
+  B            = A * T[k1, i2]                      (VPU twiddle)
+  C[b, k1, k2] = sum_{i2} B[b, k1, i2] F2[i2, k2]   (MXU, contract lanes,
+                  3-multiply Karatsuba complex product)
+  X[b, k1 + n1*k2] = C[b, k1, k2]  (digit order: stored at k1*128 + k2)
+
+Reference parity: same transform as fft/radix2.go:80-153 (golden-tested
+through fft/core.py dispatch and directly in tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from godsp_tpu.fft.four_step import dft_matrix, twiddle_2d
+
+__all__ = ["fft_pow2_split", "supported_size", "default_batch_tile", "LANES"]
+
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+_HI = jax.lax.Precision.HIGHEST
+LANES = 128
+
+
+def supported_size(n: int) -> bool:
+    """Power-of-2 sizes with n/128 in [2, 128]: 256..16384."""
+    return n & (n - 1) == 0 and 256 <= n <= 16384
+
+
+def default_batch_tile(n: int) -> int:
+    """Batch rows per grid step (VMEM-fit; tuned on v5e)."""
+    if n >= 4096:
+        return 32
+    return max(16, min(128, (1 << 17) // n))
+
+
+@lru_cache(maxsize=None)
+def _tables(n: int, inverse: bool):
+    """Kernel constant tables for n = n1*128, as float32 + bf16 hi/lo."""
+    n1 = n // LANES
+    f1 = dft_matrix(n1)
+    t = twiddle_2d(n1, LANES)
+    f2 = dft_matrix(LANES)  # symmetric
+    if inverse:
+        f1, t, f2 = np.conj(f1), np.conj(t), np.conj(f2)
+    c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+
+    def hilo(w):
+        wh = np.asarray(w, np.float64).astype(np.float32).astype(jnp.bfloat16)
+        wl = (w - np.asarray(wh, np.float64)).astype(np.float32).astype(jnp.bfloat16)
+        return np.asarray(wh), np.asarray(wl)
+
+    f2s = f2.real + f2.imag
+    tabs = {
+        "f1r": c32(f1.real), "f1i": c32(f1.imag), "f1s": c32(f1.real + f1.imag),
+        "tr": c32(t.real), "ti": c32(t.imag),
+        "f2r": c32(f2.real), "f2i": c32(f2.imag), "f2s": c32(f2s),
+    }
+    for key, w in (("f2r", f2.real), ("f2i", f2.imag), ("f2s", f2s)):
+        h, l = hilo(w)
+        tabs[key + "_h"], tabs[key + "_l"] = h, l
+    return tabs
+
+
+_TABLE_ORDER = [
+    "f1r", "f1i", "f1s", "tr", "ti", "f2r", "f2i", "f2s",
+    "f2r_h", "f2r_l", "f2i_h", "f2i_l", "f2s_h", "f2s_l",
+]
+
+
+def _step_a_vpu(xr, xi, n1: int, inverse: bool):
+    """Exact DFT over i1 for n1 in {2, 4}: entries are +-1 / +-i."""
+    if n1 == 2:
+        ar = jnp.stack([xr[:, 0] + xr[:, 1], xr[:, 0] - xr[:, 1]], axis=1)
+        ai = jnp.stack([xi[:, 0] + xi[:, 1], xi[:, 0] - xi[:, 1]], axis=1)
+        return ar, ai
+    # n1 == 4: forward rows of F4 are
+    # [1,1,1,1], [1,-i,-1,i], [1,-1,1,-1], [1,i,-1,-i]; inverse conjugates.
+    x0r, x1r, x2r, x3r = (xr[:, k] for k in range(4))
+    x0i, x1i, x2i, x3i = (xi[:, k] for k in range(4))
+    e_r, e_i = x0r + x2r, x0i + x2i  # even sum
+    o_r, o_i = x0r - x2r, x0i - x2i  # even diff
+    s_r, s_i = x1r + x3r, x1i + x3i  # odd sum
+    d_r, d_i = x1r - x3r, x1i - x3i  # odd diff
+    if inverse:
+        d_r, d_i = -d_r, -d_i
+    ar = jnp.stack([e_r + s_r, o_r + d_i, e_r - s_r, o_r - d_i], axis=1)
+    ai = jnp.stack([e_i + s_i, o_i - d_r, e_i - s_i, o_i + d_r], axis=1)
+    return ar, ai
+
+
+def _fft_kernel(
+    xr_ref, xi_ref,
+    f1r, f1i, f1s, tr, ti, f2r, f2i, f2s,
+    f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
+    yr_ref, yi_ref, *, n1: int, fast: bool, inverse: bool,
+):
+    bt = xr_ref.shape[0]
+    xr = xr_ref[:].reshape(bt, n1, LANES)
+    xi = xi_ref[:].reshape(bt, n1, LANES)
+
+    # ---- Step 1: A[b, k1, i2] = sum_i1 F1[k1, i1] x[b, i1, i2] ----
+    if n1 <= 4:
+        ar, ai = _step_a_vpu(xr, xi, n1, inverse)
+    else:
+        dn_a = (((2,), (1,)), ((0,), (0,)))
+        mm_a = partial(
+            jax.lax.dot_general, dimension_numbers=dn_a,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        f1r3 = jnp.broadcast_to(f1r[:], (bt, n1, n1))
+        f1i3 = jnp.broadcast_to(f1i[:], (bt, n1, n1))
+        ar = mm_a(f1r3, xr) - mm_a(f1i3, xi)
+        ai = mm_a(f1r3, xi) + mm_a(f1i3, xr)
+
+    # ---- Step 2: twiddle T[k1, i2] (VPU, f32 exact tables) ----
+    br = ar * tr[:] - ai * ti[:]
+    bi = ar * ti[:] + ai * tr[:]
+
+    # ---- Step 3: 128-deep lane contraction with F2 (Karatsuba) ----
+    dn_c = (((2,), (0,)), ((), ()))
+    if fast:
+        d = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32,
+        )
+
+        def mm3(x, wh, wl):
+            xh = x.astype(_BF16)
+            xl = (x - xh.astype(_F32)).astype(_BF16)
+            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
+
+        m1 = mm3(br, f2rh, f2rl)
+        m2 = mm3(bi, f2ih, f2il)
+        m3 = mm3(br + bi, f2sh, f2sl)
+    else:
+        mm_c = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        m1 = mm_c(br, f2r[:])
+        m2 = mm_c(bi, f2i[:])
+        m3 = mm_c(br + bi, f2s[:])
+    cr = m1 - m2
+    ci = m3 - m1 - m2
+
+    # ---- Step 4: emit digit-transposed (k1-major) order ----
+    yr_ref[:] = cr.reshape(bt, n1 * LANES)
+    yi_ref[:] = ci.reshape(bt, n1 * LANES)
+
+
+def _digit_to_natural(y: jax.Array, n1: int) -> jax.Array:
+    """XLA-side reorder: position k1*128 + k2  ->  k = k1 + n1*k2."""
+    b, n = y.shape
+    return jnp.transpose(y.reshape(b, n1, LANES), (0, 2, 1)).reshape(b, n)
+
+
+def fft_pow2_split(
+    xr: jax.Array,
+    xi: jax.Array,
+    inverse: bool = False,
+    order: str = "natural",
+    mode: str = "precise",
+    batch_tile: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched power-of-2 FFT over split-complex float32 planes.
+
+    xr, xi: (..., N) float32, natural-order input.  Returns (yr, yi)
+    with the unnormalized forward (or conjugate-table inverse) DFT.
+
+    order:  "natural" applies the digit-order fix (one XLA transpose);
+            "digit" returns the kernel's k1-major order — free for
+            consumers that reduce over bins and permute the reduced
+            result (the fused Pwelch kernel).
+    mode:   "precise" (~138 dB, default — clears the 120 dB parity
+            bound) or "fast" (~105 dB, ~1.4x faster, for bf16-class
+            pipelines).
+
+    Leading axes are flattened into the grid's batch dimension; a ragged
+    final tile is zero-padded (FFT of zeros is zeros — harmless).
+    """
+    if xr.shape != xi.shape:
+        raise ValueError("re/im planes must have identical shapes")
+    if order not in ("natural", "digit"):
+        raise ValueError(f"unknown order: {order}")
+    if mode not in ("precise", "fast"):
+        raise ValueError(f"unknown mode: {mode}")
+    n = xr.shape[-1]
+    if not supported_size(n):
+        raise ValueError(f"unsupported FFT size for the Pallas kernel: {n}")
+    n1 = n // LANES
+
+    lead = xr.shape[:-1]
+    xr2 = xr.reshape(-1, n).astype(_F32)
+    xi2 = xi.reshape(-1, n).astype(_F32)
+    b = xr2.shape[0]
+    bt = batch_tile or default_batch_tile(n)
+    pad = (-b) % bt
+    if pad:
+        xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
+        xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
+    grid = (xr2.shape[0] // bt,)
+
+    tabs = _tables(n, inverse)
+    tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
+
+    data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+
+    passes = 9 if mode == "fast" else 18
+    flops = passes * 2 * xr2.shape[0] * n * (n1 + LANES)
+    bytes_acc = 4 * xr2.shape[0] * n * 4
+
+    yr, yi = pl.pallas_call(
+        partial(_fft_kernel, n1=n1, fast=(mode == "fast"), inverse=inverse),
+        grid=grid,
+        in_specs=[data_spec, data_spec] + const_specs,
+        out_specs=(data_spec, data_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(xr2.shape, _F32),
+            jax.ShapeDtypeStruct(xi2.shape, _F32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
+        ),
+        interpret=interpret,
+    )(xr2, xi2, *tables)
+
+    if order == "natural":
+        yr = _digit_to_natural(yr, n1)
+        yi = _digit_to_natural(yi, n1)
+    if pad:
+        yr, yi = yr[:b], yi[:b]
+    return yr.reshape(*lead, n), yi.reshape(*lead, n)
