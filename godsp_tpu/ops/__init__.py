@@ -3,7 +3,7 @@
 These are the TPU-build counterparts of the reference's perf-critical
 components (SURVEY.md §2: radix-2 kernel, twiddle cache, Welch pipeline):
   pallas_fft     — batched power-of-2 FFT, whole transform in VMEM
-  pallas_pwelch  — fused frame->window->FFT->|.|^2->accumulate (WIP)
+  pallas_pwelch  — fused frame->window->FFT->|.|^2->masked-sum kernel
 """
 
 from godsp_tpu.ops.pallas_fft import (
@@ -12,5 +12,20 @@ from godsp_tpu.ops.pallas_fft import (
     fft_pow2_split,
     supported_size,
 )
+from godsp_tpu.ops.pallas_pwelch import (
+    digit_to_natural_bins,
+    fused_supported,
+    pwelch_power_partials,
+    pwelch_power_sum,
+)
 
-__all__ = ["LANES", "default_batch_tile", "fft_pow2_split", "supported_size"]
+__all__ = [
+    "LANES",
+    "default_batch_tile",
+    "digit_to_natural_bins",
+    "fft_pow2_split",
+    "fused_supported",
+    "pwelch_power_partials",
+    "pwelch_power_sum",
+    "supported_size",
+]

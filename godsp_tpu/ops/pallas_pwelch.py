@@ -1,0 +1,349 @@
+"""Fused Welch-periodogram accumulation as one Pallas TPU kernel.
+
+The end-to-end hot path of the framework (reference pwelch.go:107-122 is
+a serial per-segment loop of pad -> window -> FFTReal -> |.|^2 ->
+accumulate): here one kernel invocation per tile of `bt` segments does
+ALL of it in VMEM —
+
+  frame    : overlapped segments are cut from a contiguous sample block
+             (plus its right halo) by m = nfft/stride lane-aligned
+             reshapes — no gathers, and overlapped samples are read from
+             HBM exactly once (the XLA fallback materializes frames to
+             HBM, re-reading every overlapped sample);
+  window   : one VPU multiply by the pad-length taper table;
+  FFT      : the same two-step MXU factorization as ops.pallas_fft
+             (N = n1 x 128, DFT matmul / twiddle / lane contraction),
+             with the real input halving step 1 (ai needs no x.im term);
+  |.|^2    : VPU square-accumulate, digit (k1-major) bin order — the
+             reorder is applied by the wrapper to the tiny reduced
+             output, so it is effectively free (pallas_fft docstring);
+  reduce   : the masked sum over the tile's segments is ONE
+             (1,bt)@(bt,N) MXU contraction with the segment-validity
+             mask as the left operand — masking and reduction in the
+             same op.
+
+HBM traffic per tile: read bt*stride + halo signal samples + write one
+(1, N) partial row.  For 50% overlap that is ~4 bytes/sample vs ~20 for
+the unfused path (frames write+read at 2x, spectrum write+read), on top
+of removing all intermediate HBM round-trips.
+
+Geometry supported (checked by `fused_supported`): pad == nfft,
+nfft in ops.pallas_fft.supported_size (256..16384), stride % 128 == 0,
+nfft % stride == 0 (covers 0%, 50%, 75%, ... overlap).  Everything else
+falls back to the XLA path in spectral.pwelch.
+
+Reference parity: bit-semantics of pwelch.go:101-121 (one-sided lp
+bins, interior doubling and normalization applied by the caller);
+golden-tested against spectral.pwelch in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from godsp_tpu.ops.pallas_fft import (
+    LANES,
+    _TABLE_ORDER,
+    _tables,
+    default_batch_tile,
+    supported_size,
+)
+
+__all__ = [
+    "fused_supported",
+    "pwelch_power_partials",
+    "pwelch_power_sum",
+    "digit_to_natural_bins",
+]
+
+_F32 = jnp.float32
+_BF16 = jnp.bfloat16
+_HI = jax.lax.Precision.HIGHEST
+
+
+def fused_supported(nfft: int, pad: int, stride: int) -> bool:
+    """True if the fused kernel covers this Pwelch geometry."""
+    return (
+        pad == nfft
+        and supported_size(nfft)
+        and stride > 0
+        and stride % LANES == 0
+        and nfft % stride == 0
+    )
+
+
+def _segs_per_tile(nfft: int) -> int:
+    # Cap so the ~7 live (bt, nfft) f32 intermediates stay well under VMEM.
+    return max(8, min(default_batch_tile(nfft), (1 << 21) // (4 * nfft)))
+
+
+def _step_a_real_vpu(x3, n1: int):
+    """Forward DFT over i1 for real input, n1 in {2, 4}: exact VPU adds."""
+    if n1 == 2:
+        x0, x1 = x3[:, 0], x3[:, 1]
+        ar = jnp.stack([x0 + x1, x0 - x1], axis=1)
+        return ar, jnp.zeros_like(ar)
+    x0, x1, x2, x3_ = (x3[:, k] for k in range(4))
+    e, o = x0 + x2, x0 - x2  # even sum / diff
+    s, d = x1 + x3_, x1 - x3_  # odd sum / diff
+    zero = jnp.zeros_like(e)
+    ar = jnp.stack([e + s, o, e - s, o], axis=1)
+    ai = jnp.stack([zero, -d, zero, d], axis=1)
+    return ar, ai
+
+
+def _pwelch_kernel(
+    *refs,
+    bt: int,
+    stride: int,
+    nfft: int,
+    halo: int,
+    fast: bool,
+):
+    """One tile: frame -> window -> FFT -> |.|^2 -> masked segment sum."""
+    if halo:
+        block_ref, halo_ref, mask_ref, w_ref, *rest = refs
+    else:
+        block_ref, mask_ref, w_ref, *rest = refs
+    (
+        f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s,
+        f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
+        out_ref,
+    ) = rest
+    n1 = nfft // LANES
+    T = bt * stride
+    m = nfft // stride
+
+    # ---- frame: m lane-aligned reshapes of the extended block ----
+    # Per-tile operands arrive as (1, 1, X) blocks of (n, 1, X) arrays —
+    # the unit sublane dim satisfies Mosaic's block-shape rule ("equal to
+    # the array dim") where a (1, X) row block of an (n, X) array would
+    # not (sublane blocks must be 8-divisible), and 1-D lane-only blocks
+    # miscompile the lane->sublane frame split.
+    ext = block_ref[:].reshape(1, T)
+    if halo:
+        ext = jnp.concatenate([ext, halo_ref[:].reshape(1, halo)], axis=1)
+    if m == 1:
+        frames = ext[:, :T].reshape(bt, stride)
+    else:
+        frames = jnp.concatenate(
+            [ext[:, k * stride : k * stride + T].reshape(bt, stride) for k in range(m)],
+            axis=1,
+        )  # (bt, nfft); frames[s] = ext[s*stride : s*stride + nfft]
+
+    # ---- window (pwelch.go:109, pad == nfft) ----
+    xw = frames * w_ref[:]
+    x3 = xw.reshape(bt, n1, LANES)
+
+    # ---- Step 1: A[b, k1, i2] = sum_i1 F1[k1, i1] x[b, i1, i2] (real x) ----
+    if n1 <= 4:
+        ar, ai = _step_a_real_vpu(x3, n1)
+    else:
+        dn_a = (((2,), (1,)), ((0,), (0,)))
+        mm_a = partial(
+            jax.lax.dot_general, dimension_numbers=dn_a,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        ar = mm_a(jnp.broadcast_to(f1r[:], (bt, n1, n1)), x3)
+        ai = mm_a(jnp.broadcast_to(f1i[:], (bt, n1, n1)), x3)
+
+    # ---- Step 2: twiddle (VPU) ----
+    br = ar * tr[:] - ai * ti[:]
+    bi = ar * ti[:] + ai * tr[:]
+
+    # ---- Step 3: lane contraction with F2 (Karatsuba complex) ----
+    dn_c = (((2,), (0,)), ((), ()))
+    if fast:
+        d = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32,
+        )
+
+        def mm3(x, wh, wl):
+            xh = x.astype(_BF16)
+            xl = (x - xh.astype(_F32)).astype(_BF16)
+            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
+
+        m1 = mm3(br, f2rh, f2rl)
+        m2 = mm3(bi, f2ih, f2il)
+        m3 = mm3(br + bi, f2sh, f2sl)
+    else:
+        mm_c = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        m1 = mm_c(br, f2r[:])
+        m2 = mm_c(bi, f2i[:])
+        m3 = mm_c(br + bi, f2s[:])
+    cr = m1 - m2
+    ci = m3 - m1 - m2
+
+    # ---- |X|^2 then masked segment reduction in one MXU contraction ----
+    p = (cr * cr + ci * ci).reshape(bt, nfft)  # digit order (k1-major)
+    mask_row = mask_ref[:].reshape(1, -1)[:, :bt]  # 128-lane padded block
+    row = jax.lax.dot_general(
+        mask_row, p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=_F32, precision=_HI,
+    )
+    out_ref[:] = row.reshape(1, 1, nfft)
+
+
+def pwelch_power_partials(
+    ext: jax.Array,
+    mask: jax.Array,
+    w: jax.Array,
+    nfft: int,
+    stride: int,
+    mode: str = "precise",
+    segs_per_tile: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Masked per-tile periodogram sums, digit bin order.
+
+    ext:  (..., L_ext) float32 samples; segment s reads
+          ext[..., s*stride : s*stride + nfft] (the caller appends any
+          cross-shard/stream halo, cf. parallel.pwelch_sharded).
+    mask: (..., S) float32 validity (1 = count segment s, 0 = drop); S
+          caps the segment count.  ext must cover every MASKED segment;
+          both are zero-padded here to tile granularity (an all-zero
+          frame contributes |FFT(0)|^2 = 0, and padded mask rows are 0).
+    w:    (nfft,) window taper table (pwelch.go:109, hoisted).
+
+    Returns (..., n_tiles, nfft): per-tile sums over segments of
+    |FFT(w * frame)|^2 in the kernel's digit order — pass through
+    `digit_to_natural_bins` (or sum tiles first; summing commutes).
+    """
+    if mode not in ("precise", "fast"):
+        raise ValueError(f"unknown mode: {mode}")
+    if not fused_supported(nfft, nfft, stride):
+        raise ValueError(
+            f"geometry (nfft={nfft}, stride={stride}) unsupported by the fused kernel"
+        )
+    S = mask.shape[-1]
+    lead = ext.shape[:-1]
+    if mask.shape[:-1] != lead:
+        raise ValueError("ext and mask must share leading dimensions")
+    if S == 0:
+        return jnp.zeros(lead + (0, nfft), dtype=_F32)
+    bt = segs_per_tile or _segs_per_tile(nfft)
+    bt = min(bt, max(8, S))
+    bt = max(8, 1 << (bt.bit_length() - 1))  # pow2: keeps T 1024-aligned
+    n_tiles = pl.cdiv(S, bt)
+    T = bt * stride
+    halo = nfft - stride
+
+    ext2 = ext.reshape(-1, ext.shape[-1]).astype(_F32)
+    mask2 = mask.reshape(-1, S).astype(_F32)
+    R = ext2.shape[0]
+
+    need = n_tiles * T + halo
+    if ext2.shape[-1] < need:
+        ext2 = jnp.pad(ext2, ((0, 0), (0, need - ext2.shape[-1])))
+    pad_s = n_tiles * bt - S
+    if pad_s:
+        mask2 = jnp.pad(mask2, ((0, 0), (0, pad_s)))
+
+    # Per-tile operands are (n_tiles*R, 1, X) with (1, 1, X) blocks — see
+    # the layout note in _pwelch_kernel.
+    blocks = ext2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
+    inputs = [blocks]
+    in_specs = [pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    if halo:
+        # Right halo of tile j = first `halo` samples after its block.
+        idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
+        halos = jnp.take(ext2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
+        inputs.append(halos)
+        in_specs.append(
+            pl.BlockSpec((1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    mp = max(bt, LANES)
+    masks = jnp.pad(mask2.reshape(R * n_tiles, bt), ((0, 0), (0, mp - bt)))
+    inputs.append(masks.reshape(R * n_tiles, 1, mp))
+    in_specs.append(
+        pl.BlockSpec((1, 1, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    )
+
+    inputs.append(jnp.asarray(w, _F32).reshape(1, nfft))
+    in_specs.append(
+        pl.BlockSpec((1, nfft), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+
+    tabs = _tables(nfft, False)
+    for key in _TABLE_ORDER:
+        t = jnp.asarray(tabs[key])
+        inputs.append(t)
+        in_specs.append(
+            pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    n1 = nfft // LANES
+    # Step 1 (real): 2 matmuls over n1; step 3: 3 over 128; mask-sum: 1.
+    passes = 9 if mode == "fast" else 18
+    flops = R * n_tiles * bt * nfft * (2 * n1 + passes // 3 * LANES + 8)
+    bytes_acc = 4 * (R * n_tiles * (T + halo + bt) + R * n_tiles * nfft)
+
+    # Inside shard_map with vma checking, the output must declare which
+    # mesh axes it varies over — it varies exactly as the samples do.
+    vma = getattr(jax.typeof(blocks), "vma", None) or frozenset()
+    out = pl.pallas_call(
+        partial(
+            _pwelch_kernel,
+            bt=bt, stride=stride, nfft=nfft, halo=halo, fast=(mode == "fast"),
+        ),
+        grid=(R * n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, nfft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((R * n_tiles, 1, nfft), _F32, vma=vma),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(*lead, n_tiles, nfft)
+
+
+def digit_to_natural_bins(p: jax.Array, nfft: int) -> jax.Array:
+    """Reorder a (..., nfft) digit-order bin vector to natural order.
+
+    The kernel stores bin k = k1 + n1*k2 at position k1*128 + k2
+    (ops.pallas_fft layout note); applied to the tiny reduced power rows
+    this transpose is effectively free.
+    """
+    n1 = nfft // LANES
+    lead = p.shape[:-1]
+    return (
+        p.reshape(*lead, n1, LANES).swapaxes(-1, -2).reshape(*lead, nfft)
+    )
+
+
+def pwelch_power_sum(
+    x: jax.Array,
+    w: jax.Array,
+    nfft: int,
+    stride: int,
+    total_segs: int,
+    mode: str = "precise",
+    interpret: bool = False,
+) -> jax.Array:
+    """One-sided periodogram power sum of a raw signal, natural order.
+
+    x: (..., L) real samples; segments s in [0, total_segs) with
+    total_segs = (L - nfft)//stride + 1 (spectral.go:26-33).  Returns
+    (..., nfft//2 + 1) sum over segments of |FFT(w * frame)|^2 — the
+    caller applies interior doubling and the 1/(nsegs * sum(w^2) * fs)
+    normalization (pwelch.go:113-136).
+    """
+    mask = jnp.ones(x.shape[:-1] + (total_segs,), _F32)
+    partials = pwelch_power_partials(
+        x, mask, w, nfft, stride, mode=mode, interpret=interpret
+    )
+    p = digit_to_natural_bins(partials.sum(axis=-2), nfft)
+    return p[..., : nfft // 2 + 1]

@@ -107,16 +107,33 @@ def sharded_partial_step(
             halo = jnp.where(is_last, tail_local, halo)
         else:
             halo = x_local[..., :0]
-        frames = _frames_from_block(x_local, halo, nfft, stride, segs_per_shard)
 
         # Global validity: segment s exists iff s*stride + nfft <= L_total,
         # i.e. s < total_segs (spectral.go:26-33).
         sp_idx = jax.lax.axis_index("sp")
         seg_global = sp_idx * segs_per_shard + jnp.arange(segs_per_shard)
-        mask = (seg_global < total_segs).astype(frames.dtype)
-        mask = jnp.broadcast_to(mask, frames.shape[:-1])
+        mask = (seg_global < total_segs).astype(x_local.dtype)
+        mask = jnp.broadcast_to(mask, x_local.shape[:-1] + (segs_per_shard,))
 
-        p_sum, count = partial_periodogram(frames, w_pad, mask, pad, lp)
+        from godsp_tpu.spectral.pwelch import fused_path_eligible
+
+        if fused_path_eligible(nfft, pad, stride):
+            # Fused Pallas path: frame/window/FFT/|.|^2/masked-sum in one
+            # kernel per tile (ops.pallas_pwelch); the halo is appended so
+            # boundary-straddling segments are exact.
+            from godsp_tpu.ops.pallas_pwelch import (
+                digit_to_natural_bins,
+                pwelch_power_partials,
+            )
+
+            ext = jnp.concatenate([x_local, halo], axis=-1)
+            partials = pwelch_power_partials(ext, mask, w_pad, nfft, stride)
+            p = digit_to_natural_bins(partials.sum(axis=-2), nfft)[..., :lp]
+            doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
+            p_sum, count = p * doubler, jnp.sum(mask, axis=-1)
+        else:
+            frames = _frames_from_block(x_local, halo, nfft, stride, segs_per_shard)
+            p_sum, count = partial_periodogram(frames, w_pad, mask, pad, lp)
         return jax.lax.psum(p_sum, "sp"), jax.lax.psum(count, "sp")
 
     batch_dims = x.ndim - 1

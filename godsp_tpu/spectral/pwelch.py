@@ -36,6 +36,19 @@ from godsp_tpu.spectral.segment import segment
 
 __all__ = ["PwelchOptions", "pwelch", "pwelch_from_frames"]
 
+
+def fused_path_eligible(nfft: int, pad: int, stride: int) -> bool:
+    """True when the fused Pallas kernel (ops.pallas_pwelch) serves this
+    geometry on the current backend; otherwise the batched-XLA path runs.
+    """
+    from godsp_tpu.ops.pallas_pwelch import fused_supported
+
+    return (
+        jax.default_backend() == "tpu"
+        and not jax.config.jax_enable_x64
+        and fused_supported(nfft, pad, stride)
+    )
+
 WindowSpec = Union[str, Callable[[int], jax.Array], None]
 
 
@@ -90,8 +103,32 @@ def pwelch(
     if x.shape[-1] < nfft:
         x = zero_pad(x, nfft)  # pwelch.go:97-99
 
+    stride = nfft - noverlap
+    if stride > 0 and fused_path_eligible(nfft, pad, stride):
+        total_segs = (x.shape[-1] - nfft) // stride + 1  # spectral.go:26-33
+        return _pwelch_fused(x, fs, o, nfft, wf, stride, total_segs, enable_scaling)
+
     frames = segment(x, nfft, noverlap)  # (nsegs, nfft), pwelch.go:104
     return pwelch_from_frames(frames, fs, o)
+
+
+def _pwelch_fused(x, fs, o, nfft, wf, stride, total_segs, enable_scaling):
+    """Single-kernel Pwelch: frame->window->FFT->|.|^2->sum fused in VMEM
+    (ops.pallas_pwelch); numerics match pwelch_from_frames to f32."""
+    from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
+
+    fdt = x.dtype
+    lp = nfft // 2 + 1
+    w = win.window_table(wf, nfft).astype(fdt)
+    w_norm = jnp.sum(w * w)  # pwelch.go:124-128
+    if enable_scaling:
+        w_norm = w_norm * jnp.asarray(fs, dtype=fdt)  # pwelch.go:130-132
+
+    p = pwelch_power_sum(x, w, nfft, stride, total_segs)
+    doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
+    pxx = p * doubler / (total_segs * w_norm)  # pwelch.go:113-136
+    freqs = jnp.arange(lp, dtype=fdt) * (fs / nfft)  # pwelch.go:138-142
+    return pxx, freqs
 
 
 @partial(jax.jit, static_argnames=("nfft", "pad", "lp"))

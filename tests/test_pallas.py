@@ -113,3 +113,132 @@ class TestPallasFFT:
     def test_default_batch_tile(self):
         for n in (256, 1024, 4096, 16384):
             assert 8 <= default_batch_tile(n) <= 512
+
+
+from godsp_tpu.ops.pallas_pwelch import (
+    digit_to_natural_bins,
+    fused_supported,
+    pwelch_power_partials,
+    pwelch_power_sum,
+)
+
+
+class TestPallasPwelch:
+    """Fused Welch kernel vs the golden-tested XLA path (interpret mode)."""
+
+    def _reference_power_sum(self, x, nfft, stride, total_segs):
+        """Sum over segments of |FFT(hann * frame)|^2, one-sided, f64."""
+        from godsp_tpu import window as win
+
+        w = np.asarray(win.window_table_np("hann", nfft))
+        lp = nfft // 2 + 1
+        acc = np.zeros(lp)
+        for s in range(total_segs):
+            fr = np.asarray(x[s * stride : s * stride + nfft], dtype=np.float64)
+            spec = np.fft.fft(fr * w)[:lp]
+            acc += np.abs(spec) ** 2
+        return acc
+
+    @pytest.mark.parametrize(
+        "nfft,stride", [(256, 256), (256, 128), (1024, 512), (512, 128)]
+    )
+    def test_power_sum_vs_reference(self, nfft, stride):
+        rng = np.random.default_rng(nfft + stride)
+        total_segs = 21
+        L = (total_segs - 1) * stride + nfft
+        x = rng.normal(size=L).astype(np.float32)
+        from godsp_tpu import window as win
+
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        got = np.asarray(
+            pwelch_power_sum(
+                jnp.asarray(x), w, nfft, stride, total_segs, interpret=True
+            )
+        )
+        ref = self._reference_power_sum(x, nfft, stride, total_segs)
+        assert snr_db(got, ref) >= 100.0
+
+    def test_matches_pwelch_xla_path(self):
+        """Fused kernel == spectral.pwelch (same options) within f32."""
+        from godsp_tpu import spectral
+
+        rng = np.random.default_rng(7)
+        nfft, noverlap, fs = 256, 128, 2.0
+        stride = nfft - noverlap
+        x = rng.normal(size=stride * 40 + noverlap).astype(np.float64)
+        opts = spectral.PwelchOptions(nfft=nfft, noverlap=noverlap)
+        ref, freqs_ref = spectral.pwelch(x, fs, opts)  # f64 XLA path on CPU
+
+        from godsp_tpu import window as win
+
+        total_segs = (len(x) - nfft) // stride + 1
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        p = np.asarray(
+            pwelch_power_sum(
+                jnp.asarray(x, jnp.float32), w, nfft, stride, total_segs,
+                interpret=True,
+            ),
+            dtype=np.float64,
+        )
+        lp = nfft // 2 + 1
+        doubler = np.ones(lp); doubler[1:-1] = 2.0
+        w64 = np.asarray(win.window_table_np("hann", nfft))
+        pxx = p * doubler / (total_segs * np.sum(w64 * w64) * fs)
+        assert snr_db(pxx, np.asarray(ref)) >= 100.0
+
+    def test_masking_drops_segments(self):
+        """Masked-out segments contribute nothing, exactly."""
+        rng = np.random.default_rng(8)
+        nfft = stride = 256
+        total, keep = 16, 9
+        x = rng.normal(size=total * stride).astype(np.float32)
+        from godsp_tpu import window as win
+
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        mask = jnp.asarray((np.arange(total) < keep).astype(np.float32))
+        partials = pwelch_power_partials(
+            jnp.asarray(x), mask, w, nfft, stride, interpret=True
+        )
+        got = np.asarray(
+            digit_to_natural_bins(partials.sum(axis=-2), nfft)[: nfft // 2 + 1]
+        )
+        ref = self._reference_power_sum(x, nfft, stride, keep)
+        assert snr_db(got, ref) >= 100.0
+
+    def test_batched_rows(self):
+        """Leading dims map to independent signals."""
+        rng = np.random.default_rng(9)
+        nfft = stride = 256
+        segs = 5
+        x = rng.normal(size=(3, segs * stride)).astype(np.float32)
+        from godsp_tpu import window as win
+
+        w = jnp.asarray(win.window_table_np("hamming", nfft), jnp.float32)
+        got = np.asarray(
+            pwelch_power_sum(jnp.asarray(x), w, nfft, stride, segs, interpret=True)
+        )
+        assert got.shape == (3, nfft // 2 + 1)
+        for r in range(3):
+            ref = np.zeros(nfft // 2 + 1)
+            w64 = np.asarray(win.window_table_np("hamming", nfft))
+            for s in range(segs):
+                fr = x[r, s * stride : s * stride + nfft].astype(np.float64)
+                ref += np.abs(np.fft.fft(fr * w64)[: nfft // 2 + 1]) ** 2
+            assert snr_db(got[r], ref) >= 100.0
+
+    def test_fused_supported(self):
+        assert fused_supported(256, 256, 256)
+        assert fused_supported(1024, 1024, 512)
+        assert not fused_supported(1024, 2048, 512)   # pad != nfft
+        assert not fused_supported(100, 100, 100)     # not a kernel size
+        assert not fused_supported(1024, 1024, 100)   # stride % 128 != 0
+        assert not fused_supported(1024, 1024, 384)   # nfft % stride != 0
+
+    def test_errors(self):
+        x = jnp.zeros(1024, jnp.float32)
+        m = jnp.ones(4, jnp.float32)
+        w = jnp.ones(100, jnp.float32)
+        with pytest.raises(ValueError, match="unsupported by the fused kernel"):
+            pwelch_power_partials(x, m, w, 100, 100, interpret=True)
+        with pytest.raises(ValueError, match="unknown mode"):
+            pwelch_power_partials(x, m, jnp.ones(256), 256, 256, mode="x", interpret=True)

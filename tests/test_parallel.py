@@ -130,3 +130,32 @@ class TestStreaming:
         assert sp.metrics.segments_done > 0
         assert sp.metrics.wall_s > 0
         assert "msamples_per_s" in sp.metrics.json_line()
+
+
+class TestShardedFusedKernel:
+    """The fused Pallas branch of sharded_partial_step, forced on the CPU
+    mesh via interpret mode + an eligibility monkeypatch."""
+
+    def test_sharded_fused_matches_single_device(self, monkeypatch):
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        stride = 128
+        L = 8 * stride * 16
+        x = jnp.asarray(_signal(L), jnp.float32)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+
+        ref, _ = spectral.pwelch(x, 2.0, opts)  # XLA path (f32 input)
+
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+        with pltpu.force_tpu_interpret_mode():
+            p_sh, _ = pwelch_sharded(x, 2.0, opts, mesh)
+        np.testing.assert_allclose(
+            np.asarray(p_sh), np.asarray(ref), rtol=2e-4, atol=1e-12
+        )
