@@ -21,6 +21,7 @@ from godsp_tpu.fft.core import (
     ifftn,
 )
 from godsp_tpu.fft.four_step import four_step_fft
+from godsp_tpu.fft.pow2 import pallas_enabled, pow2_fft, set_pallas_enabled
 from godsp_tpu.fft.stockham import stockham_fft, twiddles
 
 __all__ = [
@@ -38,6 +39,9 @@ __all__ = [
     "ifft2_real",
     "ifft_real",
     "ifftn",
+    "pallas_enabled",
+    "pow2_fft",
+    "set_pallas_enabled",
     "stockham_fft",
     "twiddles",
 ]

@@ -22,7 +22,7 @@ import numpy as np
 
 from godsp_tpu._dtypes import complex_for
 from godsp_tpu.dsputils.utils import next_power_of_2
-from godsp_tpu.fft.four_step import four_step_fft
+from godsp_tpu.fft.pow2 import pow2_fft
 
 __all__ = ["bluestein_fft"]
 
@@ -75,7 +75,7 @@ def bluestein_fft(x: jax.Array) -> jax.Array:
     a = jnp.pad(a, pad)
 
     # Circular convolution with the chirp filter; FFT(b) is precomputed.
-    conv = four_step_fft(four_step_fft(a) * fft_b, inverse=True) / la
+    conv = pow2_fft(pow2_fft(a) * fft_b, inverse=True) / la
 
     # Postmultiply and truncate (bluestein.go:89-93).
     return conv[..., :n] * jnp.conj(w)

@@ -28,7 +28,7 @@ from godsp_tpu._dtypes import as_complex_array, complex_for, put
 from godsp_tpu.dsputils.matrix import Matrix
 from godsp_tpu.dsputils.utils import is_power_of_2
 from godsp_tpu.fft.bluestein import bluestein_fft
-from godsp_tpu.fft.four_step import four_step_fft
+from godsp_tpu.fft.pow2 import pow2_fft
 from godsp_tpu.fft.stockham import ensure_radix2_factors
 
 __all__ = [
@@ -79,9 +79,10 @@ def _fft_last(x: jax.Array) -> jax.Array:
     if n <= 1:
         return x
     if is_power_of_2(n):
-        # Four-step MXU path (fft/four_step.py); the Stockham kernel
+        # Pallas fused kernel on TPU for supported sizes, else the
+        # four-step MXU path (fft/pow2.py dispatch); the Stockham kernel
         # remains available as an independent oracle (fft/stockham.py).
-        return four_step_fft(x)
+        return pow2_fft(x)
     return bluestein_fft(x)
 
 

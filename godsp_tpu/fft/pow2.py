@@ -1,0 +1,62 @@
+"""Power-of-2 FFT dispatcher: Pallas TPU kernel or pure-XLA four-step.
+
+The single choke point every power-of-2 transform in the framework goes
+through (public fft/ifft dispatch, Convolve, and Bluestein's internal
+convolution).  On TPU, complex64 transforms of kernel-supported sizes
+take the fused Pallas kernel (ops.pallas_fft — one HBM read + write per
+element, MXU contractions); everything else takes the four-step XLA
+formulation (fft/four_step.py), which is also the correctness oracle.
+
+The reference's only tuning knob is a worker-pool size (fft/fft.go:89-101);
+the analogous knob here is `set_pallas_enabled`, mainly for debugging and
+A/B benchmarking.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from godsp_tpu.fft.four_step import four_step_fft
+
+__all__ = ["pow2_fft", "set_pallas_enabled", "pallas_enabled"]
+
+_pallas_on = True
+
+
+def set_pallas_enabled(on: bool) -> None:
+    """Enable/disable the Pallas kernel path globally (default on)."""
+    global _pallas_on
+    _pallas_on = bool(on)
+
+
+def pallas_enabled() -> bool:
+    return _pallas_on
+
+
+def _pallas_eligible(dtype, n: int) -> bool:
+    from godsp_tpu.ops.pallas_fft import supported_size
+
+    return (
+        _pallas_on
+        and jnp.dtype(dtype) == jnp.complex64
+        and supported_size(n)
+        and jax.default_backend() == "tpu"
+    )
+
+
+def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
+    """Unnormalized DFT of the trailing power-of-2 axis, batched.
+
+    Dispatch is trace-time static (backend, dtype, size), so each distinct
+    configuration compiles once.
+    """
+    n = x.shape[-1]
+    if n <= 1:
+        return x
+    if _pallas_eligible(x.dtype, n):
+        from godsp_tpu.ops.pallas_fft import fft_pow2_split
+
+        yr, yi = fft_pow2_split(jnp.real(x), jnp.imag(x), inverse=inverse)
+        return jax.lax.complex(yr, yi)
+    return four_step_fft(x, inverse)
