@@ -1,1 +1,26 @@
-"""Placeholder — populated in later milestones this round."""
+"""End-to-end pipelines ("model families") built on the framework stack.
+
+  stft     — short-time Fourier transform / inverse / spectrogram
+  pipeline — WAV stream -> distributed streaming Welch PSD (flagship)
+
+The reference library has no pipeline layer — composition of wav/fft/
+spectral happens in user code (SURVEY.md §1); these modules provide the
+batched, TPU-sharded equivalents as first-class API.
+"""
+
+from godsp_tpu.models.pipeline import (
+    WavPsdResult,
+    spectrogram_from_wav,
+    wav_psd,
+)
+from godsp_tpu.models.stft import istft, spectrogram, stft, stft_frames
+
+__all__ = [
+    "WavPsdResult",
+    "istft",
+    "spectrogram",
+    "spectrogram_from_wav",
+    "stft",
+    "stft_frames",
+    "wav_psd",
+]

@@ -1,0 +1,163 @@
+"""Short-time Fourier transform, inverse, and spectrogram.
+
+End-to-end pipelines built on the framework's batched FFT stack — the
+"model family" layer above the raw transforms.  The reference library
+stops at Welch PSD (spectral/pwelch.go); STFT/ISTFT/spectrogram use the
+same framing/window/FFT machinery (spectral.Segment's geometry,
+spectral.go:26-33, and window/window.go tapers) but keep per-frame
+spectra instead of averaging them, which is what production audio/sensor
+pipelines consume.
+
+All functions are batched over leading axes and jit-compatible; the FFT
+dispatch routes power-of-2 sizes through the Pallas TPU kernel
+(fft/pow2.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from godsp_tpu import window as win
+from godsp_tpu._dtypes import as_real_array, default_float, put
+from godsp_tpu.dsputils.utils import zero_pad
+from godsp_tpu.fft.core import fft, fft_real, ifft
+
+__all__ = ["stft", "istft", "spectrogram", "stft_frames"]
+
+WindowSpec = Union[str, Callable[[int], jax.Array], None]
+
+
+def _resolve_window(window: WindowSpec, nfft: int, dtype) -> jax.Array:
+    wf = window if window is not None else win.hann
+    return win.window_table(wf, nfft).astype(dtype)
+
+
+def stft_frames(x: jax.Array, nfft: int, hop: int) -> jax.Array:
+    """Frame a signal into overlapping segments (..., frames, nfft).
+
+    Same geometry as spectral.Segment (spectral.go:26-33): frame count is
+    (L - nfft)//hop + 1; trailing remainder samples are dropped.
+    """
+    if hop <= 0:
+        raise ValueError("hop must be positive")
+    L = x.shape[-1]
+    if L < nfft:
+        raise ValueError(f"signal length {L} < nfft {nfft}")
+    n_frames = (L - nfft) // hop + 1
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
+    return jnp.take(x, idx, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "pad", "onesided"))
+def _stft_jit(x, w, nfft: int, hop: int, pad: int, onesided: bool):
+    frames = stft_frames(x, nfft, hop) * w
+    if pad > nfft:
+        frames = zero_pad(frames, pad)
+    spec = fft_real(frames)
+    if onesided:
+        spec = spec[..., : pad // 2 + 1]
+    return spec
+
+
+def stft(
+    x,
+    nfft: int,
+    hop: Optional[int] = None,
+    window: WindowSpec = None,
+    pad: Optional[int] = None,
+    onesided: bool = True,
+) -> jax.Array:
+    """Short-time Fourier transform of a real signal.
+
+    x: (..., L) real.  Returns (..., n_frames, bins) complex with
+    n_frames = (L - nfft)//hop + 1 and bins = pad//2 + 1 (one-sided) or
+    pad.  Defaults: hop = nfft//2, window = Hann, pad = nfft — matching
+    Pwelch's conventions (pwelch.go:85-95) so stft |.|^2 averages
+    reproduce pwelch exactly.
+    """
+    x = as_real_array(x)
+    hop = hop or nfft // 2
+    pad = pad or nfft
+    if pad < nfft:
+        raise ValueError("pad must be >= nfft")
+    w = _resolve_window(window, nfft, x.dtype)
+    return _stft_jit(x, w, nfft, hop, pad, onesided)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided"))
+def _istft_jit(spec, w, nfft: int, hop: int, length: int, onesided: bool):
+    fdt = default_float()
+    if onesided:
+        # Rebuild the full conjugate-symmetric spectrum from pad//2+1 bins.
+        pad = 2 * (spec.shape[-1] - 1)
+        tail = jnp.conj(jnp.flip(spec[..., 1:-1], axis=-1))
+        spec = jnp.concatenate([spec, tail], axis=-1)
+    else:
+        pad = spec.shape[-1]
+    frames = jnp.real(ifft(spec))[..., :nfft].astype(fdt)  # windowed frames
+    n_frames = frames.shape[-2]
+
+    # Weighted overlap-add with least-squares (NOLA) normalization:
+    # y[t] = sum_f w*frames_f[t - f*hop] / sum_f w^2[t - f*hop].
+    frames = frames * w
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
+    flat = jnp.zeros(spec.shape[:-2] + (length,), dtype=fdt)
+    y = flat.at[..., idx].add(frames)
+    norm = jnp.zeros(length, dtype=fdt).at[idx].add(
+        jnp.broadcast_to(w * w, (n_frames, nfft))
+    )
+    return y / jnp.maximum(norm, jnp.finfo(fdt).tiny)
+
+
+def istft(
+    spec,
+    nfft: int,
+    hop: Optional[int] = None,
+    window: WindowSpec = None,
+    length: Optional[int] = None,
+    onesided: bool = True,
+) -> jax.Array:
+    """Inverse STFT by weighted overlap-add (least-squares synthesis).
+
+    spec: (..., n_frames, bins) complex from stft() with the same nfft,
+    hop, and window.  Reconstructs the signal over the covered span
+    (length defaults to (n_frames-1)*hop + nfft); exact wherever the
+    window overlap satisfies NOLA (non-zero overlapped sum), e.g. Hann
+    with hop <= nfft/2 — or any window at hop <= nfft/2 with the
+    normalization used here.
+    """
+    spec = put(spec)  # split-plane transfer: host complex buffers cannot
+    # move to some TPU transports directly (_dtypes.put)
+    hop = hop or nfft // 2
+    n_frames = spec.shape[-2]
+    length = length or (n_frames - 1) * hop + nfft
+    w = _resolve_window(window, nfft, default_float())
+    return _istft_jit(spec, w, nfft, hop, length, onesided)
+
+
+def spectrogram(
+    x,
+    nfft: int,
+    hop: Optional[int] = None,
+    window: WindowSpec = None,
+    pad: Optional[int] = None,
+    scale: str = "power",
+) -> jax.Array:
+    """Magnitude spectrogram (..., n_frames, pad//2+1).
+
+    scale: "power" -> |X|^2, "magnitude" -> |X|, "db" -> 10 log10(|X|^2)
+    floored at -200 dB.
+    """
+    if scale not in ("power", "magnitude", "db"):
+        raise ValueError(f"unknown scale: {scale}")
+    spec = stft(x, nfft, hop, window, pad, onesided=True)
+    p = spec.real * spec.real + spec.imag * spec.imag
+    if scale == "magnitude":
+        return jnp.sqrt(p)
+    if scale == "db":
+        return 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
+    return p

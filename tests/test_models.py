@@ -1,0 +1,155 @@
+"""Model-family tests: STFT/ISTFT/spectrogram + the WAV->PSD pipeline.
+
+Validated against scipy.signal (an oracle the reference never had,
+SURVEY.md §4) and against the framework's own Pwelch.
+"""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from godsp_tpu import spectral, wav
+from godsp_tpu.dsputils import snr_db
+from godsp_tpu.models import (
+    istft,
+    spectrogram,
+    spectrogram_from_wav,
+    stft,
+    stft_frames,
+    wav_psd,
+)
+
+
+def _signal(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    return np.sin(2 * np.pi * 0.03 * t) + 0.3 * rng.normal(size=n)
+
+
+class TestSTFT:
+    def test_shape_and_frame_geometry(self):
+        x = _signal(1000)
+        s = stft(x, nfft=256, hop=128)
+        # (1000 - 256)//128 + 1 = 6 frames (spectral.go:26-33 geometry)
+        assert s.shape == (6, 129)
+        assert np.iscomplexobj(np.asarray(s))
+
+    def test_frames_match_manual(self):
+        x = np.arange(64, dtype=np.float64)
+        f = np.asarray(stft_frames(jnp.asarray(x), 16, 8))
+        assert f.shape == (7, 16)
+        np.testing.assert_array_equal(f[2], x[16:32])
+
+    def test_vs_scipy(self):
+        scipy_signal = pytest.importorskip("scipy.signal")
+        x = _signal(4096)
+        nfft, hop = 256, 128
+        got = np.asarray(stft(x, nfft, hop, window="hann"))
+        w = 0.5 * (1 - np.cos(2 * np.pi * np.arange(nfft) / (nfft - 1)))
+        _, _, Z = scipy_signal.stft(
+            x, window=w, nperseg=nfft, noverlap=nfft - hop, boundary=None,
+            padded=False, return_onesided=True, scaling="spectrum",
+        )
+        ref = (Z * w.sum()).T  # undo scipy's 1/win.sum() scaling
+        assert got.shape == ref.shape
+        assert snr_db(got, ref) >= 100.0
+
+    def test_istft_roundtrip_hann(self):
+        x = _signal(2048)
+        nfft, hop = 256, 64
+        s = stft(x, nfft, hop)
+        y = np.asarray(istft(s, nfft, hop))
+        n_frames = (2048 - nfft) // hop + 1
+        covered = (n_frames - 1) * hop + nfft
+        # Hann is zero at its endpoints, so the very first/last covered
+        # sample has zero synthesis weight and is unrecoverable.
+        assert snr_db(y[1:-1], x[1 : covered - 1]) >= 100.0
+
+    def test_istft_roundtrip_hamming_50(self):
+        x = _signal(1024)
+        s = stft(x, 128, 64, window="hamming")
+        y = np.asarray(istft(s, 128, 64, window="hamming"))
+        assert snr_db(y, x[: len(y)]) >= 100.0
+
+    def test_batched(self):
+        xb = np.stack([_signal(512, 1), _signal(512, 2)])
+        s = stft(xb, 128, 64)
+        assert s.shape == (2, 7, 65)
+        s0 = stft(xb[0], 128, 64)
+        np.testing.assert_allclose(np.asarray(s[0]), np.asarray(s0), rtol=1e-12)
+
+    def test_spectrogram_scales(self):
+        x = _signal(512)
+        p = np.asarray(spectrogram(x, 128, 64, scale="power"))
+        m = np.asarray(spectrogram(x, 128, 64, scale="magnitude"))
+        db = np.asarray(spectrogram(x, 128, 64, scale="db"))
+        assert (p >= 0).all()
+        np.testing.assert_allclose(m * m, p, rtol=1e-5)
+        np.testing.assert_allclose(db, 10 * np.log10(np.maximum(p, 1e-20)), rtol=1e-5)
+        with pytest.raises(ValueError, match="unknown scale"):
+            spectrogram(x, 128, scale="weird")
+
+    def test_spectrogram_mean_matches_pwelch(self):
+        """With pwelch defaults (pad=nfft), averaged |STFT|^2 == Pwelch
+        up to its normalization (pwelch.go:113-136)."""
+        x = _signal(4096)
+        nfft, hop, fs = 256, 128, 2.0
+        p = np.asarray(spectrogram(x, nfft, hop)).mean(axis=0)
+        lp = nfft // 2 + 1
+        doubler = np.ones(lp); doubler[1:-1] = 2.0
+        from godsp_tpu import window as win
+
+        w = win.window_table_np("hann", nfft)
+        mine = p * doubler / (np.sum(w * w) * fs)
+        ref, _ = spectral.pwelch(
+            x, fs, spectral.PwelchOptions(nfft=nfft, noverlap=nfft - hop)
+        )
+        assert snr_db(mine, np.asarray(ref)) >= 100.0
+
+    def test_errors(self):
+        with pytest.raises(ValueError, match="hop must be positive"):
+            stft_frames(jnp.zeros(100), 16, 0)
+        with pytest.raises(ValueError, match="signal length"):
+            stft_frames(jnp.zeros(10), 16, 8)
+        with pytest.raises(ValueError, match="pad must be"):
+            stft(np.zeros(100), nfft=64, pad=32)
+
+
+class TestWavPipeline:
+    def _wav_bytes(self, n=20000, fs=8000):
+        buf = io.BytesIO()
+        sig = (_signal(n) * 0.2).astype(np.float32)
+        wav.write_wav(buf, sig, fs)
+        return buf.getvalue(), sig
+
+    def test_wav_psd_matches_pwelch(self):
+        data, sig = self._wav_bytes()
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        res = wav_psd(data, opts, block_size=4096)
+        ref, freqs = spectral.pwelch(sig.astype(np.float64), 8000.0, opts)
+        assert res.sample_rate == 8000
+        assert res.samples == 20000
+        np.testing.assert_allclose(res.pxx, np.asarray(ref), rtol=1e-5)
+        np.testing.assert_allclose(res.freqs, np.asarray(freqs))
+        assert '"samples_in": 20000' in res.metrics_json or "20000" in res.metrics_json
+
+    def test_spectrogram_from_wav(self):
+        data, sig = self._wav_bytes(n=8192)
+        s, freqs, times = spectrogram_from_wav(data, nfft=512, hop=256)
+        n_frames = (8192 - 512) // 256 + 1
+        assert np.asarray(s).shape == (n_frames, 257)
+        assert freqs.shape == (257,)
+        assert times.shape == (n_frames,)
+        assert freqs[-1] == pytest.approx(4000.0)
+
+    def test_reference_fixture(self, reference_wav_dir):
+        res = wav_psd(
+            f"{reference_wav_dir}/small.wav",
+            spectral.PwelchOptions(nfft=1024, noverlap=512),
+        )
+        assert res.sample_rate == 44100
+        assert res.samples == 41888  # wav_test.go:60-79
+        assert res.pxx.shape == (513,)
+        assert np.isfinite(res.pxx).all() and (res.pxx >= 0).all()
