@@ -114,7 +114,11 @@ class StreamingPwelch:
         w_nfft = win.window_table_np(self._wf, self.nfft)
         self._w_norm = float(np.sum(w_nfft * w_nfft)) * (self.fs if self._scaling else 1.0)
 
-        self._buf = np.zeros(0, dtype=np.float64)
+        from godsp_tpu.native import StreamBuffer
+
+        # Chunk assembly in the native growable FIFO (numpy fallback):
+        # amortized O(1) push/consume vs re-concatenating the tail.
+        self._buf = StreamBuffer(capacity=2 * (self.chunk_len + self.halo))
         self._p_sum = np.zeros(self.lp, dtype=np.float64)
         self._count = 0.0
         self._consumed = 0  # global samples fully folded into the state
@@ -134,7 +138,7 @@ class StreamingPwelch:
                 p_sum=self._p_sum,
                 count=self._count,
                 consumed=self._consumed,
-                buf=self._buf,
+                buf=self._buf.peek(len(self._buf)),
                 chunks=self.metrics.chunks_done,
                 segments=self.metrics.segments_done,
                 samples_in=self.metrics.samples_in,
@@ -147,7 +151,8 @@ class StreamingPwelch:
         self._p_sum = z["p_sum"]
         self._count = float(z["count"])
         self._consumed = int(z["consumed"])
-        self._buf = z["buf"]
+        self._buf.consume(len(self._buf))
+        self._buf.push(z["buf"])
         self.metrics.chunks_done = int(z["chunks"])
         self.metrics.segments_done = int(z["segments"])
         self.metrics.samples_in = int(z["samples_in"])
@@ -157,16 +162,17 @@ class StreamingPwelch:
     def update(self, samples: np.ndarray) -> None:
         """Fold a new block of samples into the running PSD."""
         samples = np.asarray(samples, dtype=np.float64).reshape(-1)
-        self._buf = np.concatenate([self._buf, samples])
+        self._buf.push(samples)
         self.metrics.samples_in += samples.shape[0]
         # A chunk is processable once its tail halo is also buffered.
-        while self._buf.shape[0] >= self.chunk_len + self.halo:
+        while len(self._buf) >= self.chunk_len + self.halo:
+            ext = self._buf.peek(self.chunk_len + self.halo)
             self._process(
-                self._buf[: self.chunk_len],
-                self._buf[self.chunk_len : self.chunk_len + self.halo],
+                ext[: self.chunk_len],
+                ext[self.chunk_len :],
                 total_segs=self.n_sp * self.segs_per_shard,
             )
-            self._buf = self._buf[self.chunk_len :]
+            self._buf.consume(self.chunk_len)
             self._consumed += self.chunk_len
             # Snapshot only after the buffer is trimmed, so a resume
             # replays nothing and skips nothing.
@@ -205,7 +211,7 @@ class StreamingPwelch:
         segments masked, so the final count equals the reference's
         (L-nfft)/stride+1 over the whole stream.
         """
-        rem = self._buf
+        rem = self._buf.peek(len(self._buf))
         if 0 < rem.shape[0] < self.nfft and self._count == 0 and self.metrics.chunks_done == 0:
             # Whole stream shorter than nfft: the reference zero-pads to
             # one full segment (pwelch.go:97-99).
@@ -219,7 +225,7 @@ class StreamingPwelch:
                 padded[self.chunk_len :],
                 total_segs=rem_segs,
             )
-            self._buf = np.zeros(0, dtype=np.float64)
+            self._buf.consume(len(self._buf))
         pxx = self._p_sum / (self._count * self._w_norm) if self._count else self._p_sum
         freqs = np.arange(self.lp) * (self.fs / self.pad)
         log.info("finalize: %s", self.metrics.json_line())

@@ -123,13 +123,16 @@ class Wav:
         """Next n samples normalized to float32 (wav.go:138-161).
 
         Quirk preserved: integer formats map to [0, 1], not [-1, 1]:
-        uint8 -> v/255, int16 -> (v + 32768)/65535.
+        uint8 -> v/255, int16 -> (v + 32768)/65535.  Decoding runs in the
+        native C++ op when built (godsp_tpu.native), numpy otherwise.
         """
+        from godsp_tpu import native
+
         d = self.read_samples(n)
         if d.dtype == np.uint8:
-            return d.astype(np.float32) / 255.0
+            return native.decode_u8(d)
         if d.dtype == np.int16:
-            return (d.astype(np.float32) + 32768.0) / 65535.0
+            return native.decode_i16(d)
         return d  # float32 passthrough
 
     @property

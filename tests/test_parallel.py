@@ -111,10 +111,10 @@ class TestStreaming:
             checkpoint_path=ckpt, checkpoint_every_chunks=1,
         )
         assert b.metrics.chunks_done == done_chunks
-        consumed = b.metrics.chunks_done * b.chunk_len - b._buf.shape[0]
+        consumed = b.metrics.chunks_done * b.chunk_len - len(b._buf)
         # feed everything after what run A had folded in at its last snapshot
         fed_to_a = 30_000
-        already = b.metrics.chunks_done * b.chunk_len + b._buf.shape[0]
+        already = b.metrics.chunks_done * b.chunk_len + len(b._buf)
         b.update(x[already:])
         pxx, _ = b.finalize()
         ref, _ = spectral.pwelch(jnp.asarray(x), 2.0, opts)
