@@ -10,9 +10,12 @@ Diagnostics go to stderr.
 
 Timing notes (see utils.metrics): on tunneled TPU transports
 block_until_ready is unreliable, so each measurement is a jitted
-data-dependent chain of K applications ending in a scalar readback, with
-the readback RTT measured and subtracted.  Complex operands are placed
-via _dtypes.put (split-plane transfer).
+data-dependent chain of K applications ending in a scalar readback,
+timed at TWO chain depths — the difference cancels dispatch/RTT fixed
+costs exactly (time_chain_diff).  Complex operands are placed via
+_dtypes.put (split-plane transfer).  The streaming number is dominated
+by host->device transfer over the tunnel, not device compute (see the
+pallas_pwelch on-device rates for the kernel itself).
 """
 
 from __future__ import annotations
@@ -59,30 +62,35 @@ def main() -> None:
 
     from godsp_tpu.ops.pallas_fft import fft_pow2_split
 
-    def bench_pallas(n, batch, mode, K=8):
+    from godsp_tpu.utils.metrics import time_chain_diff
+
+    def bench_pallas(n, batch, mode):
         xr = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
         xi = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
 
-        @jax.jit
-        def chain(r, i):
-            for _ in range(K):
-                r, i = fft_pow2_split(r, i, order="digit", mode=mode)
-                r, i = i, r
-            return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
+        # Rescale every 4th application (1/n^2 undoes four sqrt(n) RMS
+        # growths) so the extra VPU pass dilutes to 1/4 per measured app.
+        s = np.float32(1.0 / (float(n) * float(n)))
 
-        v = float(np.asarray(chain(xr, xi)))
-        assert np.isfinite(v)
-        best = float("inf")
-        for _ in range(3):
-            t0 = _time.perf_counter()
-            float(np.asarray(chain(xr, xi)))
-            best = min(best, _time.perf_counter() - t0)
-        per = max((best - rtt) / K, 1e-9)
+        def make(K):
+            @jax.jit
+            def chain(r):
+                i = xi
+                for k in range(K):
+                    r, i = fft_pow2_split(r, i, order="digit", mode=mode)
+                    r, i = i, r
+                    if k % 4 == 3:
+                        r, i = r * s, i * s
+                return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
+
+            return chain
+
+        per = time_chain_diff(make, xr, k_lo=4, k_hi=12, iters=8)
         gbs = 4 * batch * n * 4 / per / 1e9
         return per, gbs
 
     for n, batch in ((1024, 16384), (4096, 4096)):
-        for mode in ("precise", "fast"):
+        for mode in ("precise",):
             per, gbs = bench_pallas(n, batch, mode)
             frac = gbs / peak if peak else None
             results[f"pallas_fft{n}_{mode}"] = {
@@ -96,7 +104,7 @@ def main() -> None:
             )
 
     # --- pure-XLA four-step path (the general c64 API) ------------------
-    for n, batch in ((1024, 16384), (4096, 4096)):
+    for n, batch in ((1024, 16384),):
         x = put(
             (rng.normal(size=(batch, n)) + 1j * rng.normal(size=(batch, n))).astype(
                 np.complex64
@@ -105,7 +113,7 @@ def main() -> None:
         r = time_chained(
             fft.fft,
             x,
-            chain=8,
+            chain=12,
             name=f"fft{n}",
             flops=fft_flops(n, batch),
             bytes_moved=fft_bytes(n, batch, 8),
@@ -142,6 +150,39 @@ def main() -> None:
         results["jnp_fft1024"] = {"wall_s": r.wall_s, "gbs": r.gbs}
     except Exception as e:  # pragma: no cover
         log("jnp.fft comparison failed:", e)
+
+    # --- fused Pallas Pwelch kernel (frame->window->FFT->|.|^2->sum) -----
+    from godsp_tpu import window as win
+    from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
+
+    for nfft, stride in ((1024, 512), (256, 256)):
+        segs = (1 << 23) // stride
+        L = (segs - 1) * stride + nfft
+        sig = put(rng.normal(size=L).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+
+        def make(K, nfft=nfft, stride=stride, segs=segs, w=w):
+            @jax.jit
+            def chain(xx):
+                acc = 0.0
+                for k in range(K):
+                    acc = acc + pwelch_power_sum(
+                        xx * (1.0 + 1e-6 * k), w, nfft, stride, segs
+                    )[0]
+                return acc
+
+            return chain
+
+        per = time_chain_diff(make, sig, k_lo=2, k_hi=10, iters=8)
+        msps = L / per / 1e6
+        results[f"pallas_pwelch{nfft}_s{stride}"] = {
+            "wall_s": per,
+            "msamples_per_s": msps,
+        }
+        log(
+            f"pallas pwelch nfft={nfft} stride={stride}: {per*1e3:.3f} ms  "
+            f"{msps:.0f} Msamples/s on-device"
+        )
 
     # --- Pwelch streaming throughput, single chip -----------------------
     fs = 44100.0

@@ -136,18 +136,24 @@ def frame_signal(x: np.ndarray, nfft: int, stride: int) -> np.ndarray:
 
 
 class StreamBuffer:
-    """Growable FIFO of float64 samples (native ring with compaction;
-    numpy fallback).  Backs StreamingPwelch's chunk assembly: push blocks,
-    peek chunk+halo, consume chunk."""
+    """Growable FIFO of samples (native byte ring with compaction; numpy
+    fallback).  Backs StreamingPwelch's chunk assembly: push blocks, peek
+    chunk+halo, consume chunk.  dtype-agnostic — lengths are in samples
+    of the configured dtype."""
 
-    def __init__(self, capacity: int = 1 << 20):
+    def __init__(self, capacity: int = 1 << 20, dtype=np.float64):
+        self._dt = np.dtype(dtype)
         self._lib = _load()
         if self._lib is not None:
-            self._h = self._lib.gdsp_sbuf_new(int(capacity))
+            self._h = self._lib.gdsp_sbuf_new(int(capacity) * self._dt.itemsize)
             if not self._h:
                 raise MemoryError("gdsp_sbuf_new failed")
         else:
-            self._buf = np.zeros(0, dtype=np.float64)
+            self._buf = np.zeros(0, dtype=self._dt)
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self._dt
 
     def __del__(self):
         lib = getattr(self, "_lib", None)
@@ -157,13 +163,13 @@ class StreamBuffer:
 
     def __len__(self) -> int:
         if self._lib is not None:
-            return int(self._lib.gdsp_sbuf_size(self._h))
+            return int(self._lib.gdsp_sbuf_size(self._h)) // self._dt.itemsize
         return self._buf.shape[0]
 
     def push(self, samples: np.ndarray) -> None:
-        samples = np.ascontiguousarray(samples, dtype=np.float64).reshape(-1)
+        samples = np.ascontiguousarray(samples, dtype=self._dt).reshape(-1)
         if self._lib is not None:
-            if self._lib.gdsp_sbuf_push(self._h, _ptr(samples), samples.size):
+            if self._lib.gdsp_sbuf_push(self._h, _ptr(samples), samples.nbytes):
                 raise MemoryError("gdsp_sbuf_push failed")
         else:
             self._buf = np.concatenate([self._buf, samples])
@@ -171,13 +177,13 @@ class StreamBuffer:
     def peek(self, n: int) -> np.ndarray:
         """First min(n, len) buffered samples, without consuming."""
         if self._lib is not None:
-            out = np.empty(n, dtype=np.float64)
-            m = int(self._lib.gdsp_sbuf_peek(self._h, _ptr(out), n))
-            return out[:m]
+            out = np.empty(n, dtype=self._dt)
+            m = int(self._lib.gdsp_sbuf_peek(self._h, _ptr(out), out.nbytes))
+            return out[: m // self._dt.itemsize]
         return self._buf[:n].copy()
 
     def consume(self, n: int) -> None:
         if self._lib is not None:
-            self._lib.gdsp_sbuf_consume(self._h, int(n))
+            self._lib.gdsp_sbuf_consume(self._h, int(n) * self._dt.itemsize)
         else:
             self._buf = self._buf[n:]

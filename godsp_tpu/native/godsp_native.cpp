@@ -49,20 +49,20 @@ void gdsp_frame_f64(const double* x, double* out, int64_t nsegs,
     std::memcpy(out + s * nfft, x + s * stride, nfft * sizeof(double));
 }
 
-// ---- growable FIFO stream buffer (float64 samples) ----
+// ---- growable FIFO stream buffer (raw bytes; dtype-agnostic) ----
 
 struct GdspStreamBuf {
-  double* data;
-  int64_t cap;    // allocated elements
-  int64_t head;   // first live element
-  int64_t tail;   // one past last live element
+  uint8_t* data;
+  int64_t cap;    // allocated bytes
+  int64_t head;   // first live byte
+  int64_t tail;   // one past last live byte
 };
 
-void* gdsp_sbuf_new(int64_t capacity) {
+void* gdsp_sbuf_new(int64_t capacity_bytes) {
   auto* b = static_cast<GdspStreamBuf*>(std::malloc(sizeof(GdspStreamBuf)));
   if (!b) return nullptr;
-  b->cap = std::max<int64_t>(capacity, 1024);
-  b->data = static_cast<double*>(std::malloc(b->cap * sizeof(double)));
+  b->cap = std::max<int64_t>(capacity_bytes, 4096);
+  b->data = static_cast<uint8_t*>(std::malloc(b->cap));
   if (!b->data) { std::free(b); return nullptr; }
   b->head = b->tail = 0;
   return b;
@@ -80,21 +80,21 @@ int64_t gdsp_sbuf_size(void* h) {
   return b->tail - b->head;
 }
 
-// Append n samples; grows (doubling) and compacts as needed. Returns 0
+// Append n bytes; grows (doubling) and compacts as needed. Returns 0
 // on success, -1 on allocation failure.
-int gdsp_sbuf_push(void* h, const double* in, int64_t n) {
+int gdsp_sbuf_push(void* h, const uint8_t* in, int64_t n) {
   auto* b = static_cast<GdspStreamBuf*>(h);
   const int64_t live = b->tail - b->head;
   if (b->tail + n > b->cap) {
     if (live + n <= b->cap && b->head > 0) {
       // compact in place
-      std::memmove(b->data, b->data + b->head, live * sizeof(double));
+      std::memmove(b->data, b->data + b->head, live);
     } else {
       int64_t ncap = b->cap;
       while (live + n > ncap) ncap *= 2;
-      auto* nd = static_cast<double*>(std::malloc(ncap * sizeof(double)));
+      auto* nd = static_cast<uint8_t*>(std::malloc(ncap));
       if (!nd) return -1;
-      std::memcpy(nd, b->data + b->head, live * sizeof(double));
+      std::memcpy(nd, b->data + b->head, live);
       std::free(b->data);
       b->data = nd;
       b->cap = ncap;
@@ -102,22 +102,22 @@ int gdsp_sbuf_push(void* h, const double* in, int64_t n) {
     b->head = 0;
     b->tail = live;
   }
-  std::memcpy(b->data + b->tail, in, n * sizeof(double));
+  std::memcpy(b->data + b->tail, in, n);
   b->tail += n;
   return 0;
 }
 
-// Copy the first n live samples into out WITHOUT consuming (the
-// streaming driver peeks chunk+halo, then consumes chunk). Returns the
-// number copied (< n if fewer are buffered).
-int64_t gdsp_sbuf_peek(void* h, double* out, int64_t n) {
+// Copy the first n live bytes into out WITHOUT consuming (the streaming
+// driver peeks chunk+halo, then consumes chunk). Returns bytes copied
+// (< n if fewer are buffered).
+int64_t gdsp_sbuf_peek(void* h, uint8_t* out, int64_t n) {
   auto* b = static_cast<GdspStreamBuf*>(h);
   const int64_t m = std::min(n, b->tail - b->head);
-  std::memcpy(out, b->data + b->head, m * sizeof(double));
+  std::memcpy(out, b->data + b->head, m);
   return m;
 }
 
-// Drop the first n live samples.
+// Drop the first n live bytes.
 void gdsp_sbuf_consume(void* h, int64_t n) {
   auto* b = static_cast<GdspStreamBuf*>(h);
   b->head = std::min(b->head + n, b->tail);

@@ -6,10 +6,13 @@ four-step (fft/four_step.py) materializes every stage to HBM (~6 passes,
 transform in VMEM — HBM traffic is one read and one write per element —
 with the DFT factor contractions on the MXU.
 
-Measured on a v5e chip (chained kernels, readback-synced, RTT-corrected):
-  mode="precise" (~138 dB): n=1024 0.56 ms (59% of HBM roofline),
-                            n=4096 0.43 ms (77%).
-  mode="fast"   (~105 dB):  n=1024 0.38 ms (87%), n=4096 0.31 ms (~100%).
+Measured on a v5e chip (two-chain-length differential timing, which
+cancels the tunnel RTT exactly — see utils.metrics.time_chain_diff;
+earlier RTT-subtraction numbers overstated throughput):
+  mode="precise" (~138 dB): n=1024 batch=16384 ~1.1 ms (~0.29 of HBM
+  roofline), n=4096 batch=4096 similar; mode="fast" (~105 dB) ~25%
+  faster.  Both beat jnp.fft.fft (~2.5 ms) and the four-step XLA path
+  (~1.6 ms) on the same shapes.
 
 Layout: split-complex (re, im) float32 planes of shape (batch, N).
 Pallas TPU has no complex dtype, and this environment's TPU transport

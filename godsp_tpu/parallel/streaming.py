@@ -114,11 +114,17 @@ class StreamingPwelch:
         w_nfft = win.window_table_np(self._wf, self.nfft)
         self._w_norm = float(np.sum(w_nfft * w_nfft)) * (self.fs if self._scaling else 1.0)
 
+        from godsp_tpu._dtypes import np_float
         from godsp_tpu.native import StreamBuffer
 
         # Chunk assembly in the native growable FIFO (numpy fallback):
         # amortized O(1) push/consume vs re-concatenating the tail.
-        self._buf = StreamBuffer(capacity=2 * (self.chunk_len + self.halo))
+        # Buffered at the policy dtype — f32 on TPU halves host memcpy and
+        # host->device transfer; f64 under x64 (CPU parity runs).
+        self._np_float = np_float()
+        self._buf = StreamBuffer(
+            capacity=2 * (self.chunk_len + self.halo), dtype=self._np_float
+        )
         self._p_sum = np.zeros(self.lp, dtype=np.float64)
         self._count = 0.0
         self._consumed = 0  # global samples fully folded into the state
@@ -161,7 +167,7 @@ class StreamingPwelch:
     # -- streaming ------------------------------------------------------
     def update(self, samples: np.ndarray) -> None:
         """Fold a new block of samples into the running PSD."""
-        samples = np.asarray(samples, dtype=np.float64).reshape(-1)
+        samples = np.asarray(samples, dtype=self._np_float).reshape(-1)
         self._buf.push(samples)
         self.metrics.samples_in += samples.shape[0]
         # A chunk is processable once its tail halo is also buffered.
@@ -218,7 +224,7 @@ class StreamingPwelch:
             rem = np.pad(rem, (0, self.nfft - rem.shape[0]))
         if rem.shape[0] >= self.nfft:
             rem_segs = (rem.shape[0] - self.nfft) // self.stride + 1
-            padded = np.zeros(self.chunk_len + self.halo, dtype=np.float64)
+            padded = np.zeros(self.chunk_len + self.halo, dtype=self._np_float)
             padded[: rem.shape[0]] = rem
             self._process(
                 padded[: self.chunk_len],

@@ -15,7 +15,17 @@ from typing import Callable, Optional
 
 import jax
 
-__all__ = ["BenchResult", "time_fn", "roofline", "hbm_bandwidth_gbs", "fft_flops", "fft_bytes"]
+__all__ = [
+    "BenchResult",
+    "time_fn",
+    "time_chained",
+    "time_chain_diff",
+    "measure_rtt",
+    "roofline",
+    "hbm_bandwidth_gbs",
+    "fft_flops",
+    "fft_bytes",
+]
 
 # Peak HBM bandwidth per chip, GB/s.  v5e (TPU v5 lite): 819 GB/s;
 # v4: 1228 GB/s; v5p: 2765 GB/s.  Keyed on jax device_kind substrings.
@@ -126,43 +136,69 @@ def measure_rtt(iters: int = 5) -> float:
     return ts[len(ts) // 2]
 
 
+def time_chain_diff(
+    make_chained: Callable[[int], Callable],
+    x,
+    k_lo: int = 4,
+    k_hi: int = 36,
+    iters: int = 4,
+) -> float:
+    """Per-application seconds via the difference of two chain lengths.
+
+    make_chained(k) must return a jitted callable x -> scalar whose body
+    applies the op k times in a data-dependent chain.  Timing BOTH chains
+    and dividing the difference by (k_hi - k_lo) cancels every fixed cost
+    (dispatch, tunnel RTT, scalar readback) exactly — unlike subtracting
+    a separately measured RTT, which drowns in its own jitter when the
+    compute window is a few ms.
+    """
+    import numpy as np
+
+    f_lo, f_hi = make_chained(k_lo), make_chained(k_hi)
+    for f in (f_lo, f_hi):
+        v = float(np.asarray(f(x)))  # compile + warm
+        assert np.isfinite(v)
+    best_lo = best_hi = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(np.asarray(f_lo(x)))
+        best_lo = min(best_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(np.asarray(f_hi(x)))
+        best_hi = min(best_hi, time.perf_counter() - t0)
+    return max((best_hi - best_lo) / (k_hi - k_lo), 1e-9)
+
+
 def time_chained(
     fn: Callable,
     x,
-    chain: int = 8,
-    iters: int = 3,
+    chain: int = 36,
+    iters: int = 4,
     name: str = "bench",
     flops: float = 0.0,
     bytes_moved: float = 0.0,
-    rtt: Optional[float] = None,
+    rtt: Optional[float] = None,  # kept for API compat; unused
 ) -> BenchResult:
-    """Time fn via a data-dependent chain of `chain` applications.
-
-    fn must map an array to a same-shaped array.  The chain is jitted as
-    one program (so iterations cannot be CSE'd away or overlapped with
-    host timing gaps), ends in a scalar reduction, and the readback RTT
-    is subtracted.  flops/bytes_moved are per single application.
+    """Time fn per application via the two-chain-length difference
+    (time_chain_diff), immune to readback-RTT jitter on tunneled
+    transports.  fn must map an array to a same-shaped array;
+    flops/bytes_moved are per single application.
     """
     import jax.numpy as jnp
     import numpy as np
 
     scale = 1.0 / np.sqrt(np.prod(np.asarray(x.shape[-1:], dtype=np.float64)))
 
-    @jax.jit
-    def chained(z):
-        for _ in range(chain):
-            z = fn(z) * scale  # keep magnitudes stable, force dependency
-        return jnp.sum(jnp.abs(z[(0,) * (z.ndim - 1)]))
+    def make(k):
+        @jax.jit
+        def chained(z):
+            for _ in range(k):
+                z = fn(z) * scale  # keep magnitudes stable, force dependency
+            return jnp.sum(jnp.abs(z[(0,) * (z.ndim - 1)]))
 
-    float(np.asarray(chained(x)))  # compile + warm
-    if rtt is None:
-        rtt = measure_rtt()
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(np.asarray(chained(x)))
-        best = min(best, time.perf_counter() - t0)
-    per = max((best - rtt) / chain, 1e-9)
+        return chained
+
+    per = time_chain_diff(make, x, k_lo=4, k_hi=max(chain, 12), iters=iters)
     return BenchResult(name=name, wall_s=per, flops=flops, bytes_moved=bytes_moved)
 
 
