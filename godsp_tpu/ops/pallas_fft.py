@@ -75,10 +75,11 @@ def supported_size(n: int) -> bool:
 
 
 def default_batch_tile(n: int) -> int:
-    """Batch rows per grid step (VMEM-fit; tuned on v5e)."""
+    """Batch rows per grid step (tuned on v5e with the 64 MB VMEM cap;
+    ~10 live (bt, n) f32 arrays per step)."""
     if n >= 4096:
-        return 32
-    return max(16, min(128, (1 << 17) // n))
+        return 64
+    return 256
 
 
 @lru_cache(maxsize=None)
@@ -274,6 +275,7 @@ def fft_pow2_split(
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(xr2, xi2, *tables)
 
