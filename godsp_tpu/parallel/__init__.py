@@ -2,11 +2,12 @@
 
 TPU-native replacement for the reference's goroutine worker pool
 (SURVEY.md §2.2): data parallelism over channels ("dp"), sequence
-parallelism over the time axis ("sp") with ppermute halo exchange, and
-psum periodogram reduction.
+parallelism over the time axis ("sp") with halo exchange (ppermute or a
+Pallas remote-DMA ring), and psum periodogram reduction.
 """
 
-from godsp_tpu.parallel.mesh import MeshConfig, make_mesh
+from godsp_tpu.parallel.halo import ring_halo_pallas
+from godsp_tpu.parallel.mesh import MeshConfig, init_distributed, make_mesh
 from godsp_tpu.parallel.pwelch_sharded import (
     partial_periodogram,
     pwelch_sharded,
@@ -19,7 +20,9 @@ __all__ = [
     "StreamingPwelch",
     "make_mesh",
     "partial_periodogram",
+    "init_distributed",
     "pwelch_sharded",
+    "ring_halo_pallas",
     "sharded_partial_step",
     "stream_pwelch",
 ]

@@ -22,7 +22,35 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["MeshConfig", "make_mesh", "P", "NamedSharding"]
+__all__ = ["MeshConfig", "make_mesh", "init_distributed", "P", "NamedSharding"]
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize multi-host JAX (idempotent); returns global device count.
+
+    Call once per host before make_mesh on a pod slice; with no arguments
+    the TPU environment is auto-detected (jax.distributed.initialize's
+    default).  After this, jax.devices() spans the slice and the same
+    mesh/shard_map code runs unchanged — collectives ride ICI within a
+    slice and DCN across slices.  Failure policy is fail-fast per JAX
+    multi-host convention (SURVEY.md §5); no elastic resize.
+    """
+    if jax.process_count() == 1 and (num_processes or 1) > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif jax.process_count() == 1 and num_processes is None:
+        try:  # auto-detected TPU pod environment (no-op on single host)
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process run: nothing to initialize
+    return len(jax.devices())
 
 
 @dataclass(frozen=True)

@@ -66,7 +66,10 @@ def _frames_from_block(block, halo, nfft: int, stride: int, segs_per_shard: int)
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "nfft", "pad", "stride", "segs_per_shard", "lp", "total_segs"),
+    static_argnames=(
+        "mesh", "nfft", "pad", "stride", "segs_per_shard", "lp", "total_segs",
+        "halo_impl",
+    ),
 )
 def sharded_partial_step(
     x,
@@ -79,6 +82,7 @@ def sharded_partial_step(
     segs_per_shard: int,
     lp: int,
     total_segs: int,
+    halo_impl: tuple = ("ppermute", False),
 ):
     """One sharded accumulation step.
 
@@ -94,14 +98,24 @@ def sharded_partial_step(
 
     def shard_fn(x_local, tail_local):
         if H > 0:
-            head = x_local[..., :H]
             # Ring halo: src i -> dst i-1, so device i receives the head
             # of device i+1's block.  The wraparound into the last shard
             # is replaced by the streaming tail (or masked dead in
-            # one-shot mode).
-            halo = jax.lax.ppermute(
-                head, "sp", perm=[(i, (i - 1) % n_sp) for i in range(n_sp)]
-            )
+            # one-shot mode).  Two implementations with identical
+            # contracts: XLA collective-permute (default) or the Pallas
+            # remote-DMA ring kernel (parallel/halo.py).
+            if halo_impl[0] == "pallas":
+                from godsp_tpu.parallel.halo import ring_halo_pallas
+
+                halo = ring_halo_pallas(
+                    x_local, H, n_sp, has_dp=True, interpret=halo_impl[1]
+                )
+            else:
+                halo = jax.lax.ppermute(
+                    x_local[..., :H],
+                    "sp",
+                    perm=[(i, (i - 1) % n_sp) for i in range(n_sp)],
+                )
             sp_idx = jax.lax.axis_index("sp")
             is_last = (sp_idx == n_sp - 1)
             halo = jnp.where(is_last, tail_local, halo)
@@ -164,6 +178,7 @@ def pwelch_sharded(
     fs: float,
     options: Optional[PwelchOptions] = None,
     mesh: Optional[Mesh] = None,
+    halo_impl: tuple = ("ppermute", False),
 ) -> tuple[jax.Array, jax.Array]:
     """Welch PSD of x with the time axis sharded over mesh axis "sp".
 
@@ -208,7 +223,8 @@ def pwelch_sharded(
     H = max(nfft - stride, 0)
     tail = jnp.zeros(x.shape[:-1] + (H,), dtype=fdt)
     p_sum, count = sharded_partial_step(
-        x, tail, w_pad, mesh, nfft, pad, stride, segs_per_shard, lp, total_segs
+        x, tail, w_pad, mesh, nfft, pad, stride, segs_per_shard, lp, total_segs,
+        halo_impl=halo_impl,
     )
     pxx = p_sum / (count[..., None] * w_norm)
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)

@@ -159,3 +159,76 @@ class TestShardedFusedKernel:
         np.testing.assert_allclose(
             np.asarray(p_sh), np.asarray(ref), rtol=2e-4, atol=1e-12
         )
+
+
+class TestPallasHalo:
+    """parallel/halo.py: the remote-DMA ring must match ppermute exactly.
+
+    Interpret-mode RDMA emulation only supports single-named-axis meshes
+    (dma_start discharge limitation), so the ring kernel is validated on
+    an ("sp",)-only mesh; multi-axis addressing uses DeviceIdType.MESH,
+    which the compiled TPU path supports.
+    """
+
+    def test_ring_matches_ppermute(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from godsp_tpu.parallel import ring_halo_pallas
+
+        n_sp, L, H = 8, 512, 96
+        mesh = Mesh(np.array(jax.devices()[:n_sp]), ("sp",))
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=n_sp * L).astype(np.float32)
+        )
+
+        def via_pallas(x_local):
+            return ring_halo_pallas(x_local, H, n_sp, has_dp=False, interpret=True)
+
+        def via_ppermute(x_local):
+            return jax.lax.ppermute(
+                x_local[..., :H], "sp",
+                perm=[(i, (i - 1) % n_sp) for i in range(n_sp)],
+            )
+
+        sm = lambda f: jax.jit(
+            jax.shard_map(
+                f, mesh=mesh, in_specs=P("sp"), out_specs=P("sp"),
+                check_vma=False,
+            )
+        )
+        got = np.asarray(sm(via_pallas)(x))
+        ref = np.asarray(sm(via_ppermute)(x))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_ring_batched_rows(self):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from godsp_tpu.parallel import ring_halo_pallas
+
+        n_sp, L, H, B = 4, 256, 128, 3
+        mesh = Mesh(np.array(jax.devices()[:n_sp]), ("sp",))
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(B, n_sp * L)).astype(np.float32)
+        )
+
+        sm = lambda f: jax.jit(
+            jax.shard_map(
+                f, mesh=mesh, in_specs=P(None, "sp"),
+                out_specs=P(None, "sp"), check_vma=False,
+            )
+        )
+        got = np.asarray(
+            sm(lambda xl: ring_halo_pallas(xl, H, n_sp, has_dp=False, interpret=True))(x)
+        )
+        xs = np.asarray(x)
+        for i in range(n_sp):
+            right = (i + 1) % n_sp
+            np.testing.assert_array_equal(
+                got[:, i * H : (i + 1) * H], xs[:, right * L : right * L + H]
+            )
+
+    def test_zero_halo(self):
+        from godsp_tpu.parallel import ring_halo_pallas
+
+        out = ring_halo_pallas(jnp.ones((2, 64)), 0, 4)
+        assert out.shape == (2, 0)
