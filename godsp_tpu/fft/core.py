@@ -92,6 +92,14 @@ def _ifft_jit(x, axis: int = -1) -> jax.Array:
     n = x.shape[axis]
     if n <= 1:
         return x
+    if is_power_of_2(n):
+        # Conjugate-table inverse: mathematically identical to the
+        # reference's index-reversal + forward FFT (fft.go:35-52) —
+        # sum_j x[j] e^{+2pi i jk/N} — without the flip/roll passes.
+        if axis not in (-1, x.ndim - 1):
+            x = jnp.moveaxis(x, axis, -1)
+            return jnp.moveaxis(pow2_fft(x, inverse=True) / n, -1, axis)
+        return pow2_fft(x, inverse=True) / n
     # y[0] = x[0], y[i] = x[n-i]  (fft.go:39-43)
     rev = jnp.roll(jnp.flip(x, axis=axis), 1, axis=axis)
     return _fft_jit(rev, axis=axis) / n
