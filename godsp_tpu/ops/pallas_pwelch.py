@@ -305,6 +305,7 @@ def pwelch_power_partials(
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(*inputs)
     return out.reshape(*lead, n_tiles, nfft)
@@ -331,6 +332,7 @@ def pwelch_power_sum(
     stride: int,
     total_segs: int,
     mode: str = "precise",
+    segs_per_tile: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """One-sided periodogram power sum of a raw signal, natural order.
@@ -343,7 +345,8 @@ def pwelch_power_sum(
     """
     mask = jnp.ones(x.shape[:-1] + (total_segs,), _F32)
     partials = pwelch_power_partials(
-        x, mask, w, nfft, stride, mode=mode, interpret=interpret
+        x, mask, w, nfft, stride, mode=mode, segs_per_tile=segs_per_tile,
+        interpret=interpret,
     )
     p = digit_to_natural_bins(partials.sum(axis=-2), nfft)
     return p[..., : nfft // 2 + 1]
