@@ -111,11 +111,37 @@ def ifft(x, axis: int = -1) -> jax.Array:
     return _ifft_jit(put(x), axis=axis)
 
 
+@partial(jax.jit, static_argnames=("axis",))
+def _fft_real_jit(x, axis: int) -> jax.Array:
+    from godsp_tpu.fft.pow2 import _pallas_eligible
+    from godsp_tpu._dtypes import complex_for
+
+    n = x.shape[axis]
+    if (
+        x.dtype.kind == "f"
+        and n > 1
+        and is_power_of_2(n)
+        and _pallas_eligible(complex_for(x.dtype), n)
+    ):
+        # Real-input kernel path: the imag plane is neither transferred
+        # nor multiplied (step 1 halves in the kernel).
+        from godsp_tpu.ops.pallas_fft import fft_pow2_split
+
+        if axis not in (-1, x.ndim - 1):
+            x = jnp.moveaxis(x, axis, -1)
+            yr, yi = fft_pow2_split(x, None)
+            return jnp.moveaxis(jax.lax.complex(yr, yi), -1, axis)
+        yr, yi = fft_pow2_split(x, None)
+        return jax.lax.complex(yr, yi)
+    return _fft_jit(x, axis=axis)
+
+
 def fft_real(x, axis: int = -1) -> jax.Array:
     """FFT of real input; returns the full N-bin complex spectrum
     (fft.go:25-27).  The real->complex lift happens inside the jitted
-    transform."""
-    return fft(x, axis=axis)
+    transform; on TPU, power-of-2 sizes take the real-input Pallas
+    kernel (no imag plane in HBM, half the step-1 contraction)."""
+    return _fft_real_jit(put(x), axis=axis)
 
 
 def ifft_real(x, axis: int = -1) -> jax.Array:

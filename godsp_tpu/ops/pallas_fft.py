@@ -116,6 +116,21 @@ _TABLE_ORDER = [
 ]
 
 
+def _step_a_real_vpu(x3, n1: int):
+    """Forward DFT over i1 for REAL input, n1 in {2, 4}: exact VPU adds."""
+    if n1 == 2:
+        x0, x1 = x3[:, 0], x3[:, 1]
+        ar = jnp.stack([x0 + x1, x0 - x1], axis=1)
+        return ar, jnp.zeros_like(ar)
+    x0, x1, x2, x3_ = (x3[:, k] for k in range(4))
+    e, o = x0 + x2, x0 - x2  # even sum / diff
+    s, d = x1 + x3_, x1 - x3_  # odd sum / diff
+    zero = jnp.zeros_like(e)
+    ar = jnp.stack([e + s, o, e - s, o], axis=1)
+    ai = jnp.stack([zero, -d, zero, d], axis=1)
+    return ar, ai
+
+
 def _step_a_vpu(xr, xi, n1: int, inverse: bool):
     """Exact DFT over i1 for n1 in {2, 4}: entries are +-1 / +-i."""
     if n1 == 2:
@@ -138,24 +153,43 @@ def _step_a_vpu(xr, xi, n1: int, inverse: bool):
 
 
 def _fft_kernel(
-    xr_ref, xi_ref,
-    f1r, f1i, f1s, tr, ti, f2r, f2i, f2s,
-    f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
-    yr_ref, yi_ref, *, n1: int, fast: bool, inverse: bool,
+    *refs, n1: int, fast: bool, inverse: bool, real_input: bool = False,
 ):
+    if real_input:
+        (
+            xr_ref,
+            f1r, f1i, f1s, tr, ti, f2r, f2i, f2s,
+            f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
+            yr_ref, yi_ref,
+        ) = refs
+        xi_ref = None
+    else:
+        (
+            xr_ref, xi_ref,
+            f1r, f1i, f1s, tr, ti, f2r, f2i, f2s,
+            f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
+            yr_ref, yi_ref,
+        ) = refs
     bt = xr_ref.shape[0]
     xr = xr_ref[:].reshape(bt, n1, LANES)
-    xi = xi_ref[:].reshape(bt, n1, LANES)
+    xi = None if real_input else xi_ref[:].reshape(bt, n1, LANES)
 
     # ---- Step 1: A[b, k1, i2] = sum_i1 F1[k1, i1] x[b, i1, i2] ----
-    if n1 <= 4:
+    # Real input halves the contraction (no x.im terms).
+    dn_a = (((2,), (1,)), ((0,), (0,)))
+    mm_a = partial(
+        jax.lax.dot_general, dimension_numbers=dn_a,
+        preferred_element_type=_F32, precision=_HI,
+    )
+    if real_input:
+        if n1 <= 4:
+            ar, ai = _step_a_real_vpu(xr, n1)
+        else:
+            ar = mm_a(jnp.broadcast_to(f1r[:], (bt, n1, n1)), xr)
+            ai = mm_a(jnp.broadcast_to(f1i[:], (bt, n1, n1)), xr)
+    elif n1 <= 4:
         ar, ai = _step_a_vpu(xr, xi, n1, inverse)
     else:
-        dn_a = (((2,), (1,)), ((0,), (0,)))
-        mm_a = partial(
-            jax.lax.dot_general, dimension_numbers=dn_a,
-            preferred_element_type=_F32, precision=_HI,
-        )
         f1r3 = jnp.broadcast_to(f1r[:], (bt, n1, n1))
         f1i3 = jnp.broadcast_to(f1i[:], (bt, n1, n1))
         ar = mm_a(f1r3, xr) - mm_a(f1i3, xi)
@@ -205,7 +239,7 @@ def _digit_to_natural(y: jax.Array, n1: int) -> jax.Array:
 
 def fft_pow2_split(
     xr: jax.Array,
-    xi: jax.Array,
+    xi: jax.Array | None,
     inverse: bool = False,
     order: str = "natural",
     mode: str = "precise",
@@ -216,6 +250,8 @@ def fft_pow2_split(
 
     xr, xi: (..., N) float32, natural-order input.  Returns (yr, yi)
     with the unnormalized forward (or conjugate-table inverse) DFT.
+    xi=None marks a REAL input (forward only): the imag plane is neither
+    read from HBM nor multiplied — step 1 halves.
 
     order:  "natural" applies the digit-order fix (one XLA transpose);
             "digit" returns the kernel's k1-major order — free for
@@ -228,7 +264,10 @@ def fft_pow2_split(
     Leading axes are flattened into the grid's batch dimension; a ragged
     final tile is zero-padded (FFT of zeros is zeros — harmless).
     """
-    if xr.shape != xi.shape:
+    real_input = xi is None
+    if real_input and inverse:
+        raise ValueError("real-input mode is forward-only (xi=None)")
+    if not real_input and xr.shape != xi.shape:
         raise ValueError("re/im planes must have identical shapes")
     if order not in ("natural", "digit"):
         raise ValueError(f"unknown order: {order}")
@@ -241,13 +280,17 @@ def fft_pow2_split(
 
     lead = xr.shape[:-1]
     xr2 = xr.reshape(-1, n).astype(_F32)
-    xi2 = xi.reshape(-1, n).astype(_F32)
     b = xr2.shape[0]
     bt = batch_tile or default_batch_tile(n)
     pad = (-b) % bt
     if pad:
         xr2 = jnp.pad(xr2, ((0, pad), (0, 0)))
-        xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
+    data = [xr2]
+    if not real_input:
+        xi2 = xi.reshape(-1, n).astype(_F32)
+        if pad:
+            xi2 = jnp.pad(xi2, ((0, pad), (0, 0)))
+        data.append(xi2)
     grid = (xr2.shape[0] // bt,)
 
     tabs = _tables(n, inverse)
@@ -261,23 +304,27 @@ def fft_pow2_split(
 
     passes = 9 if mode == "fast" else 18
     flops = passes * 2 * xr2.shape[0] * n * (n1 + LANES)
-    bytes_acc = 4 * xr2.shape[0] * n * 4
+    bytes_acc = (3 if real_input else 4) * xr2.shape[0] * n * 4
 
     yr, yi = pl.pallas_call(
-        partial(_fft_kernel, n1=n1, fast=(mode == "fast"), inverse=inverse),
+        partial(
+            _fft_kernel,
+            n1=n1, fast=(mode == "fast"), inverse=inverse,
+            real_input=real_input,
+        ),
         grid=grid,
-        in_specs=[data_spec, data_spec] + const_specs,
+        in_specs=[data_spec] * len(data) + const_specs,
         out_specs=(data_spec, data_spec),
         out_shape=(
             jax.ShapeDtypeStruct(xr2.shape, _F32),
-            jax.ShapeDtypeStruct(xi2.shape, _F32),
+            jax.ShapeDtypeStruct(xr2.shape, _F32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(xr2, xi2, *tables)
+    )(*data, *tables)
 
     if order == "natural":
         yr = _digit_to_natural(yr, n1)

@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from godsp_tpu.ops.pallas_fft import (
     LANES,
     _TABLE_ORDER,
+    _step_a_real_vpu,
     _tables,
     default_batch_tile,
     supported_size,
@@ -80,21 +81,6 @@ def fused_supported(nfft: int, pad: int, stride: int) -> bool:
 def _segs_per_tile(nfft: int) -> int:
     # Cap so the ~7 live (bt, nfft) f32 intermediates stay well under VMEM.
     return max(8, min(default_batch_tile(nfft), (1 << 21) // (4 * nfft)))
-
-
-def _step_a_real_vpu(x3, n1: int):
-    """Forward DFT over i1 for real input, n1 in {2, 4}: exact VPU adds."""
-    if n1 == 2:
-        x0, x1 = x3[:, 0], x3[:, 1]
-        ar = jnp.stack([x0 + x1, x0 - x1], axis=1)
-        return ar, jnp.zeros_like(ar)
-    x0, x1, x2, x3_ = (x3[:, k] for k in range(4))
-    e, o = x0 + x2, x0 - x2  # even sum / diff
-    s, d = x1 + x3_, x1 - x3_  # odd sum / diff
-    zero = jnp.zeros_like(e)
-    ar = jnp.stack([e + s, o, e - s, o], axis=1)
-    ai = jnp.stack([zero, -d, zero, d], axis=1)
-    return ar, ai
 
 
 def _pwelch_kernel(
