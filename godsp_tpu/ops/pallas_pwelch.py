@@ -27,10 +27,11 @@ HBM traffic per tile: read bt*stride + halo signal samples + write one
 the unfused path (frames write+read at 2x, spectrum write+read), on top
 of removing all intermediate HBM round-trips.
 
-Geometry supported (checked by `fused_supported`): pad == nfft,
-nfft in ops.pallas_fft.supported_size (256..16384), stride % 128 == 0,
-nfft % stride == 0 (covers 0%, 50%, 75%, ... overlap).  Everything else
-falls back to the XLA path in spectral.pwelch.
+Geometry supported (checked by `fused_supported`): pad >= nfft with
+pad in ops.pallas_fft.supported_size (256..16384), nfft % 128 == 0,
+stride % 128 == 0, nfft % stride == 0 (covers 0%, 50%, 75%, ...
+overlap).  Everything else falls back to the XLA path in
+spectral.pwelch.
 
 Reference parity: bit-semantics of pwelch.go:101-121 (one-sided lp
 bins, interior doubling and normalization applied by the caller);
@@ -68,10 +69,15 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def fused_supported(nfft: int, pad: int, stride: int) -> bool:
-    """True if the fused kernel covers this Pwelch geometry."""
+    """True if the fused kernel covers this Pwelch geometry.
+
+    pad >= nfft (segments zero-extended in VMEM before the FFT,
+    pwelch.go:108); the FFT size is pad.
+    """
     return (
-        pad == nfft
-        and supported_size(nfft)
+        pad >= nfft
+        and supported_size(pad)
+        and nfft % LANES == 0
         and stride > 0
         and stride % LANES == 0
         and nfft % stride == 0
@@ -88,6 +94,7 @@ def _pwelch_kernel(
     bt: int,
     stride: int,
     nfft: int,
+    pad: int,
     halo: int,
     fast: bool,
 ):
@@ -101,7 +108,7 @@ def _pwelch_kernel(
         f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
         out_ref,
     ) = rest
-    n1 = nfft // LANES
+    n1 = pad // LANES
     T = bt * stride
     m = nfft // stride
 
@@ -122,7 +129,10 @@ def _pwelch_kernel(
             axis=1,
         )  # (bt, nfft); frames[s] = ext[s*stride : s*stride + nfft]
 
-    # ---- window (pwelch.go:109, pad == nfft) ----
+    # ---- zero-extend to pad, then window (pwelch.go:108-109: the
+    # segment is padded FIRST and tapered by a PAD-length window) ----
+    if pad > nfft:
+        frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
     xw = frames * w_ref[:]
     x3 = xw.reshape(bt, n1, LANES)
 
@@ -170,14 +180,14 @@ def _pwelch_kernel(
     ci = m3 - m1 - m2
 
     # ---- |X|^2 then masked segment reduction in one MXU contraction ----
-    p = (cr * cr + ci * ci).reshape(bt, nfft)  # digit order (k1-major)
+    p = (cr * cr + ci * ci).reshape(bt, pad)  # digit order (k1-major)
     mask_row = mask_ref[:].reshape(1, -1)[:, :bt]  # 128-lane padded block
     row = jax.lax.dot_general(
         mask_row, p,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=_F32, precision=_HI,
     )
-    out_ref[:] = row.reshape(1, 1, nfft)
+    out_ref[:] = row.reshape(1, 1, pad)
 
 
 def pwelch_power_partials(
@@ -186,6 +196,7 @@ def pwelch_power_partials(
     w: jax.Array,
     nfft: int,
     stride: int,
+    pad: int | None = None,
     mode: str = "precise",
     segs_per_tile: int | None = None,
     interpret: bool = False,
@@ -199,25 +210,29 @@ def pwelch_power_partials(
           caps the segment count.  ext must cover every MASKED segment;
           both are zero-padded here to tile granularity (an all-zero
           frame contributes |FFT(0)|^2 = 0, and padded mask rows are 0).
-    w:    (nfft,) window taper table (pwelch.go:109, hoisted).
+    w:    (pad,) window taper table (pwelch.go:109, hoisted).
+    pad:  FFT length >= nfft (default nfft); segments are zero-extended
+          to it in VMEM (pwelch.go:108).
 
-    Returns (..., n_tiles, nfft): per-tile sums over segments of
+    Returns (..., n_tiles, pad): per-tile sums over segments of
     |FFT(w * frame)|^2 in the kernel's digit order — pass through
     `digit_to_natural_bins` (or sum tiles first; summing commutes).
     """
     if mode not in ("precise", "fast"):
         raise ValueError(f"unknown mode: {mode}")
-    if not fused_supported(nfft, nfft, stride):
+    pad = pad or nfft
+    if not fused_supported(nfft, pad, stride):
         raise ValueError(
-            f"geometry (nfft={nfft}, stride={stride}) unsupported by the fused kernel"
+            f"geometry (nfft={nfft}, pad={pad}, stride={stride}) unsupported "
+            "by the fused kernel"
         )
     S = mask.shape[-1]
     lead = ext.shape[:-1]
     if mask.shape[:-1] != lead:
         raise ValueError("ext and mask must share leading dimensions")
     if S == 0:
-        return jnp.zeros(lead + (0, nfft), dtype=_F32)
-    bt = segs_per_tile or _segs_per_tile(nfft)
+        return jnp.zeros(lead + (0, pad), dtype=_F32)
+    bt = segs_per_tile or _segs_per_tile(pad)
     bt = min(bt, max(8, S))
     bt = max(8, 1 << (bt.bit_length() - 1))  # pow2: keeps T 1024-aligned
     n_tiles = pl.cdiv(S, bt)
@@ -255,12 +270,12 @@ def pwelch_power_partials(
         pl.BlockSpec((1, 1, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     )
 
-    inputs.append(jnp.asarray(w, _F32).reshape(1, nfft))
+    inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(
-        pl.BlockSpec((1, nfft), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     )
 
-    tabs = _tables(nfft, False)
+    tabs = _tables(pad, False)
     for key in _TABLE_ORDER:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
@@ -268,11 +283,11 @@ def pwelch_power_partials(
             pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
 
-    n1 = nfft // LANES
+    n1 = pad // LANES
     # Step 1 (real): 2 matmuls over n1; step 3: 3 over 128; mask-sum: 1.
     passes = 9 if mode == "fast" else 18
-    flops = R * n_tiles * bt * nfft * (2 * n1 + passes // 3 * LANES + 8)
-    bytes_acc = 4 * (R * n_tiles * (T + halo + bt) + R * n_tiles * nfft)
+    flops = R * n_tiles * bt * pad * (2 * n1 + passes // 3 * LANES + 8)
+    bytes_acc = 4 * (R * n_tiles * (T + halo + bt) + R * n_tiles * pad)
 
     # Inside shard_map with vma checking, the output must declare which
     # mesh axes it varies over — it varies exactly as the samples do.
@@ -280,21 +295,22 @@ def pwelch_power_partials(
     out = pl.pallas_call(
         partial(
             _pwelch_kernel,
-            bt=bt, stride=stride, nfft=nfft, halo=halo, fast=(mode == "fast"),
+            bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
+            fast=(mode == "fast"),
         ),
         grid=(R * n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, nfft), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((R * n_tiles, 1, nfft), _F32, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((R * n_tiles, 1, pad), _F32, vma=vma),
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(*lead, n_tiles, nfft)
+    return out.reshape(*lead, n_tiles, pad)
 
 
 def digit_to_natural_bins(p: jax.Array, nfft: int) -> jax.Array:
@@ -317,6 +333,7 @@ def pwelch_power_sum(
     nfft: int,
     stride: int,
     total_segs: int,
+    pad: int | None = None,
     mode: str = "precise",
     segs_per_tile: int | None = None,
     interpret: bool = False,
@@ -325,14 +342,15 @@ def pwelch_power_sum(
 
     x: (..., L) real samples; segments s in [0, total_segs) with
     total_segs = (L - nfft)//stride + 1 (spectral.go:26-33).  Returns
-    (..., nfft//2 + 1) sum over segments of |FFT(w * frame)|^2 — the
+    (..., pad//2 + 1) sum over segments of |FFT(w * frame)|^2 — the
     caller applies interior doubling and the 1/(nsegs * sum(w^2) * fs)
     normalization (pwelch.go:113-136).
     """
     mask = jnp.ones(x.shape[:-1] + (total_segs,), _F32)
+    pad = pad or nfft
     partials = pwelch_power_partials(
-        x, mask, w, nfft, stride, mode=mode, segs_per_tile=segs_per_tile,
-        interpret=interpret,
+        x, mask, w, nfft, stride, pad=pad, mode=mode,
+        segs_per_tile=segs_per_tile, interpret=interpret,
     )
-    p = digit_to_natural_bins(partials.sum(axis=-2), nfft)
-    return p[..., : nfft // 2 + 1]
+    p = digit_to_natural_bins(partials.sum(axis=-2), pad)
+    return p[..., : pad // 2 + 1]

@@ -141,8 +141,10 @@ def sharded_partial_step(
             )
 
             ext = jnp.concatenate([x_local, halo], axis=-1)
-            partials = pwelch_power_partials(ext, mask, w_pad, nfft, stride)
-            p = digit_to_natural_bins(partials.sum(axis=-2), nfft)[..., :lp]
+            partials = pwelch_power_partials(
+                ext, mask, w_pad, nfft, stride, pad=pad
+            )
+            p = digit_to_natural_bins(partials.sum(axis=-2), pad)[..., :lp]
             doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
             p_sum, count = p * doubler, jnp.sum(mask, axis=-1)
         else:

@@ -106,28 +106,31 @@ def pwelch(
     stride = nfft - noverlap
     if stride > 0 and fused_path_eligible(nfft, pad, stride):
         total_segs = (x.shape[-1] - nfft) // stride + 1  # spectral.go:26-33
-        return _pwelch_fused(x, fs, o, nfft, wf, stride, total_segs, enable_scaling)
+        return _pwelch_fused(
+            x, fs, nfft, wf, pad, stride, total_segs, enable_scaling
+        )
 
     frames = segment(x, nfft, noverlap)  # (nsegs, nfft), pwelch.go:104
     return pwelch_from_frames(frames, fs, o)
 
 
-def _pwelch_fused(x, fs, o, nfft, wf, stride, total_segs, enable_scaling):
+def _pwelch_fused(x, fs, nfft, wf, pad, stride, total_segs, enable_scaling):
     """Single-kernel Pwelch: frame->window->FFT->|.|^2->sum fused in VMEM
     (ops.pallas_pwelch); numerics match pwelch_from_frames to f32."""
     from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
 
     fdt = x.dtype
-    lp = nfft // 2 + 1
-    w = win.window_table(wf, nfft).astype(fdt)
-    w_norm = jnp.sum(w * w)  # pwelch.go:124-128
+    lp = pad // 2 + 1
+    w_pad = win.window_table(wf, pad).astype(fdt)  # pwelch.go:108-109
+    w_nfft = win.window_table(wf, nfft).astype(fdt)
+    w_norm = jnp.sum(w_nfft * w_nfft)  # pwelch.go:124-128 (NFFT window)
     if enable_scaling:
         w_norm = w_norm * jnp.asarray(fs, dtype=fdt)  # pwelch.go:130-132
 
-    p = pwelch_power_sum(x, w, nfft, stride, total_segs)
+    p = pwelch_power_sum(x, w_pad, nfft, stride, total_segs, pad=pad)
     doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
     pxx = p * doubler / (total_segs * w_norm)  # pwelch.go:113-136
-    freqs = jnp.arange(lp, dtype=fdt) * (fs / nfft)  # pwelch.go:138-142
+    freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)  # pwelch.go:138-142
     return pxx, freqs
 
 

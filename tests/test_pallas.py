@@ -229,7 +229,9 @@ class TestPallasPwelch:
     def test_fused_supported(self):
         assert fused_supported(256, 256, 256)
         assert fused_supported(1024, 1024, 512)
-        assert not fused_supported(1024, 2048, 512)   # pad != nfft
+        assert fused_supported(1024, 2048, 512)       # pad > nfft
+        assert not fused_supported(1024, 512, 512)    # pad < nfft
+        assert not fused_supported(1024, 100000, 512) # pad not kernel-size
         assert not fused_supported(100, 100, 100)     # not a kernel size
         assert not fused_supported(1024, 1024, 100)   # stride % 128 != 0
         assert not fused_supported(1024, 1024, 384)   # nfft % stride != 0
@@ -242,3 +244,51 @@ class TestPallasPwelch:
             pwelch_power_partials(x, m, w, 100, 100, interpret=True)
         with pytest.raises(ValueError, match="unknown mode"):
             pwelch_power_partials(x, m, jnp.ones(256), 256, 256, mode="x", interpret=True)
+
+    def test_pad_gt_nfft(self):
+        """pad > nfft: segments zero-extended in VMEM, PAD-length window
+        (pwelch.go:108-109 semantics)."""
+        from godsp_tpu import window as win
+
+        rng = np.random.default_rng(11)
+        nfft, pad, stride = 256, 512, 128
+        segs = 12
+        L = (segs - 1) * stride + nfft
+        x = rng.normal(size=L).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+        got = np.asarray(
+            pwelch_power_sum(
+                jnp.asarray(x), w, nfft, stride, segs, pad=pad, interpret=True
+            )
+        )
+        w64 = np.asarray(win.window_table_np("hann", pad))
+        lp = pad // 2 + 1
+        ref = np.zeros(lp)
+        for s in range(segs):
+            fr = np.zeros(pad)
+            fr[:nfft] = x[s * stride : s * stride + nfft].astype(np.float64)
+            ref += np.abs(np.fft.fft(fr * w64)[:lp]) ** 2
+        assert snr_db(got, ref) >= 100.0
+
+    def test_pad_gt_nfft_end_to_end(self, monkeypatch):
+        """spectral.pwelch fused branch with pad>nfft == XLA path."""
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from godsp_tpu import spectral
+
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        rng = np.random.default_rng(12)
+        opts = spectral.PwelchOptions(nfft=256, pad=1024, noverlap=128)
+        x = rng.normal(size=10_000).astype(np.float32)
+        ref, ref_f = spectral.pwelch(x, 2.0, opts)  # XLA path
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got, got_f = spectral.pwelch(x, 2.0, opts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f))
