@@ -6,6 +6,7 @@ parallelism over the time axis ("sp") with halo exchange (ppermute or a
 Pallas remote-DMA ring), and psum periodogram reduction.
 """
 
+from godsp_tpu.parallel.fft_sharded import fft_sharded
 from godsp_tpu.parallel.halo import ring_halo_pallas
 from godsp_tpu.parallel.mesh import MeshConfig, init_distributed, make_mesh
 from godsp_tpu.parallel.pwelch_sharded import (
@@ -17,6 +18,7 @@ from godsp_tpu.parallel.streaming import StreamingPwelch, stream_pwelch
 
 __all__ = [
     "MeshConfig",
+    "fft_sharded",
     "StreamingPwelch",
     "make_mesh",
     "partial_periodogram",

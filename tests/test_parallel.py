@@ -232,3 +232,58 @@ class TestPallasHalo:
 
         out = ring_halo_pallas(jnp.ones((2, 64)), 0, 4)
         assert out.shape == (2, 0)
+
+
+class TestShardedFFT:
+    """Tensor-parallel four-step FFT (parallel/fft_sharded.py) vs numpy."""
+
+    def test_natural_order_matches_numpy(self):
+        from godsp_tpu.parallel import fft_sharded
+
+        n = 1 << 15
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex128)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        got = np.asarray(fft_sharded(jnp.asarray(x), mesh))
+        ref = np.fft.fft(x)
+        from godsp_tpu.dsputils import snr_db
+
+        assert snr_db(got, ref) >= 200.0  # f64 on the CPU mesh
+
+    def test_digit_order(self):
+        from godsp_tpu.parallel import fft_sharded
+
+        n, p = 1 << 12, 8
+        rng = np.random.default_rng(1)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex128)
+        mesh = make_mesh(MeshConfig(dp=1, sp=p))
+        got = np.asarray(fft_sharded(jnp.asarray(x), mesh, order="digit"))
+        ref = np.fft.fft(x)
+        n2 = n // p
+        # digit layout: position k1*n2 + k2 holds Y[k1 + p*k2]
+        ref_digit = ref.reshape(n2, p).T.reshape(n)
+        from godsp_tpu.dsputils import snr_db
+
+        assert snr_db(got, ref_digit) >= 200.0
+
+    def test_inverse_roundtrip(self):
+        from godsp_tpu.parallel import fft_sharded
+
+        n = 1 << 12
+        rng = np.random.default_rng(2)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex128)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        X = fft_sharded(jnp.asarray(x), mesh)
+        back = np.asarray(fft_sharded(X, mesh, inverse=True)) / n
+        from godsp_tpu.dsputils import snr_db
+
+        assert snr_db(back, x) >= 200.0
+
+    def test_errors(self):
+        from godsp_tpu.parallel import fft_sharded
+
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        with pytest.raises(ValueError, match="divisible"):
+            fft_sharded(jnp.ones(1000, jnp.complex128), mesh)
+        with pytest.raises(ValueError, match="unknown order"):
+            fft_sharded(jnp.ones(4096, jnp.complex128), mesh, order="x")
