@@ -63,6 +63,21 @@ def _stft_jit(x, w, nfft: int, hop: int, pad: int, onesided: bool):
     return spec
 
 
+def _fused_stft_eligible(nfft: int, pad: int, hop: int) -> bool:
+    from godsp_tpu.spectral.pwelch import fused_path_eligible
+
+    return fused_path_eligible(nfft, pad, hop)
+
+
+def _fused_window(w: jax.Array, pad: int) -> jax.Array:
+    """NFFT-length window zero-extended to pad: the fused kernel windows
+    AFTER zero-extension, so this reproduces stft's window-then-pad
+    semantics exactly."""
+    import jax.numpy as jnp
+
+    return jnp.pad(w, (0, pad - w.shape[0]))
+
+
 def stft(
     x,
     nfft: int,
@@ -85,6 +100,11 @@ def stft(
     if pad < nfft:
         raise ValueError("pad must be >= nfft")
     w = _resolve_window(window, nfft, x.dtype)
+    if onesided and x.shape[-1] >= nfft and _fused_stft_eligible(nfft, pad, hop):
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        n_frames = (x.shape[-1] - nfft) // hop + 1
+        return stft_pallas(x, _fused_window(w, pad), nfft, hop, n_frames, pad=pad)
     return _stft_jit(x, w, nfft, hop, pad, onesided)
 
 
@@ -154,8 +174,22 @@ def spectrogram(
     """
     if scale not in ("power", "magnitude", "db"):
         raise ValueError(f"unknown scale: {scale}")
-    spec = stft(x, nfft, hop, window, pad, onesided=True)
-    p = spec.real * spec.real + spec.imag * spec.imag
+    x = as_real_array(x)
+    hop = hop or nfft // 2
+    pad_r = pad or nfft
+    if x.shape[-1] >= nfft and _fused_stft_eligible(nfft, pad_r, hop):
+        # Fused power path: no complex spectra ever hit HBM.
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        w = _resolve_window(window, nfft, x.dtype)
+        n_frames = (x.shape[-1] - nfft) // hop + 1
+        p = stft_pallas(
+            x, _fused_window(w, pad_r), nfft, hop, n_frames, pad=pad_r,
+            out="power",
+        )
+    else:
+        spec = stft(x, nfft, hop, window, pad, onesided=True)
+        p = spec.real * spec.real + spec.imag * spec.imag
     if scale == "magnitude":
         return jnp.sqrt(p)
     if scale == "db":

@@ -4,6 +4,7 @@ These are the TPU-build counterparts of the reference's perf-critical
 components (SURVEY.md §2: radix-2 kernel, twiddle cache, Welch pipeline):
   pallas_fft     — batched power-of-2 FFT, whole transform in VMEM
   pallas_pwelch  — fused frame->window->FFT->|.|^2->masked-sum kernel
+  pallas_stft    — fused per-segment STFT / spectrogram kernel
 """
 
 from godsp_tpu.ops.pallas_fft import (
@@ -12,6 +13,7 @@ from godsp_tpu.ops.pallas_fft import (
     fft_pow2_split,
     supported_size,
 )
+from godsp_tpu.ops.pallas_stft import stft_pallas
 from godsp_tpu.ops.pallas_pwelch import (
     digit_to_natural_bins,
     fused_supported,
@@ -27,5 +29,6 @@ __all__ = [
     "fused_supported",
     "pwelch_power_partials",
     "pwelch_power_sum",
+    "stft_pallas",
     "supported_size",
 ]

@@ -152,6 +152,60 @@ def _step_a_vpu(xr, xi, n1: int, inverse: bool):
     return ar, ai
 
 
+def _fft_steps_real(x3, tabs, bt: int, n1: int, fast: bool):
+    """Forward FFT of REAL x3 (bt, n1, 128) -> (cr, ci), digit order.
+
+    tabs: table refs in _TABLE_ORDER order.  Shared by the standalone
+    real-input kernel and the fused Pwelch/STFT kernels.
+    """
+    (
+        f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s,
+        f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
+    ) = tabs
+
+    # Step 1: real input halves the contraction.
+    if n1 <= 4:
+        ar, ai = _step_a_real_vpu(x3, n1)
+    else:
+        dn_a = (((2,), (1,)), ((0,), (0,)))
+        mm_a = partial(
+            jax.lax.dot_general, dimension_numbers=dn_a,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        ar = mm_a(jnp.broadcast_to(f1r[:], (bt, n1, n1)), x3)
+        ai = mm_a(jnp.broadcast_to(f1i[:], (bt, n1, n1)), x3)
+
+    # Step 2: twiddle (VPU).
+    br = ar * tr[:] - ai * ti[:]
+    bi = ar * ti[:] + ai * tr[:]
+
+    # Step 3: lane contraction with F2 (Karatsuba complex).
+    dn_c = (((2,), (0,)), ((), ()))
+    if fast:
+        d = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32,
+        )
+
+        def mm3(x, wh, wl):
+            xh = x.astype(_BF16)
+            xl = (x - xh.astype(_F32)).astype(_BF16)
+            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
+
+        m1 = mm3(br, f2rh, f2rl)
+        m2 = mm3(bi, f2ih, f2il)
+        m3 = mm3(br + bi, f2sh, f2sl)
+    else:
+        mm_c = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        m1 = mm_c(br, f2r[:])
+        m2 = mm_c(bi, f2i[:])
+        m3 = mm_c(br + bi, f2s[:])
+    return m1 - m2, m3 - m1 - m2
+
+
 def _fft_kernel(
     *refs, n1: int, fast: bool, inverse: bool, real_input: bool = False,
 ):

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from godsp_tpu.ops.pallas_fft import (
     LANES,
     _TABLE_ORDER,
-    _step_a_real_vpu,
+    _fft_steps_real,
     _tables,
     default_batch_tile,
     supported_size,
@@ -89,6 +89,38 @@ def _segs_per_tile(nfft: int) -> int:
     return max(8, min(default_batch_tile(nfft), (1 << 21) // (4 * nfft)))
 
 
+def _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo):
+    """Frame + zero-extend + window one tile, entirely in VMEM.
+
+    Per-tile operands arrive as (1, 1, X) blocks of (n, 1, X) arrays —
+    the unit sublane dim satisfies Mosaic's block-shape rule ("equal to
+    the array dim") where a (1, X) row block of an (n, X) array would
+    not (sublane blocks must be 8-divisible), and 1-D lane-only blocks
+    miscompile the lane->sublane frame split.
+
+    Returns (bt, pad//128, 128) windowed real frames:
+    frames[s] = ext[s*stride : s*stride + nfft] zero-extended to pad and
+    tapered by the PAD-length window (pwelch.go:108-109).
+    """
+    T = bt * stride
+    m = nfft // stride
+    ext = block_ref[:].reshape(1, T)
+    if halo:
+        ext = jnp.concatenate([ext, halo_ref[:].reshape(1, halo)], axis=1)
+    if m == 1:
+        frames = ext[:, :T].reshape(bt, stride)
+    else:
+        # m lane-aligned reshapes of the extended block — no gathers.
+        frames = jnp.concatenate(
+            [ext[:, k * stride : k * stride + T].reshape(bt, stride) for k in range(m)],
+            axis=1,
+        )
+    if pad > nfft:
+        frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
+    xw = frames * w_ref[:]
+    return xw.reshape(bt, pad // LANES, LANES)
+
+
 def _pwelch_kernel(
     *refs,
     bt: int,
@@ -103,81 +135,11 @@ def _pwelch_kernel(
         block_ref, halo_ref, mask_ref, w_ref, *rest = refs
     else:
         block_ref, mask_ref, w_ref, *rest = refs
-    (
-        f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s,
-        f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
-        out_ref,
-    ) = rest
-    n1 = pad // LANES
-    T = bt * stride
-    m = nfft // stride
+        halo_ref = None
+    *tabs, out_ref = rest
 
-    # ---- frame: m lane-aligned reshapes of the extended block ----
-    # Per-tile operands arrive as (1, 1, X) blocks of (n, 1, X) arrays —
-    # the unit sublane dim satisfies Mosaic's block-shape rule ("equal to
-    # the array dim") where a (1, X) row block of an (n, X) array would
-    # not (sublane blocks must be 8-divisible), and 1-D lane-only blocks
-    # miscompile the lane->sublane frame split.
-    ext = block_ref[:].reshape(1, T)
-    if halo:
-        ext = jnp.concatenate([ext, halo_ref[:].reshape(1, halo)], axis=1)
-    if m == 1:
-        frames = ext[:, :T].reshape(bt, stride)
-    else:
-        frames = jnp.concatenate(
-            [ext[:, k * stride : k * stride + T].reshape(bt, stride) for k in range(m)],
-            axis=1,
-        )  # (bt, nfft); frames[s] = ext[s*stride : s*stride + nfft]
-
-    # ---- zero-extend to pad, then window (pwelch.go:108-109: the
-    # segment is padded FIRST and tapered by a PAD-length window) ----
-    if pad > nfft:
-        frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
-    xw = frames * w_ref[:]
-    x3 = xw.reshape(bt, n1, LANES)
-
-    # ---- Step 1: A[b, k1, i2] = sum_i1 F1[k1, i1] x[b, i1, i2] (real x) ----
-    if n1 <= 4:
-        ar, ai = _step_a_real_vpu(x3, n1)
-    else:
-        dn_a = (((2,), (1,)), ((0,), (0,)))
-        mm_a = partial(
-            jax.lax.dot_general, dimension_numbers=dn_a,
-            preferred_element_type=_F32, precision=_HI,
-        )
-        ar = mm_a(jnp.broadcast_to(f1r[:], (bt, n1, n1)), x3)
-        ai = mm_a(jnp.broadcast_to(f1i[:], (bt, n1, n1)), x3)
-
-    # ---- Step 2: twiddle (VPU) ----
-    br = ar * tr[:] - ai * ti[:]
-    bi = ar * ti[:] + ai * tr[:]
-
-    # ---- Step 3: lane contraction with F2 (Karatsuba complex) ----
-    dn_c = (((2,), (0,)), ((), ()))
-    if fast:
-        d = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32,
-        )
-
-        def mm3(x, wh, wl):
-            xh = x.astype(_BF16)
-            xl = (x - xh.astype(_F32)).astype(_BF16)
-            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
-
-        m1 = mm3(br, f2rh, f2rl)
-        m2 = mm3(bi, f2ih, f2il)
-        m3 = mm3(br + bi, f2sh, f2sl)
-    else:
-        mm_c = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32, precision=_HI,
-        )
-        m1 = mm_c(br, f2r[:])
-        m2 = mm_c(bi, f2i[:])
-        m3 = mm_c(br + bi, f2s[:])
-    cr = m1 - m2
-    ci = m3 - m1 - m2
+    x3 = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
+    cr, ci = _fft_steps_real(x3, tuple(tabs), bt, pad // LANES, fast)
 
     # ---- |X|^2 then masked segment reduction in one MXU contraction ----
     p = (cr * cr + ci * ci).reshape(bt, pad)  # digit order (k1-major)

@@ -1,0 +1,190 @@
+"""Fused STFT / spectrogram as one Pallas TPU kernel.
+
+Same in-VMEM frame -> window -> FFT pipeline as ops.pallas_pwelch, but
+emitting PER-SEGMENT results instead of the masked segment sum:
+
+  out="power"   -> |X|^2 per segment (the spectrogram hot path)
+  out="complex" -> (re, im) spectra per segment (the STFT hot path)
+
+Overlapped samples are still read from HBM exactly once; the per-segment
+output is the dominant HBM traffic, so unlike Pwelch this kernel is
+bandwidth-bound on its own writes.  Bin order is the kernel's digit
+order — the wrapper reorders to natural with one XLA transpose over the
+(segments, pad) output.
+
+Geometry: same as the Pwelch kernel (ops.pallas_pwelch.fused_supported).
+Used by models.stft/spectrogram on TPU; golden-tested against the XLA
+path in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from godsp_tpu.ops.pallas_fft import (
+    LANES,
+    _TABLE_ORDER,
+    _fft_steps_real,
+    _tables,
+)
+from godsp_tpu.ops.pallas_pwelch import (
+    _segs_per_tile,
+    _windowed_frames,
+    fused_supported,
+)
+
+__all__ = ["stft_pallas"]
+
+_F32 = jnp.float32
+
+
+def _stft_kernel(
+    *refs,
+    bt: int,
+    stride: int,
+    nfft: int,
+    pad: int,
+    halo: int,
+    fast: bool,
+    power: bool,
+):
+    """One tile: frame -> window -> FFT -> per-segment outputs."""
+    if halo:
+        block_ref, halo_ref, w_ref, *rest = refs
+    else:
+        block_ref, w_ref, *rest = refs
+        halo_ref = None
+    if power:
+        *tabs, p_ref = rest
+    else:
+        *tabs, yr_ref, yi_ref = rest
+
+    x3 = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
+    cr, ci = _fft_steps_real(x3, tuple(tabs), bt, pad // LANES, fast)
+    if power:
+        p_ref[:] = (cr * cr + ci * ci).reshape(bt, pad)
+    else:
+        yr_ref[:] = cr.reshape(bt, pad)
+        yi_ref[:] = ci.reshape(bt, pad)
+
+
+def _digit_to_natural_rows(y: jax.Array, pad: int) -> jax.Array:
+    """(..., pad) digit-order rows -> natural bin order (one transpose)."""
+    n1 = pad // LANES
+    lead = y.shape[:-1]
+    return y.reshape(*lead, n1, LANES).swapaxes(-1, -2).reshape(*lead, pad)
+
+
+def stft_pallas(
+    x: jax.Array,
+    w: jax.Array,
+    nfft: int,
+    stride: int,
+    total_segs: int,
+    pad: int | None = None,
+    out: str = "complex",
+    mode: str = "precise",
+    segs_per_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Fused short-time transform of raw samples.
+
+    x: (..., L) float32; segment s reads x[..., s*stride : +nfft],
+    s in [0, total_segs).  Returns natural-order one-sided results of
+    shape (..., total_segs, pad//2 + 1):
+      out="complex" -> complex spectra (jax.lax.complex of the planes)
+      out="power"   -> |X|^2 float32
+    """
+    if out not in ("complex", "power"):
+        raise ValueError(f"unknown out: {out}")
+    if mode not in ("precise", "fast"):
+        raise ValueError(f"unknown mode: {mode}")
+    pad = pad or nfft
+    if not fused_supported(nfft, pad, stride):
+        raise ValueError(
+            f"geometry (nfft={nfft}, pad={pad}, stride={stride}) unsupported "
+            "by the fused kernel"
+        )
+    lead = x.shape[:-1]
+    lp = pad // 2 + 1
+    if total_segs <= 0:
+        z = jnp.zeros(lead + (0, lp), _F32)
+        return jax.lax.complex(z, z) if out == "complex" else z
+
+    bt = segs_per_tile or _segs_per_tile(pad)
+    bt = min(bt, max(8, total_segs))
+    bt = max(8, 1 << (bt.bit_length() - 1))
+    n_tiles = pl.cdiv(total_segs, bt)
+    T = bt * stride
+    halo = nfft - stride
+
+    x2 = x.reshape(-1, x.shape[-1]).astype(_F32)
+    R = x2.shape[0]
+    need = n_tiles * T + halo
+    if x2.shape[-1] < need:
+        x2 = jnp.pad(x2, ((0, 0), (0, need - x2.shape[-1])))
+
+    blocks = x2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
+    inputs = [blocks]
+    in_specs = [pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    if halo:
+        idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
+        halos = jnp.take(x2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
+        inputs.append(halos)
+        in_specs.append(
+            pl.BlockSpec((1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        )
+    inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
+    in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    tabs = _tables(pad, False)
+    for key in _TABLE_ORDER:
+        t = jnp.asarray(tabs[key])
+        inputs.append(t)
+        in_specs.append(
+            pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    # Per-segment outputs: (bt, pad) blocks (bt is a pow2 >= 8, so the
+    # 8-sublane rule holds — no unit-sublane trick needed here).
+    out_spec = pl.BlockSpec((bt, pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_rows = R * n_tiles * bt
+    vma = getattr(jax.typeof(blocks), "vma", None) or frozenset()
+    shp = jax.ShapeDtypeStruct((out_rows, pad), _F32, vma=vma)
+    passes = 9 if mode == "fast" else 18
+    n1 = pad // LANES
+    cost = pl.CostEstimate(
+        flops=int(out_rows * pad * (2 * n1 + passes // 3 * LANES)),
+        bytes_accessed=int(4 * (R * n_tiles * (T + halo) + out_rows * pad)),
+        transcendentals=0,
+    )
+    kern = partial(
+        _stft_kernel,
+        bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
+        fast=(mode == "fast"), power=(out == "power"),
+    )
+    call = partial(
+        pl.pallas_call,
+        kern,
+        grid=(R * n_tiles,),
+        in_specs=in_specs,
+        cost_estimate=cost,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )
+
+    def finish(rows):
+        # (R*n_tiles*bt, pad) digit -> (..., total_segs, lp) natural.
+        rows = rows.reshape(R, n_tiles * bt, pad)[:, :total_segs]
+        rows = _digit_to_natural_rows(rows, pad)[..., :lp]
+        return rows.reshape(*lead, total_segs, lp)
+
+    if out == "power":
+        p = call(out_specs=out_spec, out_shape=shp)(*inputs)
+        return finish(p)
+    yr, yi = call(out_specs=(out_spec, out_spec), out_shape=(shp, shp))(*inputs)
+    return jax.lax.complex(finish(yr), finish(yi))

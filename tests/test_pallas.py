@@ -292,3 +292,86 @@ class TestPallasPwelch:
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-12
         )
         np.testing.assert_allclose(np.asarray(got_f), np.asarray(ref_f))
+
+
+class TestPallasSTFT:
+    """Fused STFT/spectrogram kernel vs the XLA models path."""
+
+    def test_complex_matches_models_stft(self):
+        from godsp_tpu.models.stft import _stft_jit
+        from godsp_tpu import window as win
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        rng = np.random.default_rng(20)
+        nfft, hop = 256, 128
+        L = hop * 30 + nfft
+        x = rng.normal(size=L).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        ref = np.asarray(_stft_jit(jnp.asarray(x), w, nfft, hop, nfft, True))
+        n_frames = (L - nfft) // hop + 1
+        got = np.asarray(
+            stft_pallas(jnp.asarray(x), w, nfft, hop, n_frames, interpret=True)
+        )
+        assert got.shape == ref.shape == (n_frames, 129)
+        assert snr_db(got, ref) >= 100.0
+
+    def test_power_matches(self):
+        from godsp_tpu import window as win
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        rng = np.random.default_rng(21)
+        nfft = hop = 256
+        L = 256 * 9
+        x = rng.normal(size=L).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hamming", nfft), jnp.float32)
+        p = np.asarray(
+            stft_pallas(jnp.asarray(x), w, nfft, hop, 9, out="power", interpret=True)
+        )
+        w64 = np.asarray(win.window_table_np("hamming", nfft))
+        for s in range(9):
+            fr = x[s * 256 : (s + 1) * 256].astype(np.float64)
+            ref = np.abs(np.fft.fft(fr * w64)[:129]) ** 2
+            assert snr_db(p[s], ref) >= 95.0
+
+    def test_pad_gt_nfft_window_semantics(self):
+        """models.stft pads AFTER windowing: the fused path must match
+        the XLA path exactly (nfft window zero-extended to pad)."""
+        from godsp_tpu.models.stft import _fused_window, _stft_jit
+        from godsp_tpu import window as win
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        rng = np.random.default_rng(22)
+        nfft, hop, pad = 256, 128, 512
+        L = 128 * 20 + 256
+        x = rng.normal(size=L).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        ref = np.asarray(_stft_jit(jnp.asarray(x), w, nfft, hop, pad, True))
+        n_frames = (L - nfft) // hop + 1
+        got = np.asarray(
+            stft_pallas(
+                jnp.asarray(x), _fused_window(w, pad), nfft, hop, n_frames,
+                pad=pad, interpret=True,
+            )
+        )
+        assert got.shape == ref.shape
+        assert snr_db(got, ref) >= 100.0
+
+    def test_batched(self):
+        from godsp_tpu import window as win
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        rng = np.random.default_rng(23)
+        x = rng.normal(size=(2, 3, 2048)).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hann", 256), jnp.float32)
+        got = stft_pallas(jnp.asarray(x), w, 256, 128, 15, interpret=True)
+        assert got.shape == (2, 3, 15, 129)
+
+    def test_errors(self):
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        x = jnp.zeros(2048, jnp.float32)
+        w = jnp.zeros(256, jnp.float32)
+        with pytest.raises(ValueError, match="unknown out"):
+            stft_pallas(x, w, 256, 128, 4, out="x", interpret=True)
+        with pytest.raises(ValueError, match="unsupported"):
+            stft_pallas(x, w, 100, 50, 4, interpret=True)
