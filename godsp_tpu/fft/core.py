@@ -144,9 +144,19 @@ def fft_real(x, axis: int = -1) -> jax.Array:
     return _fft_real_jit(put(x), axis=axis)
 
 
+@partial(jax.jit, static_argnames=("axis",))
+def _ifft_real_jit(x, axis: int) -> jax.Array:
+    n = x.shape[axis]
+    if x.dtype.kind == "f" and n > 1:
+        # For real x: IFFT(x) = conj(FFT(x))/n — rides the real-input
+        # kernel path with no index-reversal passes.
+        return jnp.conj(_fft_real_jit(x, axis)) / n
+    return _ifft_jit(x, axis=axis)
+
+
 def ifft_real(x, axis: int = -1) -> jax.Array:
     """IFFT of real input (fft.go:30-32)."""
-    return ifft(x, axis=axis)
+    return _ifft_real_jit(put(x), axis=axis)
 
 
 @jax.jit
