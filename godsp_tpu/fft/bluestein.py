@@ -22,7 +22,7 @@ import numpy as np
 
 from godsp_tpu._dtypes import complex_for
 from godsp_tpu.dsputils.utils import next_power_of_2
-from godsp_tpu.fft.pow2 import pow2_fft
+from godsp_tpu.fft.pow2 import pow2_circular_filter
 
 __all__ = ["bluestein_fft"]
 
@@ -74,8 +74,9 @@ def bluestein_fft(x: jax.Array) -> jax.Array:
     pad = [(0, 0)] * (x.ndim - 1) + [(0, la - n)]
     a = jnp.pad(a, pad)
 
-    # Circular convolution with the chirp filter; FFT(b) is precomputed.
-    conv = pow2_fft(pow2_fft(a) * fft_b, inverse=True) / la
+    # Circular convolution with the chirp filter; FFT(b) is precomputed
+    # and the whole chain runs in kernel digit order on TPU (pow2.py).
+    conv = pow2_circular_filter(a, fft_b) / la
 
     # Postmultiply and truncate (bluestein.go:89-93).
     return conv[..., :n] * jnp.conj(w)

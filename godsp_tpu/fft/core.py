@@ -161,6 +161,15 @@ def ifft_real(x, axis: int = -1) -> jax.Array:
 
 @jax.jit
 def _convolve_impl(x, y):
+    from godsp_tpu.fft.pow2 import pow2_convolve
+
+    x = as_complex_array(x)
+    y = as_complex_array(y)
+    n = x.shape[-1]
+    if n > 1 and is_power_of_2(n):
+        # Power-of-2: single fused chain (on TPU: forward transforms in
+        # kernel digit order, digit-consuming inverse — zero reorders).
+        return pow2_convolve(x, y) / n
     return ifft(fft(x) * fft(y))
 
 

@@ -60,3 +60,59 @@ def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
         yr, yi = fft_pow2_split(jnp.real(x), jnp.imag(x), inverse=inverse)
         return jax.lax.complex(yr, yi)
     return four_step_fft(x, inverse)
+
+
+def pow2_circular_filter(x: jax.Array, h: jax.Array) -> jax.Array:
+    """Unnormalized IDFT(DFT(x) * h_freq): the Convolve/Bluestein core.
+
+    h: the frequency response in NATURAL bin order (same trailing length
+    as x; broadcastable leading dims).  On the Pallas path the whole
+    chain runs in the kernel's digit order — forward (digit out),
+    pointwise multiply, digit-consuming inverse — with ZERO reorder
+    transposes (h is permuted once at trace time when constant, or with
+    one cheap XLA reorder otherwise).  Caller scales by 1/N.
+    """
+    n = x.shape[-1]
+    if _pallas_eligible(x.dtype, n):
+        from godsp_tpu.ops.pallas_fft import (
+            LANES,
+            fft_pow2_split,
+            ifft_pow2_digit_split,
+        )
+
+        n1 = n // LANES
+        # natural -> digit: position k1*128 + k2 holds bin k1 + n1*k2.
+        hd = (
+            h.reshape(*h.shape[:-1], LANES, n1)
+            .swapaxes(-1, -2)
+            .reshape(*h.shape[:-1], n)
+        )
+        xr, xi = fft_pow2_split(jnp.real(x), jnp.imag(x), order="digit")
+        hr, hi = jnp.real(hd), jnp.imag(hd)
+        pr = xr * hr - xi * hi
+        pi = xr * hi + xi * hr
+        zr, zi = ifft_pow2_digit_split(pr, pi)
+        return jax.lax.complex(zr, zi)
+    return pow2_fft(pow2_fft(x) * h, inverse=True)
+
+
+def pow2_convolve(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Unnormalized IDFT(DFT(x) * DFT(y)) (caller scales by 1/N).
+
+    On the Pallas path BOTH forward transforms emit digit order and the
+    inverse consumes it — no reorder transposes anywhere in the chain.
+    """
+    n = x.shape[-1]
+    if _pallas_eligible(x.dtype, n):
+        from godsp_tpu.ops.pallas_fft import (
+            fft_pow2_split,
+            ifft_pow2_digit_split,
+        )
+
+        xr, xi = fft_pow2_split(jnp.real(x), jnp.imag(x), order="digit")
+        yr, yi = fft_pow2_split(jnp.real(y), jnp.imag(y), order="digit")
+        pr = xr * yr - xi * yi
+        pi = xr * yi + xi * yr
+        zr, zi = ifft_pow2_digit_split(pr, pi)
+        return jax.lax.complex(zr, zi)
+    return pow2_fft(pow2_fft(x) * pow2_fft(y), inverse=True)

@@ -61,7 +61,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from godsp_tpu.fft.four_step import dft_matrix, twiddle_2d
 
-__all__ = ["fft_pow2_split", "supported_size", "default_batch_tile", "LANES"]
+__all__ = [
+    "fft_pow2_split",
+    "ifft_pow2_digit_split",
+    "supported_size",
+    "default_batch_tile",
+    "LANES",
+]
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
@@ -285,6 +291,76 @@ def _fft_kernel(
     yi_ref[:] = ci.reshape(bt, n1 * LANES)
 
 
+def _ifft_digit_in_kernel(
+    xr_ref, xi_ref,
+    f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s,
+    f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
+    yr_ref, yi_ref, *, n1: int, fast: bool,
+):
+    """Inverse DFT CONSUMING the forward kernel's digit order.
+
+    Input layout (k1, k2) holds Y[k1 + n1*k2]; with conjugated tables the
+    forward's three steps run in reverse roles:
+      B[b, k1, i2] = sum_k2 Y[b, k1, k2] conj(F2)[k2, i2]   (lane MXU)
+      C            = B * conj(T)[k1, i2]                     (VPU)
+      y[b, i1, i2] = sum_k1 conj(F1)[i1, k1] C[b, k1, i2]    (MXU)
+    emitting NATURAL order — so fft(digit out) ∘ pointwise ∘ this kernel
+    needs no reorder transposes at all (the Convolve/Bluestein chain).
+    Tables arrive already conjugated via _tables(n, inverse=True).
+    """
+    bt = xr_ref.shape[0]
+    xr = xr_ref[:].reshape(bt, n1, LANES)
+    xi = xi_ref[:].reshape(bt, n1, LANES)
+
+    # ---- Step A: lane contraction with conj(F2) (Karatsuba complex) ----
+    dn_c = (((2,), (0,)), ((), ()))
+    if fast:
+        d = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32,
+        )
+
+        def mm3(x, wh, wl):
+            xh = x.astype(_BF16)
+            xl = (x - xh.astype(_F32)).astype(_BF16)
+            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
+
+        m1 = mm3(xr, f2rh, f2rl)
+        m2 = mm3(xi, f2ih, f2il)
+        m3 = mm3(xr + xi, f2sh, f2sl)
+    else:
+        mm_c = partial(
+            jax.lax.dot_general, dimension_numbers=dn_c,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        m1 = mm_c(xr, f2r[:])
+        m2 = mm_c(xi, f2i[:])
+        m3 = mm_c(xr + xi, f2s[:])
+    br = m1 - m2
+    bi = m3 - m1 - m2
+
+    # ---- Step B: conjugate twiddle (VPU) ----
+    cr = br * tr[:] - bi * ti[:]
+    ci = br * ti[:] + bi * tr[:]
+
+    # ---- Step C: DFT over k1 with conj(F1) ----
+    if n1 <= 4:
+        yr, yi = _step_a_vpu(cr, ci, n1, inverse=True)
+    else:
+        dn_a = (((2,), (1,)), ((0,), (0,)))
+        mm_a = partial(
+            jax.lax.dot_general, dimension_numbers=dn_a,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        f1r3 = jnp.broadcast_to(f1r[:], (bt, n1, n1))
+        f1i3 = jnp.broadcast_to(f1i[:], (bt, n1, n1))
+        yr = mm_a(f1r3, cr) - mm_a(f1i3, ci)
+        yi = mm_a(f1r3, ci) + mm_a(f1i3, cr)
+
+    yr_ref[:] = yr.reshape(bt, n1 * LANES)
+    yi_ref[:] = yi.reshape(bt, n1 * LANES)
+
+
 def _digit_to_natural(y: jax.Array, n1: int) -> jax.Array:
     """XLA-side reorder: position k1*128 + k2  ->  k = k1 + n1*k2."""
     b, n = y.shape
@@ -386,3 +462,67 @@ def fft_pow2_split(
     if pad:
         yr, yi = yr[:b], yi[:b]
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
+
+
+def ifft_pow2_digit_split(
+    yr: jax.Array,
+    yi: jax.Array,
+    mode: str = "precise",
+    batch_tile: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Unnormalized inverse of fft_pow2_split(..., order="digit").
+
+    yr, yi: (..., N) float32 planes in the kernel's digit order.  Returns
+    natural-order time-domain planes (caller scales by 1/N).  This is the
+    tail of the zero-reorder Convolve/Bluestein chain:
+    fft(digit) -> pointwise -> this.
+    """
+    if yr.shape != yi.shape:
+        raise ValueError("re/im planes must have identical shapes")
+    if mode not in ("precise", "fast"):
+        raise ValueError(f"unknown mode: {mode}")
+    n = yr.shape[-1]
+    if not supported_size(n):
+        raise ValueError(f"unsupported FFT size for the Pallas kernel: {n}")
+    n1 = n // LANES
+
+    lead = yr.shape[:-1]
+    r2 = yr.reshape(-1, n).astype(_F32)
+    i2 = yi.reshape(-1, n).astype(_F32)
+    b = r2.shape[0]
+    bt = batch_tile or default_batch_tile(n)
+    pad = (-b) % bt
+    if pad:
+        r2 = jnp.pad(r2, ((0, pad), (0, 0)))
+        i2 = jnp.pad(i2, ((0, pad), (0, 0)))
+    grid = (r2.shape[0] // bt,)
+
+    tabs = _tables(n, True)  # conjugated
+    tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
+    data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const_specs = [
+        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+    passes = 9 if mode == "fast" else 18
+    zr, zi = pl.pallas_call(
+        partial(_ifft_digit_in_kernel, n1=n1, fast=(mode == "fast")),
+        grid=grid,
+        in_specs=[data_spec, data_spec] + const_specs,
+        out_specs=(data_spec, data_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(r2.shape, _F32),
+            jax.ShapeDtypeStruct(r2.shape, _F32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(passes * 2 * r2.shape[0] * n * (n1 + LANES)),
+            bytes_accessed=int(4 * r2.shape[0] * n * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(r2, i2, *tables)
+    if pad:
+        zr, zi = zr[:b], zi[:b]
+    return zr.reshape(*lead, n), zi.reshape(*lead, n)

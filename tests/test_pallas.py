@@ -375,3 +375,40 @@ class TestPallasSTFT:
             stft_pallas(x, w, 256, 128, 4, out="x", interpret=True)
         with pytest.raises(ValueError, match="unsupported"):
             stft_pallas(x, w, 100, 50, 4, interpret=True)
+
+
+class TestDigitOrderChain:
+    """ifft_pow2_digit_split + the zero-reorder convolve chain."""
+
+    def test_digit_inverse_roundtrip(self):
+        from godsp_tpu.ops.pallas_fft import ifft_pow2_digit_split
+
+        rng = np.random.default_rng(30)
+        n = 512
+        x = (rng.normal(size=(4, n)) + 1j * rng.normal(size=(4, n))).astype(
+            np.complex64
+        )
+        yr, yi = fft_pow2_split(*_split(x), order="digit", interpret=True)
+        zr, zi = ifft_pow2_digit_split(yr, yi, interpret=True)
+        back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        assert snr_db(back, x) >= 120.0
+
+    def test_pow2_convolve_matches_numpy(self):
+        from godsp_tpu.fft import pow2
+
+        rng = np.random.default_rng(31)
+        n = 1024
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex128)
+        y = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex128)
+        got = np.asarray(pow2.pow2_convolve(jnp.asarray(x), jnp.asarray(y))) / n
+        ref = np.fft.ifft(np.fft.fft(x) * np.fft.fft(y))
+        assert snr_db(got, ref) >= 200.0  # f64 four-step path on CPU
+
+    def test_digit_errors(self):
+        from godsp_tpu.ops.pallas_fft import ifft_pow2_digit_split
+
+        z = jnp.zeros((2, 256), jnp.float32)
+        with pytest.raises(ValueError, match="identical shapes"):
+            ifft_pow2_digit_split(z, jnp.zeros((3, 256), jnp.float32))
+        with pytest.raises(ValueError, match="unsupported FFT size"):
+            ifft_pow2_digit_split(jnp.zeros((2, 100)), jnp.zeros((2, 100)))
