@@ -224,3 +224,51 @@ def test_lyons_example():
 
 def test_ensure_radix2_factors():
     fft.ensure_radix2_factors(1 << 12)  # smoke: pre-warms the twiddle cache
+
+
+from godsp_tpu.dsputils import snr_db
+
+
+class TestPropertyRoundTrips:
+    """Property-style coverage across arbitrary lengths (Bluestein tail)
+    and axes — beyond the reference's fixed golden sizes."""
+
+    @pytest.mark.parametrize("n", [2, 3, 7, 12, 31, 60, 100, 127, 255, 257, 500])
+    def test_roundtrip_arbitrary_n(self, n):
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=n) + 1j * rng.normal(size=n)
+        back = np.asarray(fft.ifft(fft.fft(x)))
+        assert snr_db(back, x) >= 200.0
+
+    @pytest.mark.parametrize("n", [3, 5, 17, 100, 1000])
+    def test_forward_vs_numpy_arbitrary_n(self, n):
+        rng = np.random.default_rng(n + 1)
+        x = rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+        got = np.asarray(fft.fft(x))
+        assert snr_db(got, np.fft.fft(x)) >= 200.0
+
+    def test_axis_argument(self):
+        rng = np.random.default_rng(42)
+        x = rng.normal(size=(8, 5, 16)) + 1j * rng.normal(size=(8, 5, 16))
+        for ax in (0, 1, 2, -1):
+            got = np.asarray(fft.fft(x, axis=ax))
+            assert snr_db(got, np.fft.fft(x, axis=ax)) >= 200.0
+            back = np.asarray(fft.ifft(fft.fft(x, axis=ax), axis=ax))
+            assert snr_db(back, x) >= 200.0
+
+    def test_parseval(self):
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=777)
+        X = np.asarray(fft.fft_real(x))
+        assert np.isclose(np.sum(np.abs(X) ** 2) / 777, np.sum(x**2), rtol=1e-10)
+
+    def test_convolve_vs_direct(self):
+        rng = np.random.default_rng(9)
+        n = 48
+        a = rng.normal(size=n)
+        b = rng.normal(size=n)
+        got = np.asarray(fft.convolve(a, b))
+        direct = np.array(
+            [sum(a[j] * b[(k - j) % n] for j in range(n)) for k in range(n)]
+        )
+        assert snr_db(got.real, direct) >= 180.0
