@@ -74,6 +74,11 @@ class StreamingPwelch:
     update() buffers on the host and launches one device step per full
     chunk (chunk = n_sp * segs_per_chunk_shard * stride samples, plus the
     noverlap-sample halo that update() peeks from the following data).
+
+    channels > 1 streams multiple aligned channels: update() takes
+    (channels, n) blocks, finalize() returns (channels, lp) Pxx, and the
+    channel axis shards over the mesh's "dp" axis (the time axis still
+    shards over "sp").
     """
 
     def __init__(
@@ -84,6 +89,7 @@ class StreamingPwelch:
         segs_per_chunk_shard: int = 256,
         checkpoint_path: Optional[str] = None,
         checkpoint_every_chunks: int = 0,
+        channels: int = 1,
     ):
         from godsp_tpu.parallel.mesh import make_mesh
 
@@ -100,6 +106,14 @@ class StreamingPwelch:
             self.lp,
         ) = resolve_geometry(self.options)
         self.n_sp = self.mesh.shape["sp"]
+        self.channels = int(channels)
+        if self.channels < 1:
+            raise ValueError("channels must be >= 1")
+        n_dp = self.mesh.shape.get("dp", 1)
+        if n_dp > 1 and self.channels % n_dp != 0:
+            raise ValueError(
+                f"channels ({self.channels}) must divide over the dp axis ({n_dp})"
+            )
         self.segs_per_shard = int(segs_per_chunk_shard)
         self.chunk_len = self.n_sp * self.segs_per_shard * self.stride
         self.halo = max(self.nfft - self.stride, 0)
@@ -122,10 +136,14 @@ class StreamingPwelch:
         # Buffered at the policy dtype — f32 on TPU halves host memcpy and
         # host->device transfer; f64 under x64 (CPU parity runs).
         self._np_float = np_float()
-        self._buf = StreamBuffer(
-            capacity=2 * (self.chunk_len + self.halo), dtype=self._np_float
-        )
-        self._p_sum = np.zeros(self.lp, dtype=np.float64)
+        self._bufs = [
+            StreamBuffer(
+                capacity=2 * (self.chunk_len + self.halo), dtype=self._np_float
+            )
+            for _ in range(self.channels)
+        ]
+        self._buf = self._bufs[0]  # single-channel accessor (tests, repr)
+        self._p_sum = np.zeros((self.channels, self.lp), dtype=np.float64)
         self._count = 0.0
         self._consumed = 0  # global samples fully folded into the state
         self.metrics = StreamingMetrics()
@@ -144,7 +162,7 @@ class StreamingPwelch:
                 p_sum=self._p_sum,
                 count=self._count,
                 consumed=self._consumed,
-                buf=self._buf.peek(len(self._buf)),
+                buf=np.stack([b.peek(len(b)) for b in self._bufs]),
                 chunks=self.metrics.chunks_done,
                 segments=self.metrics.segments_done,
                 samples_in=self.metrics.samples_in,
@@ -155,10 +173,16 @@ class StreamingPwelch:
     def _restore(self, path: str) -> None:
         z = np.load(path)
         self._p_sum = z["p_sum"]
+        if self._p_sum.ndim == 1:  # pre-multichannel snapshot
+            self._p_sum = self._p_sum[None, :]
         self._count = float(z["count"])
         self._consumed = int(z["consumed"])
-        self._buf.consume(len(self._buf))
-        self._buf.push(z["buf"])
+        buf = z["buf"]
+        if buf.ndim == 1:
+            buf = buf[None, :]
+        for b, row in zip(self._bufs, buf):
+            b.consume(len(b))
+            b.push(row)
         self.metrics.chunks_done = int(z["chunks"])
         self.metrics.segments_done = int(z["segments"])
         self.metrics.samples_in = int(z["samples_in"])
@@ -166,19 +190,32 @@ class StreamingPwelch:
 
     # -- streaming ------------------------------------------------------
     def update(self, samples: np.ndarray) -> None:
-        """Fold a new block of samples into the running PSD."""
-        samples = np.asarray(samples, dtype=self._np_float).reshape(-1)
-        self._buf.push(samples)
-        self.metrics.samples_in += samples.shape[0]
+        """Fold a new block of samples into the running PSD.
+
+        samples: (n,) for single-channel, (channels, n) otherwise.
+        """
+        samples = np.asarray(samples, dtype=self._np_float)
+        if self.channels == 1:
+            samples = samples.reshape(1, -1)
+        elif samples.ndim != 2 or samples.shape[0] != self.channels:
+            raise ValueError(
+                f"expected ({self.channels}, n) samples, got {samples.shape}"
+            )
+        for b, row in zip(self._bufs, samples):
+            b.push(row)
+        self.metrics.samples_in += samples.shape[-1]
         # A chunk is processable once its tail halo is also buffered.
-        while len(self._buf) >= self.chunk_len + self.halo:
-            ext = self._buf.peek(self.chunk_len + self.halo)
+        while len(self._bufs[0]) >= self.chunk_len + self.halo:
+            ext = np.stack(
+                [b.peek(self.chunk_len + self.halo) for b in self._bufs]
+            )
             self._process(
-                ext[: self.chunk_len],
-                ext[self.chunk_len :],
+                ext[:, : self.chunk_len],
+                ext[:, self.chunk_len :],
                 total_segs=self.n_sp * self.segs_per_shard,
             )
-            self._buf.consume(self.chunk_len)
+            for b in self._bufs:
+                b.consume(self.chunk_len)
             self._consumed += self.chunk_len
             # Snapshot only after the buffer is trimmed, so a resume
             # replays nothing and skips nothing.
@@ -190,8 +227,11 @@ class StreamingPwelch:
                 self._snapshot()
 
     def _process(self, chunk: np.ndarray, tail: np.ndarray, total_segs: int) -> None:
+        """chunk: (C, chunk_len); tail: (C, halo)."""
         t0 = time.perf_counter()
         fdt = default_float()
+        if self.channels == 1:  # preserve the scalar-signal jit signature
+            chunk, tail = chunk[0], tail[0]
         p, c = sharded_partial_step(
             jnp.asarray(chunk, dtype=fdt),
             jnp.asarray(tail, dtype=fdt),
@@ -204,8 +244,8 @@ class StreamingPwelch:
             self.lp,
             total_segs,
         )
-        self._p_sum += np.asarray(p, dtype=np.float64)
-        self._count += float(c)
+        self._p_sum += np.asarray(p, dtype=np.float64).reshape(self.channels, self.lp)
+        self._count += float(np.asarray(c).reshape(-1)[0])
         self.metrics.chunks_done += 1
         self.metrics.segments_done += int(total_segs)
         self.metrics.wall_s += time.perf_counter() - t0
@@ -217,24 +257,29 @@ class StreamingPwelch:
         segments masked, so the final count equals the reference's
         (L-nfft)/stride+1 over the whole stream.
         """
-        rem = self._buf.peek(len(self._buf))
-        if 0 < rem.shape[0] < self.nfft and self._count == 0 and self.metrics.chunks_done == 0:
+        rem = np.stack([b.peek(len(b)) for b in self._bufs])
+        if 0 < rem.shape[-1] < self.nfft and self._count == 0 and self.metrics.chunks_done == 0:
             # Whole stream shorter than nfft: the reference zero-pads to
             # one full segment (pwelch.go:97-99).
-            rem = np.pad(rem, (0, self.nfft - rem.shape[0]))
-        if rem.shape[0] >= self.nfft:
-            rem_segs = (rem.shape[0] - self.nfft) // self.stride + 1
-            padded = np.zeros(self.chunk_len + self.halo, dtype=self._np_float)
-            padded[: rem.shape[0]] = rem
+            rem = np.pad(rem, ((0, 0), (0, self.nfft - rem.shape[-1])))
+        if rem.shape[-1] >= self.nfft:
+            rem_segs = (rem.shape[-1] - self.nfft) // self.stride + 1
+            padded = np.zeros(
+                (self.channels, self.chunk_len + self.halo), dtype=self._np_float
+            )
+            padded[:, : rem.shape[-1]] = rem
             self._process(
-                padded[: self.chunk_len],
-                padded[self.chunk_len :],
+                padded[:, : self.chunk_len],
+                padded[:, self.chunk_len :],
                 total_segs=rem_segs,
             )
-            self._buf.consume(len(self._buf))
+            for b in self._bufs:
+                b.consume(len(b))
         pxx = self._p_sum / (self._count * self._w_norm) if self._count else self._p_sum
         freqs = np.arange(self.lp) * (self.fs / self.pad)
         log.info("finalize: %s", self.metrics.json_line())
+        if self.channels == 1:
+            pxx = pxx[0]
         return pxx, freqs
 
 

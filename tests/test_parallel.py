@@ -287,3 +287,57 @@ class TestShardedFFT:
             fft_sharded(jnp.ones(1000, jnp.complex128), mesh)
         with pytest.raises(ValueError, match="unknown order"):
             fft_sharded(jnp.ones(4096, jnp.complex128), mesh, order="x")
+
+
+class TestMultichannelStreaming:
+    def test_channels_match_per_channel_pwelch(self):
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        C, L = 4, 50_000
+        x = np.stack([_signal(L, seed=s) for s in range(C)])
+        mesh = make_mesh(MeshConfig(dp=2, sp=4))
+        sp = StreamingPwelch(2.0, opts, mesh, segs_per_chunk_shard=8, channels=C)
+        for i in range(0, L, 9999):
+            sp.update(x[:, i : i + 9999])
+        pxx, freqs = sp.finalize()
+        assert pxx.shape == (C, 129)
+        for c in range(C):
+            ref, _ = spectral.pwelch(jnp.asarray(x[c]), 2.0, opts)
+            np.testing.assert_allclose(pxx[c], np.asarray(ref), rtol=1e-9)
+
+    def test_channel_shape_validation(self):
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        sp = StreamingPwelch(
+            1.0, spectral.PwelchOptions(nfft=128), mesh,
+            segs_per_chunk_shard=4, channels=3,
+        )
+        with pytest.raises(ValueError, match="expected"):
+            sp.update(np.zeros(100))
+        with pytest.raises(ValueError, match="channels"):
+            StreamingPwelch(
+                1.0, spectral.PwelchOptions(nfft=128),
+                make_mesh(MeshConfig(dp=2, sp=4)),
+                segs_per_chunk_shard=4, channels=3,
+            )
+
+    def test_multichannel_checkpoint_resume(self, tmp_path):
+        opts = spectral.PwelchOptions(nfft=128, noverlap=64)
+        C, L = 2, 40_000
+        x = np.stack([_signal(L, seed=s + 10) for s in range(C)])
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        ckpt = str(tmp_path / "mc.npz")
+        a = StreamingPwelch(
+            2.0, opts, mesh, segs_per_chunk_shard=8, channels=C,
+            checkpoint_path=ckpt, checkpoint_every_chunks=1,
+        )
+        a.update(x[:, :20_000])
+        assert a.metrics.chunks_done > 0
+        b = StreamingPwelch(
+            2.0, opts, mesh, segs_per_chunk_shard=8, channels=C,
+            checkpoint_path=ckpt, checkpoint_every_chunks=1,
+        )
+        already = b.metrics.chunks_done * b.chunk_len + len(b._bufs[0])
+        b.update(x[:, already:])
+        pxx, _ = b.finalize()
+        for c in range(C):
+            ref, _ = spectral.pwelch(jnp.asarray(x[c]), 2.0, opts)
+            np.testing.assert_allclose(pxx[c], np.asarray(ref), rtol=1e-9)
