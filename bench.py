@@ -89,8 +89,11 @@ def main() -> None:
         gbs = 4 * batch * n * 4 / per / 1e9
         return per, gbs
 
-    for n, batch in ((1024, 16384), (4096, 4096)):
-        for mode in ("precise",):
+    for n, batch, modes in (
+        (1024, 16384, ("precise", "fast")),
+        (4096, 4096, ("precise",)),
+    ):
+        for mode in modes:
             per, gbs = bench_pallas(n, batch, mode)
             frac = gbs / peak if peak else None
             results[f"pallas_fft{n}_{mode}"] = {

@@ -7,12 +7,13 @@ transform in VMEM — HBM traffic is one read and one write per element —
 with the DFT factor contractions on the MXU.
 
 Measured on a v5e chip (two-chain-length differential timing, which
-cancels the tunnel RTT exactly — see utils.metrics.time_chain_diff;
-earlier RTT-subtraction numbers overstated throughput):
-  mode="precise" (~138 dB): n=1024 batch=16384 ~1.1 ms (~0.29 of HBM
-  roofline), n=4096 batch=4096 similar; mode="fast" (~105 dB) ~25%
-  faster.  Both beat jnp.fft.fft (~2.5 ms) and the four-step XLA path
-  (~1.6 ms) on the same shapes.
+cancels the tunnel RTT exactly — see utils.metrics.time_chain_diff),
+lane-slice structure (see below):
+  n=1024 batch=16384: precise (~138 dB) 0.56 ms = 0.59 of HBM roofline;
+                      fast (~105 dB)    0.35 ms = 0.94 of roofline.
+  n=4096 batch=4096:  precise 0.68 ms = 0.48; fast 0.46 ms = 0.71.
+  vs jnp.fft.fft ~2.5 ms and the four-step XLA path ~1.6 ms on the
+  same shapes (4.5x / 2.9x at precise).
 
 Layout: split-complex (re, im) float32 planes of shape (batch, N).
 Pallas TPU has no complex dtype, and this environment's TPU transport
@@ -122,6 +123,239 @@ _TABLE_ORDER = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Lane-slice kernel structure (the fast path for n1 <= 32, i.e. N <= 4096).
+#
+# Instead of (bt, N) -> (bt, n1, 128) reshapes and 3-D batched dots — which
+# cost Mosaic relayouts on every intermediate — the kernel works on n1
+# aligned LANE SLICES x[:, k*128:(k+1)*128] of the 2-D block:
+#   * step 1 (DFT over i1) is a radix-2 butterfly network across the
+#     slice list with python-constant scalar twiddles (pure VPU FMAs,
+#     5·n1·log2(n1) flops instead of the batched-matmul's 8·n1²);
+#   * the twiddle step is FOLDED into step 3: per-k1 combined tables
+#     G[k1] = diag(T[k1,:]) @ F2, so step 2+3 is one (bt,128)@(128,128)
+#     Karatsuba matmul triple per k1 — MXU-ideal 2-D shapes, no batch
+#     dims, no separate twiddle pass.
+# Measured on v5e (n=1024, batch=16384, HIGHEST): 0.52 ms vs 1.1 ms for
+# the batched-3D structure — ~0.63 of the HBM roofline at ~138 dB.
+# For n1 > 32 the G tables (n1·128·128·f32·3 + bf16 limbs) outgrow VMEM,
+# so 8192/16384 keep the batched-3D path.
+# ---------------------------------------------------------------------------
+
+_LS_MAX_N1 = 32
+
+_LS_TABLE_ORDER = [
+    "gr", "gi", "gs", "gr_h", "gr_l", "gi_h", "gi_l", "gs_h", "gs_l",
+]
+
+# Known interpreter-mode corner: the lane-slice kernels hang when run
+# under shard_map + force_tpu_interpret_mode (standalone interpret and
+# the compiled TPU path are fine).  The sharded integration tests toggle
+# this off to exercise the data plumbing through the batched-3D
+# structure; the lane-slice structure itself is covered standalone
+# (tests/test_pallas.py) and on hardware.
+_ls_enabled = True
+
+
+def set_laneslice_enabled(on: bool) -> None:
+    """Select the kernel structure globally (True = lane-slice for
+    n1 <= 32, the fast path; False = batched-3D everywhere)."""
+    global _ls_enabled
+    _ls_enabled = bool(on)
+
+
+def _use_laneslice(n1: int) -> bool:
+    return _ls_enabled and n1 <= _LS_MAX_N1
+
+
+@lru_cache(maxsize=None)
+def _ls_tables(n: int, inverse: bool, digit_in: bool):
+    """Per-k1 fused twiddle+DFT tables, f32 + bf16 hi/lo limbs.
+
+    forward / natural-in inverse: G[k1][i2, k2] = T[k1, i2] * F2[i2, k2]
+    digit-in inverse:             G[k1][k2, i2] = F2c[k2, i2] * Tc[k1, i2]
+    """
+    n1 = n // LANES
+    t = twiddle_2d(n1, LANES)
+    f2 = dft_matrix(LANES)
+    if inverse:
+        t, f2 = np.conj(t), np.conj(f2)
+    if digit_in:
+        g = t[:, None, :] * f2[None, :, :]  # [k1][k2, i2]
+    else:
+        g = t[:, :, None] * f2[None, :, :]  # [k1][i2, k2]
+    c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+
+    def hilo(w):
+        wh = np.asarray(w, np.float64).astype(np.float32).astype(jnp.bfloat16)
+        wl = (w - np.asarray(wh, np.float64)).astype(np.float32).astype(jnp.bfloat16)
+        return np.asarray(wh), np.asarray(wl)
+
+    gs = g.real + g.imag
+    tabs = {"gr": c32(g.real), "gi": c32(g.imag), "gs": c32(gs)}
+    for key, w in (("gr", g.real), ("gi", g.imag), ("gs", gs)):
+        h, l = hilo(w)
+        tabs[key + "_h"], tabs[key + "_l"] = h, l
+    return tabs
+
+
+@lru_cache(maxsize=None)
+def _f1_scalars(n1: int, inverse: bool):
+    """n1-point DFT twiddles for the radix-2 slice network, as python
+    float pairs per (stage block size m, j): w = exp(∓2πi j/m)."""
+    import math
+
+    sign = 1.0 if inverse else -1.0
+    out = {}
+    m = 2
+    while m <= n1:
+        for j in range(m // 2):
+            ang = sign * 2.0 * math.pi * j / m
+            out[(m, j)] = (math.cos(ang), math.sin(ang))
+        m *= 2
+    return out
+
+
+def _cmul_scalar(pair, wr: float, wi: float):
+    """(re, im|None) * (wr + i wi) with None == structural zero."""
+    re, im = pair
+    if wr == 1.0 and wi == 0.0:
+        return pair
+    if im is None:
+        return (re * wr, re * wi if wi != 0.0 else None)
+    if wi == 0.0:
+        return (re * wr, im * wr)
+    return (re * wr - im * wi, re * wi + im * wr)
+
+
+def _cadd(a, b):
+    (ar, ai), (br, bi) = a, b
+    if ai is None:
+        return (ar + br, bi)
+    if bi is None:
+        return (ar + br, ai)
+    return (ar + br, ai + bi)
+
+
+def _csub(a, b):
+    (ar, ai), (br, bi) = a, b
+    if ai is None:
+        return (ar - br, None if bi is None else -bi)
+    if bi is None:
+        return (ar - br, ai)
+    return (ar - br, ai - bi)
+
+
+def _dft_slices(pairs, inverse: bool):
+    """In-register n1-point DFT across a list of (re, im|None) slices.
+
+    Radix-2 DIT, statically unrolled; twiddles are python constants so
+    everything lowers to VPU scalar-FMA ops.  Returns a list of
+    (re, im) pairs (im never None on output for n1 >= 2... except pure
+    real inputs keep None where the math is exactly real).
+    """
+    n1 = len(pairs)
+    if n1 == 1:
+        return list(pairs)
+    bits = n1.bit_length() - 1
+    a = [pairs[int(format(i, f"0{bits}b")[::-1], 2)] for i in range(n1)]
+    tw = _f1_scalars(n1, inverse)
+    m = 2
+    while m <= n1:
+        half = m // 2
+        for start in range(0, n1, m):
+            for j in range(half):
+                wr, wi = tw[(m, j)]
+                u = a[start + j]
+                v = _cmul_scalar(a[start + j + half], wr, wi)
+                a[start + j] = _cadd(u, v)
+                a[start + j + half] = _csub(u, v)
+        m *= 2
+    return a
+
+
+def _karatsuba_g(ar, ai, k1: int, tabs, fast: bool):
+    """(ar + i·ai) @ G[k1] as 3 MXU matmuls; ai=None == zero imag."""
+    dn = (((1,), (0,)), ((), ()))
+    if fast:
+        d = partial(
+            jax.lax.dot_general, dimension_numbers=dn,
+            preferred_element_type=_F32,
+        )
+
+        def mm3(x, th, tl):
+            xh = x.astype(_BF16)
+            xl = (x - xh.astype(_F32)).astype(_BF16)
+            return d(xh, th[k1]) + d(xh, tl[k1]) + d(xl, th[k1])
+
+        grh, grl, gih, gil, gsh, gsl = tabs[3:9]
+        m1 = mm3(ar, grh, grl)
+        m3 = mm3(ar if ai is None else ar + ai, gsh, gsl)
+        m2 = None if ai is None else mm3(ai, gih, gil)
+    else:
+        mm = partial(
+            jax.lax.dot_general, dimension_numbers=dn,
+            preferred_element_type=_F32, precision=_HI,
+        )
+        gr, gi, gs = tabs[0], tabs[1], tabs[2]
+        m1 = mm(ar, gr[k1])
+        m3 = mm(ar if ai is None else ar + ai, gs[k1])
+        m2 = None if ai is None else mm(ai, gi[k1])
+    if m2 is None:
+        return m1, m3 - m1
+    return m1 - m2, m3 - m1 - m2
+
+
+def _fft_kernel_ls(
+    *refs, n1: int, fast: bool, inverse: bool, real_input: bool = False,
+):
+    """Lane-slice forward (or natural-in inverse) kernel; digit output."""
+    if real_input:
+        xr_ref, *rest = refs
+        xi_ref = None
+    else:
+        xr_ref, xi_ref, *rest = refs
+    *tabs, yr_ref, yi_ref = rest
+
+    pairs = [
+        (
+            xr_ref[:, k * LANES : (k + 1) * LANES],
+            None if real_input else xi_ref[:, k * LANES : (k + 1) * LANES],
+        )
+        for k in range(n1)
+    ]
+    A = _dft_slices(pairs, inverse)
+    for k1 in range(n1):
+        ar, ai = A[k1]
+        cr, ci = _karatsuba_g(ar, ai, k1, tabs, fast)
+        yr_ref[:, k1 * LANES : (k1 + 1) * LANES] = cr
+        yi_ref[:, k1 * LANES : (k1 + 1) * LANES] = ci
+
+
+def _ifft_digit_in_kernel_ls(*refs, n1: int, fast: bool):
+    """Lane-slice inverse consuming digit order; natural output.
+
+    Per-k1 contraction with the column-scaled conjugate tables replaces
+    step A + twiddle; the slice DFT over k1 (conjugate twiddles) emits
+    natural-order i1 slices.
+    """
+    xr_ref, xi_ref, *rest = refs
+    *tabs, yr_ref, yi_ref = rest
+
+    C = []
+    for k1 in range(n1):
+        ar = xr_ref[:, k1 * LANES : (k1 + 1) * LANES]
+        ai = xi_ref[:, k1 * LANES : (k1 + 1) * LANES]
+        C.append(_karatsuba_g(ar, ai, k1, tabs, fast))
+    Y = _dft_slices(C, inverse=True)
+    for i1 in range(n1):
+        yr, yi = Y[i1]
+        yr_ref[:, i1 * LANES : (i1 + 1) * LANES] = yr
+        yi_ref[:, i1 * LANES : (i1 + 1) * LANES] = (
+            jnp.zeros_like(yr) if yi is None else yi
+        )
+
+
 def _step_a_real_vpu(x3, n1: int):
     """Forward DFT over i1 for REAL input, n1 in {2, 4}: exact VPU adds."""
     if n1 == 2:
@@ -158,12 +392,41 @@ def _step_a_vpu(xr, xi, n1: int, inverse: bool):
     return ar, ai
 
 
-def _fft_steps_real(x3, tabs, bt: int, n1: int, fast: bool):
-    """Forward FFT of REAL x3 (bt, n1, 128) -> (cr, ci), digit order.
+def fft_real_tables(n: int):
+    """(table_names, tables_dict) for the real-input FFT steps at size n
+    — lane-slice G tables for n1 <= 32, batched-3D tables otherwise.
+    Used by the fused Pwelch/STFT kernel wrappers."""
+    n1 = n // LANES
+    if _use_laneslice(n1):
+        return _LS_TABLE_ORDER, _ls_tables(n, False, False)
+    return _TABLE_ORDER, _tables(n, False)
 
-    tabs: table refs in _TABLE_ORDER order.  Shared by the standalone
-    real-input kernel and the fused Pwelch/STFT kernels.
+
+def _fft_steps_real(xw, tabs, bt: int, n1: int, fast: bool):
+    """Forward FFT of REAL xw (bt, n1*128) -> (cr, ci) (bt, n1*128),
+    digit bin order.
+
+    tabs: table refs in _LS_TABLE_ORDER order (lane-slice structure) or
+    _TABLE_ORDER (batched-3D, n1 > 32) — distinguished by length.
+    Shared by the standalone real-input kernel and the fused Pwelch/STFT
+    kernels.
     """
+    if len(tabs) == len(_LS_TABLE_ORDER):
+        pairs = [
+            (xw[:, k * LANES : (k + 1) * LANES], None) for k in range(n1)
+        ]
+        A = _dft_slices(pairs, inverse=False)
+        crs, cis = [], []
+        for k1 in range(n1):
+            cr, ci = _karatsuba_g(A[k1][0], A[k1][1], k1, tabs, fast)
+            crs.append(cr)
+            cis.append(ci)
+        return jnp.concatenate(crs, axis=1), jnp.concatenate(cis, axis=1)
+    return _fft_steps_real_3d(xw.reshape(bt, n1, LANES), tabs, bt, n1, fast)
+
+
+def _fft_steps_real_3d(x3, tabs, bt: int, n1: int, fast: bool):
+    """Batched-3D real-input steps (n1 > 32); returns (bt, n1*128) digit."""
     (
         f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s,
         f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
@@ -209,7 +472,10 @@ def _fft_steps_real(x3, tabs, bt: int, n1: int, fast: bool):
         m1 = mm_c(br, f2r[:])
         m2 = mm_c(bi, f2i[:])
         m3 = mm_c(br + bi, f2s[:])
-    return m1 - m2, m3 - m1 - m2
+    return (
+        (m1 - m2).reshape(bt, n1 * LANES),
+        (m3 - m1 - m2).reshape(bt, n1 * LANES),
+    )
 
 
 def _fft_kernel(
@@ -423,12 +689,26 @@ def fft_pow2_split(
         data.append(xi2)
     grid = (xr2.shape[0] // bt,)
 
-    tabs = _tables(n, inverse)
-    tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
+    if _use_laneslice(n1):
+        tabs = _ls_tables(n, inverse, False)
+        tables = [jnp.asarray(tabs[k]) for k in _LS_TABLE_ORDER]
+        kern = partial(
+            _fft_kernel_ls,
+            n1=n1, fast=(mode == "fast"), inverse=inverse,
+            real_input=real_input,
+        )
+    else:
+        tabs = _tables(n, inverse)
+        tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
+        kern = partial(
+            _fft_kernel,
+            n1=n1, fast=(mode == "fast"), inverse=inverse,
+            real_input=real_input,
+        )
 
     data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [
-        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
         for t in tables
     ]
 
@@ -437,11 +717,7 @@ def fft_pow2_split(
     bytes_acc = (3 if real_input else 4) * xr2.shape[0] * n * 4
 
     yr, yi = pl.pallas_call(
-        partial(
-            _fft_kernel,
-            n1=n1, fast=(mode == "fast"), inverse=inverse,
-            real_input=real_input,
-        ),
+        kern,
         grid=grid,
         in_specs=[data_spec] * len(data) + const_specs,
         out_specs=(data_spec, data_spec),
@@ -498,16 +774,22 @@ def ifft_pow2_digit_split(
         i2 = jnp.pad(i2, ((0, pad), (0, 0)))
     grid = (r2.shape[0] // bt,)
 
-    tabs = _tables(n, True)  # conjugated
-    tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
+    if _use_laneslice(n1):
+        tabs = _ls_tables(n, True, True)  # conjugated, column-scaled
+        tables = [jnp.asarray(tabs[k]) for k in _LS_TABLE_ORDER]
+        kern = partial(_ifft_digit_in_kernel_ls, n1=n1, fast=(mode == "fast"))
+    else:
+        tabs = _tables(n, True)  # conjugated
+        tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
+        kern = partial(_ifft_digit_in_kernel, n1=n1, fast=(mode == "fast"))
     data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [
-        pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
         for t in tables
     ]
     passes = 9 if mode == "fast" else 18
     zr, zi = pl.pallas_call(
-        partial(_ifft_digit_in_kernel, n1=n1, fast=(mode == "fast")),
+        kern,
         grid=grid,
         in_specs=[data_spec, data_spec] + const_specs,
         out_specs=(data_spec, data_spec),

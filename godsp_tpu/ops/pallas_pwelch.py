@@ -49,10 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from godsp_tpu.ops.pallas_fft import (
     LANES,
-    _TABLE_ORDER,
     _fft_steps_real,
-    _tables,
     default_batch_tile,
+    fft_real_tables,
     supported_size,
 )
 
@@ -98,7 +97,7 @@ def _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo):
     not (sublane blocks must be 8-divisible), and 1-D lane-only blocks
     miscompile the lane->sublane frame split.
 
-    Returns (bt, pad//128, 128) windowed real frames:
+    Returns (bt, pad) windowed real frames:
     frames[s] = ext[s*stride : s*stride + nfft] zero-extended to pad and
     tapered by the PAD-length window (pwelch.go:108-109).
     """
@@ -117,8 +116,7 @@ def _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo):
         )
     if pad > nfft:
         frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
-    xw = frames * w_ref[:]
-    return xw.reshape(bt, pad // LANES, LANES)
+    return frames * w_ref[:]
 
 
 def _pwelch_kernel(
@@ -138,11 +136,11 @@ def _pwelch_kernel(
         halo_ref = None
     *tabs, out_ref = rest
 
-    x3 = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
-    cr, ci = _fft_steps_real(x3, tuple(tabs), bt, pad // LANES, fast)
+    xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
+    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES, fast)
 
     # ---- |X|^2 then masked segment reduction in one MXU contraction ----
-    p = (cr * cr + ci * ci).reshape(bt, pad)  # digit order (k1-major)
+    p = cr * cr + ci * ci  # (bt, pad), digit order (k1-major)
     mask_row = mask_ref[:].reshape(1, -1)[:, :bt]  # 128-lane padded block
     row = jax.lax.dot_general(
         mask_row, p,
@@ -237,12 +235,14 @@ def pwelch_power_partials(
         pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     )
 
-    tabs = _tables(pad, False)
-    for key in _TABLE_ORDER:
+    order, tabs = fft_real_tables(pad)
+    for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
         in_specs.append(
-            pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            )
         )
 
     n1 = pad // LANES

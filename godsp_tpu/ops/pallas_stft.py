@@ -28,9 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from godsp_tpu.ops.pallas_fft import (
     LANES,
-    _TABLE_ORDER,
     _fft_steps_real,
-    _tables,
+    fft_real_tables,
 )
 from godsp_tpu.ops.pallas_pwelch import (
     _segs_per_tile,
@@ -64,13 +63,13 @@ def _stft_kernel(
     else:
         *tabs, yr_ref, yi_ref = rest
 
-    x3 = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
-    cr, ci = _fft_steps_real(x3, tuple(tabs), bt, pad // LANES, fast)
+    xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
+    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES, fast)
     if power:
-        p_ref[:] = (cr * cr + ci * ci).reshape(bt, pad)
+        p_ref[:] = cr * cr + ci * ci
     else:
-        yr_ref[:] = cr.reshape(bt, pad)
-        yi_ref[:] = ci.reshape(bt, pad)
+        yr_ref[:] = cr
+        yi_ref[:] = ci
 
 
 def _digit_to_natural_rows(y: jax.Array, pad: int) -> jax.Array:
@@ -141,12 +140,14 @@ def stft_pallas(
         )
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
-    tabs = _tables(pad, False)
-    for key in _TABLE_ORDER:
+    order, tabs = fft_real_tables(pad)
+    for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
         in_specs.append(
-            pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            )
         )
 
     # Per-segment outputs: (bt, pad) blocks (bt is a pow2 >= 8, so the

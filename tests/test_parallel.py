@@ -141,7 +141,14 @@ class TestShardedFusedKernel:
 
         from jax.experimental.pallas import tpu as pltpu
 
+        from godsp_tpu.ops import pallas_fft
+
         spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        # Lane-slice kernels hang under shard_map + interpret mode (see
+        # pallas_fft.set_laneslice_enabled); exercise the sharded data
+        # plumbing through the batched-3D structure.
+        pallas_fft.set_laneslice_enabled(False)
+        monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
 
         opts = spectral.PwelchOptions(nfft=256, noverlap=128)
         stride = 128
