@@ -85,12 +85,13 @@ def main() -> None:
 
             return chain
 
-        per = time_chain_diff(make, xr, k_lo=4, k_hi=12, iters=8)
+        # Heavy depth: shallow chains are flattered by tunnel-RTT noise.
+        per = time_chain_diff(make, xr, k_lo=12, k_hi=36, iters=8)
         gbs = 4 * batch * n * 4 / per / 1e9
         return per, gbs
 
     for n, batch, modes in (
-        (1024, 16384, ("precise", "fast")),
+        (1024, 16384, ("precise",)),
         (4096, 4096, ("precise",)),
     ):
         for mode in modes:
@@ -176,7 +177,7 @@ def main() -> None:
 
             return chain
 
-        per = time_chain_diff(make, sig, k_lo=2, k_hi=10, iters=8)
+        per = time_chain_diff(make, sig, k_lo=6, k_hi=30, iters=8)
         msps = L / per / 1e6
         results[f"pallas_pwelch{nfft}_s{stride}"] = {
             "wall_s": per,

@@ -6,14 +6,17 @@ four-step (fft/four_step.py) materializes every stage to HBM (~6 passes,
 transform in VMEM — HBM traffic is one read and one write per element —
 with the DFT factor contractions on the MXU.
 
-Measured on a v5e chip (two-chain-length differential timing, which
-cancels the tunnel RTT exactly — see utils.metrics.time_chain_diff),
-lane-slice structure (see below):
-  n=1024 batch=16384: precise (~138 dB) 0.56 ms = 0.59 of HBM roofline;
-                      fast (~105 dB)    0.35 ms = 0.94 of roofline.
-  n=4096 batch=4096:  precise 0.68 ms = 0.48; fast 0.46 ms = 0.71.
-  vs jnp.fft.fft ~2.5 ms and the four-step XLA path ~1.6 ms on the
-  same shapes (4.5x / 2.9x at precise).
+Measured on a v5e chip (two-chain-length differential timing at heavy
+depth k=(16,48) — shallow chains are flattered by tunnel-RTT noise; see
+utils.metrics.time_chain_diff), lane-slice structure (see below),
+n=1024 batch=16384:
+  precise (~138 dB): 0.54 ms = 0.61 of HBM roofline
+  fast    (~105 dB): 0.56 ms — NOT faster in this structure: the
+      common bound is DMA/VPU/fixed cost, not the MXU passes, so the
+      precise default costs nothing.
+  (batched-3D structure on the same shapes: 1.05 / 0.87 ms.)
+  vs jnp.fft.fft ~2.5 ms and the four-step XLA path ~1.6 ms (4.6x /
+  3.0x at precise).
 
 Layout: split-complex (re, im) float32 planes of shape (batch, N).
 Pallas TPU has no complex dtype, and this environment's TPU transport
@@ -144,9 +147,14 @@ _TABLE_ORDER = [
 
 _LS_MAX_N1 = 32
 
-_LS_TABLE_ORDER = [
-    "gr", "gi", "gs", "gr_h", "gr_l", "gi_h", "gi_l", "gs_h", "gs_l",
-]
+# Table sets are split by mode so only the needed precision's tables
+# occupy VMEM: 3 f32 tables (precise) or 6 bf16 limb tables (fast).
+_LS_ORDER_PRECISE = ["gr", "gi", "gs"]
+_LS_ORDER_FAST = ["gr_h", "gr_l", "gi_h", "gi_l", "gs_h", "gs_l"]
+
+
+def _ls_order(fast: bool):
+    return _LS_ORDER_FAST if fast else _LS_ORDER_PRECISE
 
 # Known interpreter-mode corner: the lane-slice kernels hang when run
 # under shard_map + force_tpu_interpret_mode (standalone interpret and
@@ -275,7 +283,11 @@ def _dft_slices(pairs, inverse: bool):
 
 
 def _karatsuba_g(ar, ai, k1: int, tabs, fast: bool):
-    """(ar + i·ai) @ G[k1] as 3 MXU matmuls; ai=None == zero imag."""
+    """(ar + i·ai) @ G[k1] as 3 MXU matmuls; ai=None == zero imag.
+
+    tabs follow _ls_order(fast): (gr, gi, gs) f32 for precise, or the
+    six bf16 hi/lo limb tables for fast.
+    """
     dn = (((1,), (0,)), ((), ()))
     if fast:
         d = partial(
@@ -288,7 +300,7 @@ def _karatsuba_g(ar, ai, k1: int, tabs, fast: bool):
             xl = (x - xh.astype(_F32)).astype(_BF16)
             return d(xh, th[k1]) + d(xh, tl[k1]) + d(xl, th[k1])
 
-        grh, grl, gih, gil, gsh, gsl = tabs[3:9]
+        grh, grl, gih, gil, gsh, gsl = tabs
         m1 = mm3(ar, grh, grl)
         m3 = mm3(ar if ai is None else ar + ai, gsh, gsl)
         m2 = None if ai is None else mm3(ai, gih, gil)
@@ -297,7 +309,7 @@ def _karatsuba_g(ar, ai, k1: int, tabs, fast: bool):
             jax.lax.dot_general, dimension_numbers=dn,
             preferred_element_type=_F32, precision=_HI,
         )
-        gr, gi, gs = tabs[0], tabs[1], tabs[2]
+        gr, gi, gs = tabs
         m1 = mm(ar, gr[k1])
         m3 = mm(ar if ai is None else ar + ai, gs[k1])
         m2 = None if ai is None else mm(ai, gi[k1])
@@ -392,13 +404,13 @@ def _step_a_vpu(xr, xi, n1: int, inverse: bool):
     return ar, ai
 
 
-def fft_real_tables(n: int):
+def fft_real_tables(n: int, fast: bool = False):
     """(table_names, tables_dict) for the real-input FFT steps at size n
     — lane-slice G tables for n1 <= 32, batched-3D tables otherwise.
     Used by the fused Pwelch/STFT kernel wrappers."""
     n1 = n // LANES
     if _use_laneslice(n1):
-        return _LS_TABLE_ORDER, _ls_tables(n, False, False)
+        return _ls_order(fast), _ls_tables(n, False, False)
     return _TABLE_ORDER, _tables(n, False)
 
 
@@ -406,12 +418,11 @@ def _fft_steps_real(xw, tabs, bt: int, n1: int, fast: bool):
     """Forward FFT of REAL xw (bt, n1*128) -> (cr, ci) (bt, n1*128),
     digit bin order.
 
-    tabs: table refs in _LS_TABLE_ORDER order (lane-slice structure) or
-    _TABLE_ORDER (batched-3D, n1 > 32) — distinguished by length.
-    Shared by the standalone real-input kernel and the fused Pwelch/STFT
-    kernels.
+    tabs: table refs from fft_real_tables (lane-slice G tables or the
+    batched-3D _TABLE_ORDER set, distinguished by length).  Shared by
+    the standalone real-input kernel and the fused Pwelch/STFT kernels.
     """
-    if len(tabs) == len(_LS_TABLE_ORDER):
+    if len(tabs) != len(_TABLE_ORDER):
         pairs = [
             (xw[:, k * LANES : (k + 1) * LANES], None) for k in range(n1)
         ]
@@ -691,7 +702,7 @@ def fft_pow2_split(
 
     if _use_laneslice(n1):
         tabs = _ls_tables(n, inverse, False)
-        tables = [jnp.asarray(tabs[k]) for k in _LS_TABLE_ORDER]
+        tables = [jnp.asarray(tabs[k]) for k in _ls_order(mode == "fast")]
         kern = partial(
             _fft_kernel_ls,
             n1=n1, fast=(mode == "fast"), inverse=inverse,
@@ -776,7 +787,7 @@ def ifft_pow2_digit_split(
 
     if _use_laneslice(n1):
         tabs = _ls_tables(n, True, True)  # conjugated, column-scaled
-        tables = [jnp.asarray(tabs[k]) for k in _LS_TABLE_ORDER]
+        tables = [jnp.asarray(tabs[k]) for k in _ls_order(mode == "fast")]
         kern = partial(_ifft_digit_in_kernel_ls, n1=n1, fast=(mode == "fast"))
     else:
         tabs = _tables(n, True)  # conjugated

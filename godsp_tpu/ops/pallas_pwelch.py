@@ -235,7 +235,7 @@ def pwelch_power_partials(
         pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     )
 
-    order, tabs = fft_real_tables(pad)
+    order, tabs = fft_real_tables(pad, fast=(mode == "fast"))
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)

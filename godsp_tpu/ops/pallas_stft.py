@@ -140,7 +140,7 @@ def stft_pallas(
         )
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
-    order, tabs = fft_real_tables(pad)
+    order, tabs = fft_real_tables(pad, fast=(mode == "fast"))
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
