@@ -139,6 +139,18 @@ class Wav:
     def samples_remaining(self) -> int:
         return self._remaining // self._sample_dtype().itemsize
 
+    def read_channels(self, n_frames: int) -> np.ndarray:
+        """Next n_frames deinterleaved frames as (num_channels, n_frames)
+        normalized float32.
+
+        Convenience beyond the reference (whose ReadFloats returns the
+        interleaved stream, wav.go:138-141); pairs with the multichannel
+        streaming Pwelch (parallel.StreamingPwelch(channels=C)).
+        """
+        c = self.header.num_channels
+        flat = self.read_floats(n_frames * c)
+        return np.ascontiguousarray(flat.reshape(n_frames, c).T)
+
     def blocks(self, block_size: int, pad_final: bool = False) -> Iterator[np.ndarray]:
         """Stream normalized-float time blocks of block_size samples.
 
@@ -207,19 +219,23 @@ def read_wav(src) -> Wav:
 
 
 def write_wav(path_or_stream, samples: np.ndarray, sample_rate: int) -> None:
-    """Write a mono WAV file (PCM16 for integer input, IEEE float32 for
-    float input).  Test/benchmark fixture generator; the reference has no
-    writer.
+    """Write a WAV file (PCM16 for integer input, IEEE float32 for float
+    input).  samples: (n,) mono or (channels, n) — channels interleave.
+    Test/benchmark fixture generator; the reference has no writer.
     """
     samples = np.asarray(samples)
+    channels = 1
+    if samples.ndim == 2:
+        channels = samples.shape[0]
+        samples = samples.T.reshape(-1)  # interleave frames
     if samples.dtype.kind == "f":
         data = samples.astype("<f4").tobytes()
         fmt, bits = WAV_FORMAT_IEEE_FLOAT, 32
     else:
         data = samples.astype("<i2").tobytes()
         fmt, bits = WAV_FORMAT_PCM, 16
-    byte_rate = sample_rate * bits // 8
-    block_align = bits // 8
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
     hdr = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
         b"RIFF",
@@ -228,7 +244,7 @@ def write_wav(path_or_stream, samples: np.ndarray, sample_rate: int) -> None:
         b"fmt ",
         16,
         fmt,
-        1,
+        channels,
         sample_rate,
         byte_rate,
         block_align,

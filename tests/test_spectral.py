@@ -148,3 +148,32 @@ class TestPwelch:
         assert pxx.shape == (3, 129)
         single, _ = spectral.pwelch_from_frames(jnp.asarray(x[1]), 1.0, opts)
         np.testing.assert_allclose(np.asarray(pxx[1]), np.asarray(single), rtol=1e-12)
+
+
+class TestScipyCrossOracle:
+    """Cross-validation against scipy.signal.welch — an oracle the
+    reference never had (SURVEY.md §4)."""
+
+    @pytest.mark.parametrize("noverlap", [0, 128])
+    def test_matches_scipy_welch(self, noverlap):
+        scipy_signal = pytest.importorskip("scipy.signal")
+        rng = np.random.default_rng(0)
+        fs, nfft = 100.0, 256
+        x = rng.normal(size=10_000)
+        pxx, freqs = spectral.pwelch(
+            x, fs, spectral.PwelchOptions(nfft=nfft, noverlap=noverlap)
+        )
+        # scipy's hann is periodic by default; pass the reference's
+        # symmetric window explicitly.  detrend must be off (the
+        # reference never detrends).
+        from godsp_tpu import window as win
+
+        w = np.asarray(win.window_table_np("hann", nfft))
+        f_sp, p_sp = scipy_signal.welch(
+            x, fs=fs, window=w, nperseg=nfft, noverlap=noverlap,
+            nfft=nfft, detrend=False, scaling="density",
+        )
+        np.testing.assert_allclose(np.asarray(freqs), f_sp)
+        # scipy halves the Nyquist-interior doubling identically; the
+        # only expected diff is fp ordering.
+        np.testing.assert_allclose(np.asarray(pxx), p_sp, rtol=1e-8)

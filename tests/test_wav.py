@@ -188,3 +188,66 @@ class TestWriterRoundtrip:
         w = wav.new(buf.read())
         assert w.audio_format == wav.WAV_FORMAT_IEEE_FLOAT
         np.testing.assert_array_equal(w.read_floats(100), sig)
+
+
+class TestMultiChannel:
+    def test_roundtrip_stereo(self):
+        import io
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 500)).astype(np.float32) * 0.5
+        buf = io.BytesIO()
+        wav.write_wav(buf, x, 8000)
+        w = wav.read_wav(buf.getvalue())
+        assert w.num_channels == 2
+        # Samples intentionally ignores channels (wav.go:101 quirk)
+        assert w.samples == 1000
+        # Duration divides by channels (wav.go:102)
+        assert w.duration_seconds == pytest.approx(500 / 8000)
+        got = w.read_channels(500)
+        np.testing.assert_allclose(got, x, atol=1e-7)
+
+    def test_read_channels_streaming(self):
+        import io
+
+        x = np.arange(12, dtype=np.float32).reshape(2, 6)  # ch0: 0..5
+        buf = io.BytesIO()
+        wav.write_wav(buf, x, 100)
+        w = wav.read_wav(buf.getvalue())
+        a = w.read_channels(2)
+        b = w.read_channels(4)
+        np.testing.assert_array_equal(a, x[:, :2])
+        np.testing.assert_array_equal(b, x[:, 2:])
+
+    def test_multichannel_streaming_pipeline(self):
+        """Stereo WAV -> multichannel streaming Pwelch end to end."""
+        import io
+
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual mesh")
+        from godsp_tpu import spectral
+        from godsp_tpu.parallel import MeshConfig, StreamingPwelch, make_mesh
+
+        rng = np.random.default_rng(1)
+        t = np.arange(30_000)
+        x = np.stack([
+            np.sin(2 * np.pi * 0.05 * t) + 0.1 * rng.normal(size=t.size),
+            np.sin(2 * np.pi * 0.20 * t) + 0.1 * rng.normal(size=t.size),
+        ]).astype(np.float32)
+        buf = io.BytesIO()
+        wav.write_wav(buf, x, 1000)
+        w = wav.read_wav(buf.getvalue())
+
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        mesh = make_mesh(MeshConfig(dp=2, sp=4))
+        sp = StreamingPwelch(1000.0, opts, mesh, segs_per_chunk_shard=8, channels=2)
+        while w.samples_remaining > 0:
+            n = min(5000, w.samples_remaining // 2)
+            sp.update(w.read_channels(n))
+        pxx, freqs = sp.finalize()
+        assert pxx.shape == (2, 129)
+        # each channel's peak at its tone
+        assert abs(freqs[np.argmax(pxx[0][1:]) + 1] - 50.0) < 8
+        assert abs(freqs[np.argmax(pxx[1][1:]) + 1] - 200.0) < 8
