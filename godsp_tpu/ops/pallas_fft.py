@@ -86,7 +86,9 @@ def supported_size(n: int) -> bool:
 
 def default_batch_tile(n: int) -> int:
     """Batch rows per grid step (tuned on v5e with the 64 MB VMEM cap;
-    ~10 live (bt, n) f32 arrays per step)."""
+    ~10 live (bt, n) f32 arrays per step plus the G tables)."""
+    if n >= 8192:
+        return 32
     if n >= 4096:
         return 64
     return 256
@@ -139,13 +141,13 @@ _TABLE_ORDER = [
 #     G[k1] = diag(T[k1,:]) @ F2, so step 2+3 is one (bt,128)@(128,128)
 #     Karatsuba matmul triple per k1 — MXU-ideal 2-D shapes, no batch
 #     dims, no separate twiddle pass.
-# Measured on v5e (n=1024, batch=16384, HIGHEST): 0.52 ms vs 1.1 ms for
-# the batched-3D structure — ~0.63 of the HBM roofline at ~138 dB.
-# For n1 > 32 the G tables (n1·128·128·f32·3 + bf16 limbs) outgrow VMEM,
-# so 8192/16384 keep the batched-3D path.
+# Measured on v5e (HIGHEST, heavy-depth timing): n=1024 0.52 ms vs
+# 1.05 ms for the batched-3D structure (~0.63 of HBM roofline at
+# ~138 dB); n=8192 0.73 vs 1.06 ms.  At n1=128 (n=16384) the G tables +
+# small tiles erase the win, so that size keeps the batched-3D path.
 # ---------------------------------------------------------------------------
 
-_LS_MAX_N1 = 32
+_LS_MAX_N1 = 64
 
 # Table sets are split by mode so only the needed precision's tables
 # occupy VMEM: 3 f32 tables (precise) or 6 bf16 limb tables (fast).
