@@ -75,8 +75,9 @@ def bluestein_fft(x: jax.Array) -> jax.Array:
     a = jnp.pad(a, pad)
 
     # Circular convolution with the chirp filter; FFT(b) is precomputed
-    # and the whole chain runs in kernel digit order on TPU (pow2.py).
-    conv = pow2_circular_filter(a, fft_b) / la
+    # and the whole chain runs in kernel digit order on TPU with the
+    # 1/la inverse normalization folded into the tables (pow2.py).
+    conv = pow2_circular_filter(a, fft_b, scale=1.0 / la)
 
     # Postmultiply and truncate (bluestein.go:89-93).
     return conv[..., :n] * jnp.conj(w)

@@ -168,8 +168,9 @@ def _convolve_impl(x, y):
     n = x.shape[-1]
     if n > 1 and is_power_of_2(n):
         # Power-of-2: single fused chain (on TPU: forward transforms in
-        # kernel digit order, digit-consuming inverse — zero reorders).
-        return pow2_convolve(x, y) / n
+        # kernel digit order, digit-consuming inverse with 1/N folded
+        # into its tables — zero reorders, zero extra passes).
+        return pow2_convolve(x, y, scale=1.0 / n)
     return ifft(fft(x) * fft(y))
 
 

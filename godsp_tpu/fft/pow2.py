@@ -62,8 +62,9 @@ def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
     return four_step_fft(x, inverse)
 
 
-def pow2_circular_filter(x: jax.Array, h: jax.Array) -> jax.Array:
-    """Unnormalized IDFT(DFT(x) * h_freq): the Convolve/Bluestein core.
+def pow2_circular_filter(x: jax.Array, h: jax.Array, scale: float = 1.0) -> jax.Array:
+    """scale * IDFT(DFT(x) * h_freq): the Convolve/Bluestein core.
+    scale (e.g. 1/N) folds into the inverse kernel's tables for free.
 
     h: the frequency response in NATURAL bin order (same trailing length
     as x; broadcastable leading dims).  On the Pallas path the whole
@@ -91,13 +92,14 @@ def pow2_circular_filter(x: jax.Array, h: jax.Array) -> jax.Array:
         hr, hi = jnp.real(hd), jnp.imag(hd)
         pr = xr * hr - xi * hi
         pi = xr * hi + xi * hr
-        zr, zi = ifft_pow2_digit_split(pr, pi)
+        zr, zi = ifft_pow2_digit_split(pr, pi, scale=scale)
         return jax.lax.complex(zr, zi)
-    return pow2_fft(pow2_fft(x) * h, inverse=True)
+    return pow2_fft(pow2_fft(x) * (h * scale), inverse=True)
 
 
-def pow2_convolve(x: jax.Array, y: jax.Array) -> jax.Array:
-    """Unnormalized IDFT(DFT(x) * DFT(y)) (caller scales by 1/N).
+def pow2_convolve(x: jax.Array, y: jax.Array, scale: float = 1.0) -> jax.Array:
+    """scale * IDFT(DFT(x) * DFT(y)); scale=1/N folds the normalized
+    inverse into the kernel tables (no extra pass).
 
     On the Pallas path BOTH forward transforms emit digit order and the
     inverse consumes it — no reorder transposes anywhere in the chain.
@@ -113,6 +115,8 @@ def pow2_convolve(x: jax.Array, y: jax.Array) -> jax.Array:
         yr, yi = fft_pow2_split(jnp.real(y), jnp.imag(y), order="digit")
         pr = xr * yr - xi * yi
         pi = xr * yi + xi * yr
-        zr, zi = ifft_pow2_digit_split(pr, pi)
+        zr, zi = ifft_pow2_digit_split(pr, pi, scale=scale)
         return jax.lax.complex(zr, zi)
-    return pow2_fft(pow2_fft(x) * pow2_fft(y), inverse=True)
+    return pow2_fft(pow2_fft(x) * pow2_fft(y), inverse=True) * (
+        scale if scale != 1.0 else 1
+    )

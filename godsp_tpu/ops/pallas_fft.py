@@ -95,12 +95,13 @@ def default_batch_tile(n: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def _tables(n: int, inverse: bool):
-    """Kernel constant tables for n = n1*128, as float32 + bf16 hi/lo."""
+def _tables(n: int, inverse: bool, scale: float = 1.0):
+    """Kernel constant tables for n = n1*128, as float32 + bf16 hi/lo.
+    scale multiplies F2 (folds e.g. the IFFT 1/N into the contraction)."""
     n1 = n // LANES
     f1 = dft_matrix(n1)
     t = twiddle_2d(n1, LANES)
-    f2 = dft_matrix(LANES)  # symmetric
+    f2 = dft_matrix(LANES) * scale  # symmetric
     if inverse:
         f1, t, f2 = np.conj(f1), np.conj(t), np.conj(f2)
     c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
@@ -179,15 +180,16 @@ def _use_laneslice(n1: int) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _ls_tables(n: int, inverse: bool, digit_in: bool):
+def _ls_tables(n: int, inverse: bool, digit_in: bool, scale: float = 1.0):
     """Per-k1 fused twiddle+DFT tables, f32 + bf16 hi/lo limbs.
 
     forward / natural-in inverse: G[k1][i2, k2] = T[k1, i2] * F2[i2, k2]
     digit-in inverse:             G[k1][k2, i2] = F2c[k2, i2] * Tc[k1, i2]
+    scale multiplies the tables (folds e.g. the IFFT 1/N for free).
     """
     n1 = n // LANES
     t = twiddle_2d(n1, LANES)
-    f2 = dft_matrix(LANES)
+    f2 = dft_matrix(LANES) * scale
     if inverse:
         t, f2 = np.conj(t), np.conj(f2)
     if digit_in:
@@ -759,12 +761,14 @@ def ifft_pow2_digit_split(
     mode: str = "precise",
     batch_tile: int | None = None,
     interpret: bool = False,
+    scale: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
-    """Unnormalized inverse of fft_pow2_split(..., order="digit").
+    """Inverse of fft_pow2_split(..., order="digit"), times `scale`.
 
     yr, yi: (..., N) float32 planes in the kernel's digit order.  Returns
-    natural-order time-domain planes (caller scales by 1/N).  This is the
-    tail of the zero-reorder Convolve/Bluestein chain:
+    natural-order time-domain planes; scale=1/N gives the normalized
+    inverse FOLDED INTO the contraction tables (no extra pass).  This is
+    the tail of the zero-reorder Convolve/Bluestein chain:
     fft(digit) -> pointwise -> this.
     """
     if yr.shape != yi.shape:
@@ -788,11 +792,11 @@ def ifft_pow2_digit_split(
     grid = (r2.shape[0] // bt,)
 
     if _use_laneslice(n1):
-        tabs = _ls_tables(n, True, True)  # conjugated, column-scaled
+        tabs = _ls_tables(n, True, True, scale)  # conjugated, column-scaled
         tables = [jnp.asarray(tabs[k]) for k in _ls_order(mode == "fast")]
         kern = partial(_ifft_digit_in_kernel_ls, n1=n1, fast=(mode == "fast"))
     else:
-        tabs = _tables(n, True)  # conjugated
+        tabs = _tables(n, True, scale)  # conjugated
         tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
         kern = partial(_ifft_digit_in_kernel, n1=n1, fast=(mode == "fast"))
     data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
