@@ -1,6 +1,7 @@
 """End-to-end pipelines ("model families") built on the framework stack.
 
   stft     — short-time Fourier transform / inverse / spectrogram
+  filter   — linear convolution / FIR filtering (overlap-save)
   pipeline — WAV stream -> distributed streaming Welch PSD (flagship)
 
 The reference library has no pipeline layer — composition of wav/fft/
@@ -8,6 +9,7 @@ spectral happens in user code (SURVEY.md §1); these modules provide the
 batched, TPU-sharded equivalents as first-class API.
 """
 
+from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
     spectrogram_from_wav,
@@ -17,6 +19,9 @@ from godsp_tpu.models.stft import istft, spectrogram, stft, stft_frames
 
 __all__ = [
     "WavPsdResult",
+    "fftconvolve",
+    "fir_filter",
+    "overlap_save",
     "istft",
     "spectrogram",
     "spectrogram_from_wav",

@@ -1,0 +1,128 @@
+"""Linear convolution and FIR filtering on the kernel convolution chain.
+
+The reference stops at circular `Convolve` (fft/fft.go:55-69); production
+DSP needs LINEAR convolution and long-signal FIR filtering.  Built on the
+framework's zero-reorder Pallas convolution chain (fft/pow2.py):
+
+  fftconvolve  — scipy-style linear convolution (full/same/valid) via
+                 zero-padding to a kernel-eligible power of 2;
+  fir_filter   — causal FIR y[n] = sum_k taps[k] x[n-k], zero initial
+                 state (scipy.signal.lfilter(taps, 1, x) semantics);
+  overlap_save — block-wise FIR for long signals: all blocks are batched
+                 into ONE kernel-chain launch with the tap spectrum
+                 precomputed, so arbitrarily long signals filter at the
+                 batched-FFT rate with O(block) memory per lane.
+
+All functions are batched over leading axes and jit-compatible.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from godsp_tpu._dtypes import as_complex_array, complex_for, put, real_for
+from godsp_tpu.dsputils.utils import next_power_of_2
+from godsp_tpu.fft.core import fft
+from godsp_tpu.fft.pow2 import pow2_circular_filter, pow2_convolve
+
+__all__ = ["fftconvolve", "fir_filter", "overlap_save"]
+
+
+def _out_slice(full: jax.Array, la: int, lb: int, mode: str) -> jax.Array:
+    lfull = la + lb - 1
+    if mode == "full":
+        return full[..., :lfull]
+    if mode == "same":
+        start = (lb - 1) // 2
+        return full[..., start : start + la]
+    if mode == "valid":
+        lo, hi = min(la, lb), max(la, lb)
+        return full[..., lo - 1 : lo - 1 + hi - lo + 1]
+    raise ValueError(f"unknown mode: {mode}")
+
+
+@partial(jax.jit, static_argnames=("mode", "real_out"))
+def _fftconvolve_jit(a, b, mode: str, real_out: bool):
+    la, lb = a.shape[-1], b.shape[-1]
+    n = next_power_of_2(la + lb - 1)
+    pad_a = [(0, 0)] * (a.ndim - 1) + [(0, n - la)]
+    pad_b = [(0, 0)] * (b.ndim - 1) + [(0, n - lb)]
+    ac = jnp.pad(as_complex_array(a), pad_a)
+    bc = jnp.pad(as_complex_array(b), pad_b)
+    full = pow2_convolve(ac, bc, scale=1.0 / n)
+    out = _out_slice(full, la, lb, mode)
+    return jnp.real(out) if real_out else out
+
+
+def fftconvolve(a, b, mode: str = "full") -> jax.Array:
+    """Linear convolution of a and b (scipy.signal.fftconvolve semantics
+    for 1-D trailing axes; leading axes broadcast as batch).
+
+    Real inputs return real output.  mode: "full" (la+lb-1), "same"
+    (length of a), "valid" (|la-lb|+1).
+    """
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"unknown mode: {mode}")
+    a = put(a)
+    b = put(b)
+    if a.shape[-1] == 0 or b.shape[-1] == 0:
+        raise ValueError("empty input")
+    real_out = a.dtype.kind != "c" and b.dtype.kind != "c"
+    return _fftconvolve_jit(a, b, mode, real_out)
+
+
+def fir_filter(x, taps) -> jax.Array:
+    """Causal FIR filter with zero initial state: y has x's length,
+    y[n] = sum_k taps[k] x[n-k] (scipy.signal.lfilter(taps, [1], x))."""
+    x = put(x)
+    taps = put(taps)
+    full = fftconvolve(x, taps, mode="full")
+    return full[..., : x.shape[-1]]
+
+
+@partial(jax.jit, static_argnames=("block", "n", "m", "real_out"))
+def _overlap_save_jit(x, h_freq, block: int, n: int, m: int, real_out: bool):
+    L = x.shape[-1]
+    nblocks = -(-L // block)
+    lead = x.shape[:-1]
+    # Each block b filters x[b*block - (m-1) : b*block + n - (m-1)]; the
+    # first m-1 outputs of each circular convolution are aliased and
+    # discarded.  Frame with an (m-1)-sample left pad, batched.
+    padded = jnp.pad(
+        as_complex_array(x),
+        [(0, 0)] * (x.ndim - 1) + [(m - 1, nblocks * block + n - m + 1 - L)],
+    )
+    idx = jnp.arange(nblocks)[:, None] * block + jnp.arange(n)[None, :]
+    frames = jnp.take(padded, idx, axis=-1)  # (..., nblocks, n)
+    filt = pow2_circular_filter(frames, h_freq, scale=1.0 / n)
+    y = filt[..., m - 1 : m - 1 + block].reshape(*lead, nblocks * block)
+    y = y[..., :L]
+    return jnp.real(y) if real_out else y
+
+
+def overlap_save(x, taps, block: int | None = None) -> jax.Array:
+    """Long-signal causal FIR via overlap-save (zero initial state).
+
+    Equivalent to fir_filter but processes the signal in power-of-2
+    blocks with the tap spectrum computed once — ALL blocks run as one
+    batched kernel-chain launch.  block: output samples per block
+    (default: a kernel-friendly size >= 8 * len(taps)).
+    """
+    x = put(x)
+    taps = put(taps)
+    m = taps.shape[-1]
+    if m == 0:
+        raise ValueError("empty taps")
+    if m > x.shape[-1]:
+        return fir_filter(x, taps)
+    if block is None:
+        block = max(1024, next_power_of_2(8 * m)) - 0
+        block = min(block, next_power_of_2(x.shape[-1]))
+    n = next_power_of_2(block + m - 1)
+    real_out = x.dtype.kind != "c" and taps.dtype.kind != "c"
+    cdt = complex_for(jnp.promote_types(x.dtype, taps.dtype))
+    h = fft(jnp.pad(as_complex_array(taps).astype(cdt), (0, n - m)))
+    return _overlap_save_jit(x, h, int(block), n, m, real_out)

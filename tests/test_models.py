@@ -153,3 +153,75 @@ class TestWavPipeline:
         assert res.samples == 41888  # wav_test.go:60-79
         assert res.pxx.shape == (513,)
         assert np.isfinite(res.pxx).all() and (res.pxx >= 0).all()
+
+
+class TestFilter:
+    """models.filter vs numpy/scipy oracles."""
+
+    def test_fftconvolve_modes(self):
+        scipy_signal = pytest.importorskip("scipy.signal")
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=300)
+        b = rng.normal(size=41)
+        from godsp_tpu.models import fftconvolve
+
+        for mode in ("full", "same", "valid"):
+            got = np.asarray(fftconvolve(a, b, mode=mode))
+            ref = scipy_signal.fftconvolve(a, b, mode=mode)
+            assert got.shape == ref.shape
+            assert snr_db(got, ref) >= 180.0
+
+    def test_fftconvolve_complex_and_batched(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(3, 100)) + 1j * rng.normal(size=(3, 100))
+        b = rng.normal(size=(3, 20)) + 1j * rng.normal(size=(3, 20))
+        from godsp_tpu.models import fftconvolve
+
+        got = np.asarray(fftconvolve(a, b))
+        for i in range(3):
+            assert snr_db(got[i], np.convolve(a[i], b[i])) >= 180.0
+
+    def test_fir_filter_matches_lfilter(self):
+        scipy_signal = pytest.importorskip("scipy.signal")
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=5000)
+        taps = scipy_signal.firwin(63, 0.25)
+        from godsp_tpu.models import fir_filter
+
+        got = np.asarray(fir_filter(x, taps))
+        ref = scipy_signal.lfilter(taps, [1.0], x)
+        assert got.shape == ref.shape
+        assert snr_db(got, ref) >= 180.0
+
+    @pytest.mark.parametrize("L", [100, 4096, 20_000])
+    def test_overlap_save_equals_fir(self, L):
+        scipy_signal = pytest.importorskip("scipy.signal")
+        rng = np.random.default_rng(L)
+        x = rng.normal(size=L)
+        taps = scipy_signal.firwin(101, 0.1)
+        from godsp_tpu.models import overlap_save
+
+        got = np.asarray(overlap_save(x, taps))
+        ref = scipy_signal.lfilter(taps, [1.0], x)
+        assert got.shape == ref.shape
+        assert snr_db(got, ref) >= 170.0
+
+    def test_overlap_save_batched_custom_block(self):
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=(2, 9000))
+        taps = rng.normal(size=31)
+        from godsp_tpu.models import fir_filter, overlap_save
+
+        got = np.asarray(overlap_save(x, taps, block=2048))
+        ref = np.asarray(fir_filter(x, taps))
+        assert snr_db(got, ref) >= 170.0
+
+    def test_errors(self):
+        from godsp_tpu.models import fftconvolve, overlap_save
+
+        with pytest.raises(ValueError, match="unknown mode"):
+            fftconvolve(np.ones(4), np.ones(4), mode="x")
+        with pytest.raises(ValueError, match="empty"):
+            fftconvolve(np.ones(0), np.ones(4))
+        with pytest.raises(ValueError, match="empty taps"):
+            overlap_save(np.ones(10), np.ones(0))
