@@ -86,7 +86,14 @@ def fft_sharded(
     if not is_power_of_2(n2):
         raise ValueError(f"local length N/p={n2} must be a power of 2")
     cdtype = complex_for(x.dtype)
-    f1 = jnp.asarray(_f1_twiddle(p, n2 // p, n2, inverse), dtype=cdtype)
+    # put(): split-plane transfer — eager complex host->device copies are
+    # unimplemented on some TPU transports.
+    f1 = put(
+        np.asarray(
+            _f1_twiddle(p, n2 // p, n2, inverse),
+            dtype=np.complex128 if cdtype == jnp.complex128 else np.complex64,
+        )
+    )
 
     def shard_fn(xl):
         # xl: (1, n2) — row i1 = my shard index, X[i1, i2] = x[n2*i1 + i2].
@@ -130,11 +137,17 @@ def fft_sharded(
         nat = jnp.transpose(got.reshape(p, n2 // p), (1, 0)).reshape(n2)
         return nat[None, :]
 
-    out = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=P("sp"),
-        out_specs=P("sp"),
-        check_vma=False,
-    )(x.reshape(p, n2))
-    return out.reshape(n)
+    # One jitted program: eager op-by-op dispatch of complex arrays is
+    # unimplemented on some TPU transports.
+    @jax.jit
+    def run(xx):
+        out = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=P("sp"),
+            out_specs=P("sp"),
+            check_vma=False,
+        )(xx.reshape(p, n2))
+        return out.reshape(n)
+
+    return run(x)
