@@ -107,7 +107,7 @@ def main() -> None:
                 f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}"
             )
 
-    # --- pure-XLA four-step path (the general c64 API) ------------------
+    # --- public fft() API on c64 (kernel + complex<->plane conversions) --
     for n, batch in ((1024, 16384),):
         x = put(
             (rng.normal(size=(batch, n)) + 1j * rng.normal(size=(batch, n))).astype(
@@ -124,14 +124,14 @@ def main() -> None:
             rtt=rtt,
         )
         frac = r.roofline_fraction(peak)
-        results[f"xla_fft{n}"] = {
+        results[f"public_fft{n}"] = {
             "wall_s": r.wall_s,
             "gflops": r.gflops,
             "gbs": r.gbs,
             "roofline_fraction": frac,
         }
         log(
-            f"xla fft n={n} batch={batch}: {r.wall_s*1e3:.3f} ms  "
+            f"public fft() n={n} batch={batch}: {r.wall_s*1e3:.3f} ms  "
             f"{r.gflops:.0f} GFLOP/s  {r.gbs:.0f} GB/s  "
             f"roofline={frac and f'{frac:.3f}'}"
         )
