@@ -272,3 +272,10 @@ class TestPropertyRoundTrips:
             [sum(a[j] * b[(k - j) % n] for j in range(n)) for k in range(n)]
         )
         assert snr_db(got.real, direct) >= 180.0
+
+
+def test_convolve_empty_equal_lengths():
+    """len-0 equal inputs: FFT of len 0 is empty (fft.go:76-80), so the
+    convolution is empty too — no panic path applies."""
+    out = np.asarray(fft.convolve(np.zeros(0), np.zeros(0)))
+    assert out.shape == (0,)
