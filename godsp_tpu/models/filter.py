@@ -119,8 +119,12 @@ def overlap_save(x, taps, block: int | None = None) -> jax.Array:
     if m > x.shape[-1]:
         return fir_filter(x, taps)
     if block is None:
-        block = max(1024, next_power_of_2(8 * m)) - 0
+        block = max(1024, next_power_of_2(8 * m))
         block = min(block, next_power_of_2(x.shape[-1]))
+    if block < m:
+        raise ValueError(
+            f"block ({block}) must be >= len(taps) ({m}) for overlap-save"
+        )
     n = next_power_of_2(block + m - 1)
     real_out = x.dtype.kind != "c" and taps.dtype.kind != "c"
     cdt = complex_for(jnp.promote_types(x.dtype, taps.dtype))

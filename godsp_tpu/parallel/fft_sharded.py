@@ -86,19 +86,23 @@ def fft_sharded(
     if not is_power_of_2(n2):
         raise ValueError(f"local length N/p={n2} must be a power of 2")
     cdtype = complex_for(x.dtype)
-    # put(): split-plane transfer — eager complex host->device copies are
-    # unimplemented on some TPU transports.
-    f1 = put(
-        np.asarray(
-            _f1_twiddle(p, n2 // p, n2, inverse),
-            dtype=np.complex128 if cdtype == jnp.complex128 else np.complex64,
-        )
-    )
+    return _run_cached(mesh, p, n2, inverse, order, str(cdtype))(x)
+
+
+@lru_cache(maxsize=None)
+def _run_cached(mesh, p: int, n2: int, inverse: bool, order: str, cdtype_name: str):
+    """One jitted program per (mesh, geometry): rebuilding the jit per
+    call would retrace every time; eager op-by-op complex dispatch is
+    also unimplemented on some TPU transports, so everything (including
+    the F1 constant, which embeds at trace time) lives under this jit."""
+    cdtype = jnp.dtype(cdtype_name)
+    n = p * n2
 
     def shard_fn(xl):
         # xl: (1, n2) — row i1 = my shard index, X[i1, i2] = x[n2*i1 + i2].
         from godsp_tpu.fft.pow2 import pow2_fft
 
+        f1 = jnp.asarray(_f1_twiddle(p, n2 // p, n2, inverse), dtype=cdtype)
         my = jax.lax.axis_index("sp")
         xl = xl.reshape(n2)
 
@@ -137,8 +141,6 @@ def fft_sharded(
         nat = jnp.transpose(got.reshape(p, n2 // p), (1, 0)).reshape(n2)
         return nat[None, :]
 
-    # One jitted program: eager op-by-op dispatch of complex arrays is
-    # unimplemented on some TPU transports.
     @jax.jit
     def run(xx):
         out = jax.shard_map(
@@ -150,4 +152,4 @@ def fft_sharded(
         )(xx.reshape(p, n2))
         return out.reshape(n)
 
-    return run(x)
+    return run
