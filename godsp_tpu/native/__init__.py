@@ -37,16 +37,22 @@ _tried = False
 
 
 def _build() -> bool:
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _SO, _SRC],
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", tmp, _SRC],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _SO)  # atomic: safe under concurrent builders
         return True
     except Exception as e:  # toolchain missing / sandboxed build dir
         log.info("native build unavailable, using numpy fallbacks: %s", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
