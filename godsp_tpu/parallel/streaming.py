@@ -23,6 +23,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Iterable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -33,6 +34,15 @@ from godsp_tpu.parallel.pwelch_sharded import resolve_geometry, sharded_partial_
 from godsp_tpu.spectral.pwelch import PwelchOptions
 
 __all__ = ["StreamingPwelch", "stream_pwelch"]
+
+
+@jax.jit
+def _neumaier_add(s, c, x):
+    """Compensated (Neumaier) accumulation: returns (s', c') with
+    s' + c' ~= s + c + x at ~double the working precision."""
+    t = s + x
+    c = c + jnp.where(jnp.abs(s) >= jnp.abs(x), (s - t) + x, (x - t) + s)
+    return t, c
 
 log = logging.getLogger("godsp_tpu.streaming")
 
@@ -143,7 +153,12 @@ class StreamingPwelch:
             for _ in range(self.channels)
         ]
         self._buf = self._bufs[0]  # single-channel accessor (tests, repr)
-        self._p_sum = np.zeros((self.channels, self.lp), dtype=np.float64)
+        # Device-resident Neumaier-compensated periodogram accumulator:
+        # per-chunk results are added ON DEVICE (no per-chunk readback,
+        # so host->device transfers pipeline with compute); the
+        # compensation term gives ~double-precision accuracy at f32.
+        self._acc_s = None  # (C, lp) running sum
+        self._acc_c = None  # (C, lp) compensation
         self._count = 0.0
         self._consumed = 0  # global samples fully folded into the state
         self.metrics = StreamingMetrics()
@@ -153,13 +168,21 @@ class StreamingPwelch:
         if checkpoint_path and os.path.exists(checkpoint_path):
             self._restore(checkpoint_path)
 
+    def _acc_read(self) -> np.ndarray:
+        """Materialize the accumulator as float64 (blocking readback)."""
+        if self._acc_s is None:
+            return np.zeros((self.channels, self.lp), dtype=np.float64)
+        return np.asarray(self._acc_s, dtype=np.float64) + np.asarray(
+            self._acc_c, dtype=np.float64
+        )
+
     # -- checkpoint / resume (SURVEY.md §5) -----------------------------
     def _snapshot(self) -> None:
         tmp = self.checkpoint_path + ".tmp"
         with open(tmp, "wb") as f:
             np.savez(
                 f,
-                p_sum=self._p_sum,
+                p_sum=self._acc_read(),
                 count=self._count,
                 consumed=self._consumed,
                 buf=np.stack([b.peek(len(b)) for b in self._bufs]),
@@ -171,10 +194,16 @@ class StreamingPwelch:
         log.info("checkpoint @ chunk %d -> %s", self.metrics.chunks_done, self.checkpoint_path)
 
     def _restore(self, path: str) -> None:
+        from godsp_tpu._dtypes import default_float
+
         z = np.load(path)
-        self._p_sum = z["p_sum"]
-        if self._p_sum.ndim == 1:  # pre-multichannel snapshot
-            self._p_sum = self._p_sum[None, :]
+        p_sum = z["p_sum"]
+        if p_sum.ndim == 1:  # pre-multichannel snapshot
+            p_sum = p_sum[None, :]
+        fdt = default_float()
+        s = p_sum.astype(fdt)
+        self._acc_s = jnp.asarray(s)
+        self._acc_c = jnp.asarray((p_sum - s.astype(np.float64)).astype(fdt))
         self._count = float(z["count"])
         self._consumed = int(z["consumed"])
         buf = z["buf"]
@@ -244,8 +273,16 @@ class StreamingPwelch:
             self.lp,
             total_segs,
         )
-        self._p_sum += np.asarray(p, dtype=np.float64).reshape(self.channels, self.lp)
-        self._count += float(np.asarray(c).reshape(-1)[0])
+        p = p.reshape(self.channels, self.lp)
+        if self._acc_s is None:
+            self._acc_s = p
+            self._acc_c = jnp.zeros_like(p)
+        else:
+            self._acc_s, self._acc_c = _neumaier_add(self._acc_s, self._acc_c, p)
+        # The masked segment count is deterministic (== total_segs), so
+        # nothing needs to be read back from the device here.
+        del c
+        self._count += float(total_segs)
         self.metrics.chunks_done += 1
         self.metrics.segments_done += int(total_segs)
         self.metrics.wall_s += time.perf_counter() - t0
@@ -275,7 +312,8 @@ class StreamingPwelch:
             )
             for b in self._bufs:
                 b.consume(len(b))
-        pxx = self._p_sum / (self._count * self._w_norm) if self._count else self._p_sum
+        acc = self._acc_read()
+        pxx = acc / (self._count * self._w_norm) if self._count else acc
         freqs = np.arange(self.lp) * (self.fs / self.pad)
         log.info("finalize: %s", self.metrics.json_line())
         if self.channels == 1:
