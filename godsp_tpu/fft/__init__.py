@@ -6,6 +6,7 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 """
 
 from godsp_tpu.fft.bluestein import bluestein_fft
+from godsp_tpu.fft.dct import dct, idct
 from godsp_tpu.fft.core import (
     convolve,
     ensure_radix2_factors,
@@ -27,6 +28,8 @@ from godsp_tpu.fft.stockham import stockham_fft, twiddles
 __all__ = [
     "bluestein_fft",
     "convolve",
+    "dct",
+    "idct",
     "ensure_radix2_factors",
     "fft",
     "four_step_fft",

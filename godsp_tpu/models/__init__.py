@@ -2,6 +2,7 @@
 
   stft     — short-time Fourier transform / inverse / spectrogram
   filter   — linear convolution / FIR filtering (overlap-save)
+  mel      — mel filterbank / log-mel spectrogram / MFCC front end
   pipeline — WAV stream -> distributed streaming Welch PSD (flagship)
 
 The reference library has no pipeline layer — composition of wav/fft/
@@ -10,6 +11,7 @@ batched, TPU-sharded equivalents as first-class API.
 """
 
 from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
+from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
     spectrogram_from_wav,
@@ -23,6 +25,9 @@ __all__ = [
     "fir_filter",
     "overlap_save",
     "istft",
+    "mel_filterbank",
+    "mel_spectrogram",
+    "mfcc",
     "spectrogram",
     "spectrogram_from_wav",
     "stft",

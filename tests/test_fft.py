@@ -279,3 +279,34 @@ def test_convolve_empty_equal_lengths():
     convolution is empty too — no panic path applies."""
     out = np.asarray(fft.convolve(np.zeros(0), np.zeros(0)))
     assert out.shape == (0,)
+
+
+class TestDCT:
+    """fft.dct/idct vs scipy.fft (types 2/3, both norms)."""
+
+    @pytest.mark.parametrize("n", [4, 8, 100, 256, 1024])
+    def test_dct2_vs_scipy(self, n):
+        sfft = pytest.importorskip("scipy.fft")
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=(3, n))
+        assert snr_db(np.asarray(fft.dct(x)), sfft.dct(x, type=2)) >= 200.0
+        assert (
+            snr_db(np.asarray(fft.dct(x, norm="ortho")), sfft.dct(x, 2, norm="ortho"))
+            >= 200.0
+        )
+
+    @pytest.mark.parametrize("n", [8, 100, 512])
+    def test_idct_roundtrip(self, n):
+        sfft = pytest.importorskip("scipy.fft")
+        rng = np.random.default_rng(n + 1)
+        x = rng.normal(size=n)
+        back = np.asarray(fft.idct(fft.dct(x, norm="ortho"), norm="ortho"))
+        assert snr_db(back, x) >= 200.0
+        got = np.asarray(fft.idct(sfft.dct(x, 2)))
+        assert snr_db(got, sfft.idct(sfft.dct(x, 2))) >= 200.0
+
+    def test_errors(self):
+        with pytest.raises(ValueError, match="unknown norm"):
+            fft.dct(np.ones(8), norm="x")
+        with pytest.raises(ValueError, match="real input"):
+            fft.dct(np.ones(8, dtype=np.complex128))

@@ -225,3 +225,57 @@ class TestFilter:
             fftconvolve(np.ones(0), np.ones(4))
         with pytest.raises(ValueError, match="empty taps"):
             overlap_save(np.ones(10), np.ones(0))
+
+
+class TestMel:
+    def test_filterbank_properties(self):
+        from godsp_tpu.models import mel_filterbank
+
+        fb = np.asarray(mel_filterbank(40, 1024, 16000.0))
+        assert fb.shape == (40, 513)
+        assert (fb >= 0).all()
+        # unnormalized triangles peak at <= 1 (exactly 1 only when a bin
+        # lands on the apex) and every filter is non-empty
+        assert (fb.max(axis=1) <= 1.0 + 1e-6).all()
+        assert (fb.max(axis=1) > 0).all()
+        # centers are monotonically non-decreasing
+        centers = fb.argmax(axis=1)
+        assert (np.diff(centers) >= 0).all()
+
+    def test_filterbank_slaney_norm(self):
+        from godsp_tpu.models import mel_filterbank
+
+        fb = np.asarray(mel_filterbank(20, 512, 8000.0, norm="slaney"))
+        assert (fb.max(axis=1) < 1.0).all()  # area-normalized triangles
+
+    def test_mel_spectrogram_is_filterbank_matmul(self):
+        from godsp_tpu.models import mel_filterbank, mel_spectrogram, spectrogram
+
+        x = _signal(4096).astype(np.float32)
+        p = np.asarray(spectrogram(x, 512, 256))
+        fb = np.asarray(mel_filterbank(32, 512, 8000.0))
+        ref = p @ fb.T
+        got = np.asarray(mel_spectrogram(x, 8000.0, nfft=512, hop=256, n_mels=32))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_mfcc_shape_and_consistency(self):
+        from godsp_tpu import fft as gfft
+        from godsp_tpu.models import mel_spectrogram, mfcc
+
+        x = _signal(8000).astype(np.float32)
+        got = np.asarray(mfcc(x, 16000.0, n_mfcc=13, nfft=512, hop=256, n_mels=40))
+        frames = (8000 - 512) // 256 + 1
+        assert got.shape == (frames, 13)
+        logmel = mel_spectrogram(
+            x, 16000.0, nfft=512, hop=256, n_mels=40, norm="slaney", log=True
+        )
+        ref = np.asarray(gfft.dct(logmel, norm="ortho"))[:, :13]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_errors(self):
+        from godsp_tpu.models import mel_filterbank, mfcc
+
+        with pytest.raises(ValueError, match="fmax"):
+            mel_filterbank(10, 256, 8000.0, fmin=5000.0, fmax=4000.0)
+        with pytest.raises(ValueError, match="n_mfcc"):
+            mfcc(np.zeros(4096, np.float32), 8000.0, n_mfcc=90, n_mels=80)
