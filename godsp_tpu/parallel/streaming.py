@@ -161,6 +161,7 @@ class StreamingPwelch:
         self._acc_c = None  # (C, lp) compensation
         self._count = 0.0
         self._consumed = 0  # global samples fully folded into the state
+        self._t_first: Optional[float] = None  # wall clock of first update
         self.metrics = StreamingMetrics()
 
         self.checkpoint_path = checkpoint_path
@@ -223,6 +224,8 @@ class StreamingPwelch:
 
         samples: (n,) for single-channel, (channels, n) otherwise.
         """
+        if self._t_first is None:
+            self._t_first = time.perf_counter()
         samples = np.asarray(samples, dtype=self._np_float)
         if self.channels == 1:
             samples = samples.reshape(1, -1)
@@ -285,7 +288,9 @@ class StreamingPwelch:
         self._count += float(total_segs)
         self.metrics.chunks_done += 1
         self.metrics.segments_done += int(total_segs)
-        self.metrics.wall_s += time.perf_counter() - t0
+        # dispatch is async (device accumulation, no readback): wall_s is
+        # finalized as total elapsed in finalize().
+        del t0
 
     def finalize(self) -> tuple[np.ndarray, np.ndarray]:
         """Flush the remainder and return (Pxx, freqs).
@@ -312,6 +317,8 @@ class StreamingPwelch:
             )
             for b in self._bufs:
                 b.consume(len(b))
+        if self._t_first is not None:
+            self.metrics.wall_s = time.perf_counter() - self._t_first
         acc = self._acc_read()
         pxx = acc / (self._count * self._w_norm) if self._count else acc
         freqs = np.arange(self.lp) * (self.fs / self.pad)
