@@ -95,7 +95,9 @@ def stft(
     reproduce pwelch exactly.
     """
     x = as_real_array(x)
-    hop = hop or nfft // 2
+    hop = nfft // 2 if hop is None else hop
+    if hop <= 0:
+        raise ValueError("hop must be positive")
     pad = pad or nfft
     if pad < nfft:
         raise ValueError("pad must be >= nfft")
@@ -152,7 +154,9 @@ def istft(
     """
     spec = put(spec)  # split-plane transfer: host complex buffers cannot
     # move to some TPU transports directly (_dtypes.put)
-    hop = hop or nfft // 2
+    hop = nfft // 2 if hop is None else hop
+    if hop <= 0:
+        raise ValueError("hop must be positive")
     n_frames = spec.shape[-2]
     length = length or (n_frames - 1) * hop + nfft
     w = _resolve_window(window, nfft, default_float())
@@ -175,7 +179,9 @@ def spectrogram(
     if scale not in ("power", "magnitude", "db"):
         raise ValueError(f"unknown scale: {scale}")
     x = as_real_array(x)
-    hop = hop or nfft // 2
+    hop = nfft // 2 if hop is None else hop
+    if hop <= 0:
+        raise ValueError("hop must be positive")
     pad_r = pad or nfft
     if x.shape[-1] >= nfft and _fused_stft_eligible(nfft, pad_r, hop):
         # Fused power path: no complex spectra ever hit HBM.

@@ -279,3 +279,14 @@ class TestMel:
             mel_filterbank(10, 256, 8000.0, fmin=5000.0, fmax=4000.0)
         with pytest.raises(ValueError, match="n_mfcc"):
             mfcc(np.zeros(4096, np.float32), 8000.0, n_mfcc=90, n_mels=80)
+
+
+def test_hop_zero_raises():
+    from godsp_tpu.models import istft, spectrogram, stft
+
+    with pytest.raises(ValueError, match="hop must be positive"):
+        stft(np.zeros(512, np.float32), 128, hop=0)
+    with pytest.raises(ValueError, match="hop must be positive"):
+        spectrogram(np.zeros(512, np.float32), 128, hop=0)
+    with pytest.raises(ValueError, match="hop must be positive"):
+        istft(np.zeros((4, 65), np.complex128), 128, hop=0)
