@@ -14,6 +14,7 @@ from godsp_tpu.parallel.pwelch_sharded import (
     pwelch_sharded,
     sharded_partial_step,
 )
+from godsp_tpu.parallel.stft_sharded import spectrogram_sharded
 from godsp_tpu.parallel.streaming import StreamingPwelch, stream_pwelch
 
 __all__ = [
@@ -26,5 +27,6 @@ __all__ = [
     "pwelch_sharded",
     "ring_halo_pallas",
     "sharded_partial_step",
+    "spectrogram_sharded",
     "stream_pwelch",
 ]

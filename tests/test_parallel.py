@@ -348,3 +348,39 @@ class TestMultichannelStreaming:
         for c in range(C):
             ref, _ = spectral.pwelch(jnp.asarray(x[c]), 2.0, opts)
             np.testing.assert_allclose(pxx[c], np.asarray(ref), rtol=1e-9)
+
+
+class TestShardedSpectrogram:
+    def test_matches_single_device(self):
+        from godsp_tpu.models import spectrogram
+        from godsp_tpu.parallel import spectrogram_sharded
+
+        nfft, hop = 256, 128
+        L = 8 * hop * 16
+        x = jnp.asarray(_signal(L))
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        got = np.asarray(spectrogram_sharded(x, mesh, nfft, hop))
+        ref = np.asarray(spectrogram(x, nfft, hop))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-30)
+
+    def test_pad_and_window(self):
+        from godsp_tpu.models import spectrogram
+        from godsp_tpu.parallel import spectrogram_sharded
+
+        nfft, hop, pad = 128, 64, 256
+        L = 8 * hop * 8
+        x = jnp.asarray(_signal(L, seed=3))
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        got = np.asarray(
+            spectrogram_sharded(x, mesh, nfft, hop, window="hamming", pad=pad)
+        )
+        ref = np.asarray(spectrogram(x, nfft, hop, window="hamming", pad=pad))
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-30)
+
+    def test_errors(self):
+        from godsp_tpu.parallel import spectrogram_sharded
+
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        with pytest.raises(ValueError, match="divide"):
+            spectrogram_sharded(jnp.ones(1000), mesh, 256)
