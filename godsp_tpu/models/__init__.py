@@ -3,6 +3,7 @@
   stft     — short-time Fourier transform / inverse / spectrogram
   filter   — linear convolution / FIR filtering (overlap-save)
   mel      — mel filterbank / log-mel spectrogram / MFCC front end
+  resample — Fourier-method resampling (scipy.signal.resample)
   pipeline — WAV stream -> distributed streaming Welch PSD (flagship)
 
 The reference library has no pipeline layer — composition of wav/fft/
@@ -12,6 +13,7 @@ batched, TPU-sharded equivalents as first-class API.
 
 from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
 from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc
+from godsp_tpu.models.resample import resample
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
     spectrogram_from_wav,
@@ -28,6 +30,7 @@ __all__ = [
     "mel_filterbank",
     "mel_spectrogram",
     "mfcc",
+    "resample",
     "spectrogram",
     "spectrogram_from_wav",
     "stft",

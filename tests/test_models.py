@@ -290,3 +290,30 @@ def test_hop_zero_raises():
         spectrogram(np.zeros(512, np.float32), 128, hop=0)
     with pytest.raises(ValueError, match="hop must be positive"):
         istft(np.zeros((4, 65), np.complex128), 128, hop=0)
+
+
+class TestResample:
+    @pytest.mark.parametrize(
+        "n,num", [(100, 250), (256, 100), (128, 128), (64, 65), (101, 50), (100, 101)]
+    )
+    def test_vs_scipy(self, n, num):
+        ss = pytest.importorskip("scipy.signal")
+        rng = np.random.default_rng(n + num)
+        x = rng.normal(size=(2, n))
+        from godsp_tpu.models import resample
+
+        got = np.asarray(resample(x, num))
+        ref = ss.resample(x, num, axis=-1)
+        assert got.shape == ref.shape
+        assert snr_db(got, ref) >= 200.0
+
+    def test_complex_and_errors(self):
+        ss = pytest.importorskip("scipy.signal")
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=64) + 1j * rng.normal(size=64)
+        from godsp_tpu.models import resample
+
+        got = np.asarray(resample(x, 48))
+        assert snr_db(got, ss.resample(x, 48)) >= 200.0
+        with pytest.raises(ValueError, match="num"):
+            resample(np.ones(8), 0)
