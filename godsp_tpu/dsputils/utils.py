@@ -90,14 +90,25 @@ def segment_bounds(lx: int, segs: int, noverlap: float) -> tuple[int, int]:
     trailing samples that don't fit are discarded.
     Raises ValueError where the reference panics ("too many segments").
     """
-    step = 0
-    for length in range(lx, 0, -1):
+    def tot(length: int) -> int:
         overlap = int(length * noverlap)
-        tot = segs * (length - overlap) + overlap
-        if tot <= lx:
-            step = length - overlap
-            return length, step
-    raise ValueError("too many segments")
+        return segs * (length - overlap) + overlap
+
+    # tot(length) is strictly increasing for noverlap in [0, 1] (overlap
+    # grows by at most 1 per unit of length), so the reference's linear
+    # descending scan (dsputils.go:94-101) is equivalent to a binary
+    # search for the largest length with tot(length) <= lx.
+    lo, hi = 1, lx  # search over [1, lx]
+    if lx < 1 or tot(1) > lx:
+        raise ValueError("too many segments")
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if tot(mid) <= lx:
+            lo = mid
+        else:
+            hi = mid - 1
+    length = lo
+    return length, length - int(length * noverlap)
 
 
 def segment(x, segs: int, noverlap: float) -> jax.Array:
