@@ -92,9 +92,29 @@ def mel_spectrogram(
     Fused kernel power spectrogram -> (lp, n_mels) MXU matmul; log=True
     applies ln(mel + eps).
     """
-    p = spectrogram(x, nfft, hop, window, scale="power")  # (..., frames, lp)
-    fb = mel_filterbank(n_mels, nfft, fs, fmin, fmax, norm).astype(p.dtype)
-    m = p @ fb.T
+    from godsp_tpu._dtypes import as_real_array
+    from godsp_tpu.models.stft import _fused_stft_eligible, _fused_window, _resolve_window
+
+    fb = mel_filterbank(n_mels, nfft, fs, fmin, fmax, norm)
+    x = as_real_array(x)
+    hop_r = nfft // 2 if hop is None else hop
+    if (
+        hop_r > 0
+        and x.shape[-1] >= nfft
+        and _fused_stft_eligible(nfft, nfft, hop_r)
+    ):
+        # Fully fused: frame->window->FFT->|.|^2->filterbank in one
+        # kernel; neither frames nor the power spectrum hit HBM.
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        w = _resolve_window(window, nfft, x.dtype)
+        n_frames = (x.shape[-1] - nfft) // hop_r + 1
+        m = stft_pallas(
+            x, _fused_window(w, nfft), nfft, hop_r, n_frames, out="mel", fb=fb
+        )
+    else:
+        p = spectrogram(x, nfft, hop, window, scale="power")  # (..., frames, lp)
+        m = p @ fb.astype(p.dtype).T
     return jnp.log(m + eps) if log else m
 
 

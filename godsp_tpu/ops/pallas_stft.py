@@ -50,7 +50,7 @@ def _stft_kernel(
     pad: int,
     halo: int,
     fast: bool,
-    power: bool,
+    out: str,
 ):
     """One tile: frame -> window -> FFT -> per-segment outputs."""
     if halo:
@@ -58,14 +58,28 @@ def _stft_kernel(
     else:
         block_ref, w_ref, *rest = refs
         halo_ref = None
-    if power:
+    if out == "mel":
+        fb_ref, *rest = rest
+        *tabs, m_ref = rest
+    elif out == "power":
         *tabs, p_ref = rest
     else:
         *tabs, yr_ref, yi_ref = rest
 
     xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
     cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES, fast)
-    if power:
+    if out == "mel":
+        # |X|^2 then the mel filterbank contraction — the full power
+        # spectrum never leaves VMEM.  fb rows arrive in the kernel's
+        # digit bin order (permuted once at trace time).
+        p = cr * cr + ci * ci  # (bt, pad)
+        m_ref[:] = jax.lax.dot_general(
+            p, fb_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    elif out == "power":
         p_ref[:] = cr * cr + ci * ci
     else:
         yr_ref[:] = cr
@@ -90,6 +104,7 @@ def stft_pallas(
     mode: str = "precise",
     segs_per_tile: int | None = None,
     interpret: bool = False,
+    fb: jax.Array | None = None,
 ):
     """Fused short-time transform of raw samples.
 
@@ -98,9 +113,15 @@ def stft_pallas(
     shape (..., total_segs, pad//2 + 1):
       out="complex" -> complex spectra (jax.lax.complex of the planes)
       out="power"   -> |X|^2 float32
+      out="mel"     -> |X|^2 @ fb.T, (..., total_segs, n_mels): the mel
+                       filterbank contraction runs INSIDE the kernel, so
+                       the full power spectrum never hits HBM.  fb is
+                       the (n_mels, pad//2 + 1) natural-order filterbank.
     """
-    if out not in ("complex", "power"):
+    if out not in ("complex", "power", "mel"):
         raise ValueError(f"unknown out: {out}")
+    if out == "mel" and fb is None:
+        raise ValueError("out='mel' requires fb")
     if mode not in ("precise", "fast"):
         raise ValueError(f"unknown mode: {mode}")
     pad = pad or nfft
@@ -111,8 +132,9 @@ def stft_pallas(
         )
     lead = x.shape[:-1]
     lp = pad // 2 + 1
+    n_mels = fb.shape[0] if out == "mel" else 0
     if total_segs <= 0:
-        z = jnp.zeros(lead + (0, lp), _F32)
+        z = jnp.zeros(lead + (0, n_mels if out == "mel" else lp), _F32)
         return jax.lax.complex(z, z) if out == "complex" else z
 
     bt = segs_per_tile or _segs_per_tile(pad)
@@ -140,6 +162,23 @@ def stft_pallas(
         )
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    if out == "mel":
+        # (pad, mel_pad) filterbank with rows permuted to the kernel's
+        # digit bin order; bins >= lp (the mirrored half) map to zero.
+        import numpy as np
+
+        n1_ = pad // LANES
+        mel_pad = -(-n_mels // LANES) * LANES
+        fb_full = jnp.zeros((pad, mel_pad), _F32)
+        fb_full = fb_full.at[:lp, :n_mels].set(jnp.asarray(fb, _F32).T)
+        binidx = (
+            np.arange(n1_)[:, None] + n1_ * np.arange(LANES)[None, :]
+        ).reshape(-1)
+        fb_digit = fb_full[jnp.asarray(binidx)]
+        inputs.append(fb_digit)
+        in_specs.append(
+            pl.BlockSpec(fb_digit.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
     order, tabs = fft_real_tables(pad, fast=(mode == "fast"))
     for key in order:
         t = jnp.asarray(tabs[key])
@@ -166,7 +205,7 @@ def stft_pallas(
     kern = partial(
         _stft_kernel,
         bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-        fast=(mode == "fast"), power=(out == "power"),
+        fast=(mode == "fast"), out=out,
     )
     call = partial(
         pl.pallas_call,
@@ -184,6 +223,16 @@ def stft_pallas(
         rows = _digit_to_natural_rows(rows, pad)[..., :lp]
         return rows.reshape(*lead, total_segs, lp)
 
+    if out == "mel":
+        mel_pad = -(-n_mels // LANES) * LANES
+        m = call(
+            out_specs=pl.BlockSpec(
+                (bt, mel_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((out_rows, mel_pad), _F32, vma=vma),
+        )(*inputs)
+        m = m.reshape(R, n_tiles * bt, mel_pad)[:, :total_segs, :n_mels]
+        return m.reshape(*lead, total_segs, n_mels)
     if out == "power":
         p = call(out_specs=out_spec, out_shape=shp)(*inputs)
         return finish(p)

@@ -412,3 +412,34 @@ class TestDigitOrderChain:
             ifft_pow2_digit_split(z, jnp.zeros((3, 256), jnp.float32))
         with pytest.raises(ValueError, match="unsupported FFT size"):
             ifft_pow2_digit_split(jnp.zeros((2, 100)), jnp.zeros((2, 100)))
+
+    def test_mel_output(self):
+        """Fused mel contraction == power @ fb.T (interpret mode)."""
+        from godsp_tpu import window as win
+        from godsp_tpu.models.mel import mel_filterbank
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        rng = np.random.default_rng(40)
+        nfft = hop = 256
+        segs = 10
+        x = rng.normal(size=hop * (segs - 1) + nfft).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        fb = mel_filterbank(40, nfft, 8000.0)
+        m = np.asarray(
+            stft_pallas(jnp.asarray(x), w, nfft, hop, segs, out="mel",
+                        fb=fb, interpret=True)
+        )
+        p = np.asarray(
+            stft_pallas(jnp.asarray(x), w, nfft, hop, segs, out="power",
+                        interpret=True)
+        )
+        ref = p @ np.asarray(fb, np.float64).T
+        assert m.shape == (segs, 40)
+        assert snr_db(m, ref) >= 100.0
+
+    def test_mel_requires_fb(self):
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        with pytest.raises(ValueError, match="requires fb"):
+            stft_pallas(jnp.zeros(2048, jnp.float32), jnp.zeros(256), 256, 256,
+                        4, out="mel", interpret=True)
