@@ -188,6 +188,32 @@ def main() -> None:
             f"{msps:.0f} Msamples/s on-device"
         )
 
+    # --- fused mel front end (frame->window->FFT->|.|^2->filterbank) ----
+    from godsp_tpu.models import mel_spectrogram
+
+    nfft, hop = 1024, 512
+    L = hop * 4096 + nfft
+    sig = put(rng.normal(size=L).astype(np.float32))
+
+    def make_mel(K):
+        @jax.jit
+        def chain(z):
+            acc = 0.0
+            for k in range(K):
+                acc = acc + mel_spectrogram(
+                    z * (1.0 + 1e-6 * k), 44100.0, nfft=nfft, hop=hop, n_mels=80
+                )[0, 0]
+            return acc
+
+        return chain
+
+    per = time_chain_diff(make_mel, sig, k_lo=4, k_hi=16, iters=8)
+    results["mel_frontend_1024"] = {
+        "wall_s": per,
+        "msamples_per_s": L / per / 1e6,
+    }
+    log(f"fused mel front end: {per*1e3:.3f} ms  {L/per/1e6:.0f} Msamples/s")
+
     # --- Pwelch streaming throughput, single chip -----------------------
     fs = 44100.0
     opts = spectral.PwelchOptions(nfft=1024, noverlap=512)
