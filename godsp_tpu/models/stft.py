@@ -102,11 +102,23 @@ def stft(
     if pad < nfft:
         raise ValueError("pad must be >= nfft")
     w = _resolve_window(window, nfft, x.dtype)
-    if onesided and x.shape[-1] >= nfft and _fused_stft_eligible(nfft, pad, hop):
-        from godsp_tpu.ops.pallas_stft import stft_pallas
+    if onesided and x.shape[-1] >= nfft:
+        if _fused_stft_eligible(nfft, pad, hop):
+            from godsp_tpu.ops.pallas_stft import stft_pallas
 
-        n_frames = (x.shape[-1] - nfft) // hop + 1
-        return stft_pallas(x, _fused_window(w, pad), nfft, hop, n_frames, pad=pad)
+            n_frames = (x.shape[-1] - nfft) // hop + 1
+            return stft_pallas(x, _fused_window(w, pad), nfft, hop, n_frames, pad=pad)
+        if _fused_stft_eligible(nfft, pad, nfft):
+            # Odd hop: frame in XLA, then run the fused kernel on the
+            # frames as a back-to-back (stride == nfft) stream.
+            from godsp_tpu.ops.pallas_stft import stft_pallas
+
+            frames = stft_frames(x, nfft, hop)
+            n_frames = frames.shape[-2]
+            flat = frames.reshape(*frames.shape[:-2], n_frames * nfft)
+            return stft_pallas(
+                flat, _fused_window(w, pad), nfft, nfft, n_frames, pad=pad
+            )
     return _stft_jit(x, w, nfft, hop, pad, onesided)
 
 
@@ -191,6 +203,18 @@ def spectrogram(
         n_frames = (x.shape[-1] - nfft) // hop + 1
         p = stft_pallas(
             x, _fused_window(w, pad_r), nfft, hop, n_frames, pad=pad_r,
+            out="power",
+        )
+    elif x.shape[-1] >= nfft and _fused_stft_eligible(nfft, pad_r, nfft):
+        # Odd hop: XLA framing + fused kernel at stride == nfft.
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        w = _resolve_window(window, nfft, x.dtype)
+        frames = stft_frames(x, nfft, hop)
+        n_frames = frames.shape[-2]
+        flat = frames.reshape(*frames.shape[:-2], n_frames * nfft)
+        p = stft_pallas(
+            flat, _fused_window(w, pad_r), nfft, nfft, n_frames, pad=pad_r,
             out="power",
         )
     else:

@@ -161,6 +161,10 @@ def pwelch_from_frames(
     mean-of-periodograms is associative, so per-shard partial means
     combine exactly (up to fp reordering) with a weighted psum
     (see godsp_tpu.parallel).
+
+    On TPU with kernel-supported sizes, the frames feed the fused Pallas
+    kernel as a back-to-back (stride == nfft) stream — the fused path for
+    ANY overlap geometry (framing already happened); otherwise batched XLA.
     """
     o = options or PwelchOptions()
     nfft, wf, pad, _, enable_scaling = o.resolved()
@@ -176,6 +180,15 @@ def pwelch_from_frames(
     if enable_scaling:
         w_norm = w_norm * jnp.asarray(fs, dtype=fdt)  # pwelch.go:130-132
 
-    pxx = _pwelch_core(frames, w_pad, w_norm, nfft, pad, lp)
+    nsegs = frames.shape[-2]
+    if nsegs > 0 and fused_path_eligible(nfft, pad, nfft):
+        from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
+
+        flat = frames.reshape(*frames.shape[:-2], nsegs * nfft)
+        p = pwelch_power_sum(flat, w_pad, nfft, nfft, nsegs, pad=pad)
+        doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
+        pxx = p * doubler / (nsegs * w_norm)
+    else:
+        pxx = _pwelch_core(frames, w_pad, w_norm, nfft, pad, lp)
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)  # pwelch.go:138-142
     return pxx, freqs

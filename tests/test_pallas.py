@@ -443,3 +443,50 @@ class TestDigitOrderChain:
         with pytest.raises(ValueError, match="requires fb"):
             stft_pallas(jnp.zeros(2048, jnp.float32), jnp.zeros(256), 256, 256,
                         4, out="mel", interpret=True)
+
+
+class TestSemiFused:
+    """Odd-geometry paths route through the fused kernel at stride==nfft
+    on pre-framed data (forced via interpret + eligibility patch)."""
+
+    def test_pwelch_from_frames_fused_matches_xla(self, monkeypatch):
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from godsp_tpu import spectral
+
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        rng = np.random.default_rng(50)
+        nfft, noverlap = 256, 100  # stride 156: not kernel-frameable
+        opts = spectral.PwelchOptions(nfft=nfft, noverlap=noverlap)
+        x = rng.normal(size=10_000).astype(np.float32)
+        ref, _ = spectral.pwelch(x, 2.0, opts)  # XLA path
+
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible",
+            lambda nf, pd, st: st == nf,  # only the frames-stream form
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got, _ = spectral.pwelch(x, 2.0, opts)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-12
+        )
+
+    def test_stft_odd_hop_fused_matches_xla(self, monkeypatch):
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        mstft = importlib.import_module("godsp_tpu.models.stft")
+        rng = np.random.default_rng(51)
+        x = rng.normal(size=5000).astype(np.float32)
+        ref = np.asarray(mstft.stft(x, 256, hop=100))  # XLA path
+
+        monkeypatch.setattr(
+            mstft, "_fused_stft_eligible", lambda nf, pd, st: st == nf
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(mstft.stft(x, 256, hop=100))
+        assert got.shape == ref.shape
+        assert snr_db(got, ref) >= 100.0
