@@ -86,7 +86,7 @@ def main() -> None:
             return chain
 
         # Heavy depth: shallow chains are flattered by tunnel-RTT noise.
-        per = time_chain_diff(make, xr, k_lo=12, k_hi=36, iters=8)
+        per = time_chain_diff(make, xr, k_lo=10, k_hi=26, iters=8)
         gbs = 4 * batch * n * 4 / per / 1e9
         return per, gbs
 
@@ -177,7 +177,7 @@ def main() -> None:
 
             return chain
 
-        per = time_chain_diff(make, sig, k_lo=6, k_hi=30, iters=8)
+        per = time_chain_diff(make, sig, k_lo=6, k_hi=22, iters=8)
         msps = L / per / 1e6
         results[f"pallas_pwelch{nfft}_s{stride}"] = {
             "wall_s": per,
@@ -207,7 +207,7 @@ def main() -> None:
 
         return chain
 
-    per = time_chain_diff(make_mel, sig, k_lo=4, k_hi=16, iters=8)
+    per = time_chain_diff(make_mel, sig, k_lo=4, k_hi=12, iters=8)
     results["mel_frontend_1024"] = {
         "wall_s": per,
         "msamples_per_s": L / per / 1e6,
