@@ -490,3 +490,39 @@ class TestSemiFused:
             got = np.asarray(mstft.stft(x, 256, hop=100))
         assert got.shape == ref.shape
         assert snr_db(got, ref) >= 100.0
+
+
+class TestFusedGeometryFuzz:
+    """Randomized geometry sweep of the fused Welch kernel vs a
+    straightforward float64 reference (seeded, interpret mode)."""
+
+    def test_random_geometries(self):
+        from godsp_tpu import window as win
+
+        rng = np.random.default_rng(2026)
+        cases = 0
+        for _ in range(12):
+            nfft = int(rng.choice([256, 512, 1024]))
+            divisors = [d for d in (128, 256, 512, 1024) if d <= nfft and nfft % d == 0]
+            stride = int(rng.choice(divisors))
+            pad = int(nfft * rng.choice([1, 2]))
+            segs = int(rng.integers(1, 40))
+            extra = int(rng.integers(0, stride))  # ragged tail beyond last seg
+            L = (segs - 1) * stride + nfft + extra
+            x = rng.normal(size=L).astype(np.float32)
+            w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+            got = np.asarray(
+                pwelch_power_sum(
+                    jnp.asarray(x), w, nfft, stride, segs, pad=pad, interpret=True
+                )
+            )
+            w64 = np.asarray(win.window_table_np("hann", pad))
+            lp = pad // 2 + 1
+            ref = np.zeros(lp)
+            for s in range(segs):
+                fr = np.zeros(pad)
+                fr[:nfft] = x[s * stride : s * stride + nfft].astype(np.float64)
+                ref += np.abs(np.fft.fft(fr * w64)[:lp]) ** 2
+            assert snr_db(got, ref) >= 95.0, (nfft, stride, pad, segs, L)
+            cases += 1
+        assert cases == 12
