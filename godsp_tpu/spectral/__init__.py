@@ -1,4 +1,4 @@
-"""L2 spectral analysis: Welch PSD (reference spectral/).
+"""L2 spectral analysis: Welch PSD + cross-spectra (reference spectral/).
 
 The reference's serial per-segment loop (pwelch.go:107-122) is
 embarrassingly parallel; here it is one batched frame->window->FFT->|.|^2
@@ -6,11 +6,14 @@ embarrassingly parallel; here it is one batched frame->window->FFT->|.|^2
 godsp_tpu.parallel) shards over a device mesh.
 """
 
+from godsp_tpu.spectral.csd import coherence, csd
 from godsp_tpu.spectral.pwelch import PwelchOptions, pwelch, pwelch_from_frames
 from godsp_tpu.spectral.segment import num_segments, segment
 
 __all__ = [
     "PwelchOptions",
+    "coherence",
+    "csd",
     "num_segments",
     "pwelch",
     "pwelch_from_frames",

@@ -1,0 +1,121 @@
+"""Cross-spectral density and magnitude-squared coherence (Welch).
+
+Extends the reference's auto-spectral Pwelch (spectral/pwelch.go) to
+pairs of signals — the other half of standard spectral analysis:
+
+  csd(x, y)       one-sided Pxy = mean_segments conj(X_s) * Y_s, with
+                  the same framing/window/normalization conventions as
+                  pwelch (scipy.signal.csd-compatible with detrend off);
+  coherence(x, y) Cxy = |Pxy|^2 / (Pxx * Pyy).
+
+Per-segment spectra ride the fused STFT kernel on TPU (complex output);
+averaging and normalization are tiny XLA ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from godsp_tpu import window as win
+from godsp_tpu._dtypes import as_real_array, default_float
+from godsp_tpu.dsputils.utils import zero_pad
+from godsp_tpu.spectral.pwelch import PwelchOptions
+
+__all__ = ["csd", "coherence"]
+
+
+def _segment_spectra(x, nfft: int, hop: int, wf, pad: int) -> jax.Array:
+    """(..., nsegs, pad//2+1) one-sided windowed segment spectra via the
+    models.stft machinery (fused kernel on TPU)."""
+    from godsp_tpu.models.stft import stft
+
+    return stft(x, nfft, hop=hop, window=wf, pad=pad, onesided=True)
+
+
+def csd(
+    x,
+    y,
+    fs: float,
+    options: Optional[PwelchOptions] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """One-sided cross power spectral density of x and y.
+
+    Same conventions as spectral.pwelch (defaults NFFT=256, Hann,
+    Pad=NFFT, Noverlap=0, density scaling unless scale_off); returns
+    (Pxy, freqs) with Pxy complex of length pad//2 + 1.
+    csd(x, x) equals pwelch(x) exactly.
+    """
+    o = options or PwelchOptions()
+    x = as_real_array(x)
+    y = as_real_array(y)
+    if x.shape != y.shape:
+        raise ValueError("x and y must have identical shapes")
+    if x.shape[-1] == 0:
+        f = default_float()
+        z = jnp.zeros(0, dtype=f)
+        return z.astype(jnp.complex64), z
+
+    nfft, wf, pad, noverlap, enable_scaling = o.resolved()
+    stride = nfft - noverlap
+    if stride <= 0:
+        raise ValueError("noverlap must be < nfft")
+    if x.shape[-1] < nfft:
+        x = zero_pad(x, nfft)  # pwelch.go:97-99
+        y = zero_pad(y, nfft)
+
+    # NOTE: pwelch windows with the PAD-length taper after padding
+    # (pwelch.go:108-109); stft windows with the NFFT taper before
+    # padding.  They coincide at pad == nfft (the default); for pad >
+    # nfft we follow pwelch's convention by passing the pad-length
+    # window's head... which is what a pad-length table applied to
+    # nfft-padded data does — so build spectra from frames directly.
+    fdt = x.dtype
+    lp = pad // 2 + 1
+    w_pad = win.window_table(wf, pad).astype(fdt)
+    w_nfft = win.window_table(wf, nfft).astype(fdt)
+    w_norm = jnp.sum(w_nfft * w_nfft)
+    if enable_scaling:
+        w_norm = w_norm * jnp.asarray(fs, dtype=fdt)
+
+    from godsp_tpu.spectral.segment import segment
+
+    def spectra(sig):
+        frames = segment(sig, nfft, noverlap)
+        padded = zero_pad(frames, pad) * w_pad
+        from godsp_tpu.fft.core import fft_real
+
+        return fft_real(padded)[..., :lp]
+
+    X = spectra(x)
+    Y = spectra(y)
+    pxy = jnp.mean(jnp.conj(X) * Y, axis=-2)
+    doubler = jnp.ones(lp, dtype=fdt).at[1 : lp - 1].set(2.0)
+    pxy = pxy * doubler / w_norm
+    freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)
+    return pxy, freqs
+
+
+def coherence(
+    x,
+    y,
+    fs: float,
+    options: Optional[PwelchOptions] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx Pyy) in [0, 1].
+
+    Requires overlap/averaging over multiple segments to be meaningful
+    (with one segment Cxy is identically 1).
+    """
+    from godsp_tpu.spectral.pwelch import pwelch
+
+    pxy, freqs = csd(x, y, fs, options)
+    pxx, _ = pwelch(x, fs, options)
+    pyy, _ = pwelch(y, fs, options)
+    denom = pxx * pyy
+    cxy = (pxy.real**2 + pxy.imag**2) / jnp.maximum(
+        denom, jnp.finfo(denom.dtype).tiny
+    )
+    return cxy, freqs

@@ -177,3 +177,65 @@ class TestScipyCrossOracle:
         # scipy halves the Nyquist-interior doubling identically; the
         # only expected diff is fp ordering.
         np.testing.assert_allclose(np.asarray(pxx), p_sp, rtol=1e-8)
+
+
+class TestCSDCoherence:
+    def test_csd_of_self_equals_pwelch(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=8000)
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        pxy, f1 = spectral.csd(x, x, 2.0, opts)
+        pxx, f2 = spectral.pwelch(x, 2.0, opts)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(
+            np.asarray(pxy.real), np.asarray(pxx), rtol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(pxy.imag), 0.0, atol=1e-12)
+
+    def test_csd_vs_scipy(self):
+        ss = pytest.importorskip("scipy.signal")
+        from godsp_tpu import window as win
+        from godsp_tpu.dsputils import snr_db
+
+        rng = np.random.default_rng(1)
+        fs, nfft, noverlap = 100.0, 256, 128
+        x = rng.normal(size=10_000)
+        y = 0.7 * np.roll(x, 5) + 0.3 * rng.normal(size=10_000)
+        pxy, freqs = spectral.csd(
+            x, y, fs, spectral.PwelchOptions(nfft=nfft, noverlap=noverlap)
+        )
+        w = np.asarray(win.window_table_np("hann", nfft))
+        f_sp, p_sp = ss.csd(
+            x, y, fs=fs, window=w, nperseg=nfft, noverlap=noverlap,
+            nfft=nfft, detrend=False, scaling="density",
+        )
+        np.testing.assert_allclose(np.asarray(freqs), f_sp)
+        assert snr_db(np.asarray(pxy), p_sp) >= 190.0
+
+    def test_coherence_vs_scipy(self):
+        ss = pytest.importorskip("scipy.signal")
+        from godsp_tpu import window as win
+        from godsp_tpu.dsputils import snr_db
+
+        rng = np.random.default_rng(2)
+        fs, nfft, noverlap = 10.0, 256, 128
+        x = rng.normal(size=20_000)
+        y = ss.lfilter([1.0, 0.5, 0.25], [1.0], x) + 0.5 * rng.normal(size=20_000)
+        cxy, freqs = spectral.coherence(
+            x, y, fs, spectral.PwelchOptions(nfft=nfft, noverlap=noverlap)
+        )
+        w = np.asarray(win.window_table_np("hann", nfft))
+        f_sp, c_sp = ss.coherence(
+            x, y, fs=fs, window=w, nperseg=nfft, noverlap=noverlap,
+            nfft=nfft, detrend=False,
+        )
+        np.testing.assert_allclose(np.asarray(freqs), f_sp)
+        got = np.asarray(cxy)
+        assert (got >= 0).all() and (got <= 1 + 1e-9).all()
+        assert snr_db(got, c_sp) >= 180.0
+
+    def test_errors_and_empty(self):
+        with pytest.raises(ValueError, match="identical shapes"):
+            spectral.csd(np.ones(100), np.ones(50), 1.0)
+        pxy, freqs = spectral.csd(np.zeros(0), np.zeros(0), 1.0)
+        assert pxy.shape == (0,) and freqs.shape == (0,)
