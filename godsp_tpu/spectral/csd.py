@@ -80,6 +80,24 @@ def csd(
     if enable_scaling:
         w_norm = w_norm * jnp.asarray(fs, dtype=fdt)
 
+    from godsp_tpu.spectral.pwelch import fused_path_eligible
+
+    doubler = jnp.ones(lp, dtype=fdt).at[1 : lp - 1].set(2.0)
+    total_segs = (x.shape[-1] - nfft) // stride + 1
+    if total_segs > 0 and fused_path_eligible(nfft, pad, stride):
+        # Fused cross-spectral kernel: both signals framed, transformed,
+        # and reduced entirely in VMEM (ops.pallas_csd).
+        from godsp_tpu.ops.pallas_csd import csd_power_partials
+        from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
+
+        mask = jnp.ones(x.shape[:-1] + (total_segs,), jnp.float32)
+        re_p, im_p = csd_power_partials(x, y, mask, w_pad, nfft, stride, pad=pad)
+        re = digit_to_natural_bins(re_p.sum(axis=-2), pad)[..., :lp]
+        im = digit_to_natural_bins(im_p.sum(axis=-2), pad)[..., :lp]
+        pxy = jax.lax.complex(re, im) * doubler / (total_segs * w_norm)
+        freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)
+        return pxy, freqs
+
     from godsp_tpu.spectral.segment import segment
 
     def spectra(sig):
@@ -92,7 +110,6 @@ def csd(
     X = spectra(x)
     Y = spectra(y)
     pxy = jnp.mean(jnp.conj(X) * Y, axis=-2)
-    doubler = jnp.ones(lp, dtype=fdt).at[1 : lp - 1].set(2.0)
     pxy = pxy * doubler / w_norm
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)
     return pxy, freqs

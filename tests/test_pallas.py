@@ -526,3 +526,72 @@ class TestFusedGeometryFuzz:
             assert snr_db(got, ref) >= 95.0, (nfft, stride, pad, segs, L)
             cases += 1
         assert cases == 12
+
+
+class TestPallasCSD:
+    def test_matches_generic_csd(self):
+        """Fused conj(X)Y kernel == the generic spectral path."""
+        from godsp_tpu import window as win
+        from godsp_tpu.ops.pallas_csd import csd_power_partials
+        from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
+
+        rng = np.random.default_rng(60)
+        nfft, stride = 256, 128
+        segs = 17
+        L = (segs - 1) * stride + nfft
+        x = rng.normal(size=L).astype(np.float32)
+        y = (0.5 * np.roll(x, 7) + 0.5 * rng.normal(size=L)).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        mask = jnp.ones(segs, jnp.float32)
+        re_p, im_p = csd_power_partials(
+            jnp.asarray(x), jnp.asarray(y), mask, w, nfft, stride, interpret=True
+        )
+        re = np.asarray(digit_to_natural_bins(re_p.sum(-2), nfft))[: nfft // 2 + 1]
+        im = np.asarray(digit_to_natural_bins(im_p.sum(-2), nfft))[: nfft // 2 + 1]
+
+        w64 = np.asarray(win.window_table_np("hann", nfft))
+        lp = nfft // 2 + 1
+        ref = np.zeros(lp, np.complex128)
+        for s in range(segs):
+            X = np.fft.fft(x[s*stride:s*stride+nfft].astype(np.float64) * w64)[:lp]
+            Y = np.fft.fft(y[s*stride:s*stride+nfft].astype(np.float64) * w64)[:lp]
+            ref += np.conj(X) * Y
+        got = re + 1j * im
+        assert snr_db(got, ref) >= 95.0
+
+    def test_spectral_csd_fused_end_to_end(self, monkeypatch):
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from godsp_tpu import spectral
+
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        rng = np.random.default_rng(61)
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        x = rng.normal(size=8000).astype(np.float32)
+        y = (x * 0.3 + rng.normal(size=8000)).astype(np.float32)
+        ref, _ = spectral.csd(x, y, 2.0, opts)  # generic path on CPU
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nf, pd, st: True
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got, _ = spectral.csd(x, y, 2.0, opts)
+        np.testing.assert_allclose(
+            np.asarray(got.real), np.asarray(ref.real), rtol=3e-4, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.imag), np.asarray(ref.imag), rtol=3e-4, atol=1e-10
+        )
+
+    def test_errors(self):
+        from godsp_tpu.ops.pallas_csd import csd_power_partials
+
+        x = jnp.zeros(1024, jnp.float32)
+        m = jnp.ones(4, jnp.float32)
+        w = jnp.ones(256, jnp.float32)
+        with pytest.raises(ValueError, match="identical shapes"):
+            csd_power_partials(x, jnp.zeros(512, jnp.float32), m, w, 256, 256,
+                               interpret=True)
+        with pytest.raises(ValueError, match="unsupported"):
+            csd_power_partials(x, x, m, w, 100, 100, interpret=True)
