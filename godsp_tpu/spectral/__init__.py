@@ -7,7 +7,7 @@ godsp_tpu.parallel) shards over a device mesh.
 """
 
 from godsp_tpu.spectral.csd import coherence, csd
-from godsp_tpu.spectral.pwelch import PwelchOptions, pwelch, pwelch_from_frames
+from godsp_tpu.spectral.pwelch import PwelchOptions, periodogram, pwelch, pwelch_from_frames
 from godsp_tpu.spectral.segment import num_segments, segment
 
 __all__ = [
@@ -15,6 +15,7 @@ __all__ = [
     "coherence",
     "csd",
     "num_segments",
+    "periodogram",
     "pwelch",
     "pwelch_from_frames",
     "segment",

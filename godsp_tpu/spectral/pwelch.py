@@ -34,7 +34,7 @@ from godsp_tpu.dsputils.utils import zero_pad
 from godsp_tpu.fft.core import fft_real
 from godsp_tpu.spectral.segment import segment
 
-__all__ = ["PwelchOptions", "pwelch", "pwelch_from_frames"]
+__all__ = ["PwelchOptions", "pwelch", "pwelch_from_frames", "periodogram"]
 
 
 def fused_path_eligible(nfft: int, pad: int, stride: int) -> bool:
@@ -192,3 +192,26 @@ def pwelch_from_frames(
         pxx = _pwelch_core(frames, w_pad, w_norm, nfft, pad, lp)
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)  # pwelch.go:138-142
     return pxx, freqs
+
+
+def periodogram(
+    x,
+    fs: float,
+    window: WindowSpec = "rectangular",
+    pad: int = 0,
+    scale_off: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-segment one-sided PSD: Pwelch with nfft = len(x).
+
+    Default window is rectangular (the classical periodogram;
+    scipy.signal.periodogram-compatible with detrend off).  Returns
+    (Pxx, freqs) of length (pad or len(x))//2 + 1.
+    """
+    x = as_real_array(x)
+    n = int(x.shape[-1])
+    if n == 0:
+        f = default_float()
+        return jnp.zeros(0, dtype=f), jnp.zeros(0, dtype=f)
+    o = PwelchOptions(nfft=n, window=window, pad=pad, noverlap=0,
+                      scale_off=scale_off)
+    return pwelch(x, fs, o)

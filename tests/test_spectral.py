@@ -239,3 +239,32 @@ class TestCSDCoherence:
             spectral.csd(np.ones(100), np.ones(50), 1.0)
         pxy, freqs = spectral.csd(np.zeros(0), np.zeros(0), 1.0)
         assert pxy.shape == (0,) and freqs.shape == (0,)
+
+
+class TestPeriodogram:
+    def test_vs_scipy(self):
+        ss = pytest.importorskip("scipy.signal")
+        from godsp_tpu.dsputils import snr_db
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=1000)
+        pxx, freqs = spectral.periodogram(x, 10.0)
+        f_sp, p_sp = ss.periodogram(x, fs=10.0, window="boxcar", detrend=False)
+        np.testing.assert_allclose(np.asarray(freqs), f_sp)
+        assert snr_db(np.asarray(pxx), p_sp) >= 190.0
+
+    def test_windowed_and_padded(self):
+        from godsp_tpu.dsputils import snr_db
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=500)
+        pxx, freqs = spectral.periodogram(x, 2.0, window="hann", pad=1024)
+        assert pxx.shape == (513,)
+        ref, _ = spectral.pwelch(
+            x, 2.0, spectral.PwelchOptions(nfft=500, window="hann", pad=1024)
+        )
+        assert snr_db(np.asarray(pxx), np.asarray(ref)) >= 250.0
+
+    def test_empty(self):
+        pxx, freqs = spectral.periodogram(np.zeros(0), 1.0)
+        assert pxx.shape == (0,)
