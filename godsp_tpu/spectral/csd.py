@@ -100,6 +100,27 @@ def csd(
 
     from godsp_tpu.spectral.segment import segment
 
+    if total_segs > 0 and fused_path_eligible(nfft, pad, nfft):
+        # Odd stride: frame in XLA, run the fused cross kernel on the
+        # frames as back-to-back (stride == nfft) streams.
+        from godsp_tpu.ops.pallas_csd import csd_power_partials
+        from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
+
+        fx = segment(x, nfft, noverlap)
+        fy = segment(y, nfft, noverlap)
+        nsegs = fx.shape[-2]
+        flat_x = fx.reshape(*fx.shape[:-2], nsegs * nfft)
+        flat_y = fy.reshape(*fy.shape[:-2], nsegs * nfft)
+        mask = jnp.ones(flat_x.shape[:-1] + (nsegs,), jnp.float32)
+        re_p, im_p = csd_power_partials(
+            flat_x, flat_y, mask, w_pad, nfft, nfft, pad=pad
+        )
+        re = digit_to_natural_bins(re_p.sum(axis=-2), pad)[..., :lp]
+        im = digit_to_natural_bins(im_p.sum(axis=-2), pad)[..., :lp]
+        pxy = jax.lax.complex(re, im) * doubler / (nsegs * w_norm)
+        freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)
+        return pxy, freqs
+
     def spectra(sig):
         frames = segment(sig, nfft, noverlap)
         padded = zero_pad(frames, pad) * w_pad
