@@ -112,6 +112,22 @@ def mel_spectrogram(
         m = stft_pallas(
             x, _fused_window(w, nfft), nfft, hop_r, n_frames, out="mel", fb=fb
         )
+    elif (
+        hop_r > 0
+        and x.shape[-1] >= nfft
+        and _fused_stft_eligible(nfft, nfft, nfft)
+    ):
+        # Odd hop: XLA framing + the fused mel kernel at stride == nfft.
+        from godsp_tpu.models.stft import stft_frames
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        w = _resolve_window(window, nfft, x.dtype)
+        frames = stft_frames(x, nfft, hop_r)
+        n_frames = frames.shape[-2]
+        flat = frames.reshape(*frames.shape[:-2], n_frames * nfft)
+        m = stft_pallas(
+            flat, _fused_window(w, nfft), nfft, nfft, n_frames, out="mel", fb=fb
+        )
     else:
         p = spectrogram(x, nfft, hop, window, scale="power")  # (..., frames, lp)
         m = p @ fb.astype(p.dtype).T

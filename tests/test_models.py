@@ -317,3 +317,24 @@ class TestResample:
         assert snr_db(got, ss.resample(x, 48)) >= 200.0
         with pytest.raises(ValueError, match="num"):
             resample(np.ones(8), 0)
+
+
+def test_mel_odd_hop_semi_fused(monkeypatch):
+    """Odd-hop mel routes through the frames-stream fused mel form."""
+    import importlib
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    mstft = importlib.import_module("godsp_tpu.models.stft")
+    from godsp_tpu.models import mel_spectrogram
+
+    rng = np.random.default_rng(80)
+    x = rng.normal(size=6000).astype(np.float32)
+    ref = np.asarray(mel_spectrogram(x, 8000.0, nfft=256, hop=100, n_mels=32))
+    monkeypatch.setattr(
+        mstft, "_fused_stft_eligible", lambda nf, pd, st: st == nf
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(mel_spectrogram(x, 8000.0, nfft=256, hop=100, n_mels=32))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=1e-10)
