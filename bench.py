@@ -121,7 +121,6 @@ def main() -> None:
             name=f"fft{n}",
             flops=fft_flops(n, batch),
             bytes_moved=fft_bytes(n, batch, 8),
-            rtt=rtt,
         )
         frac = r.roofline_fraction(peak)
         results[f"public_fft{n}"] = {
@@ -148,7 +147,7 @@ def main() -> None:
         )
         r = time_chained(
             jnp.fft.fft, x, chain=8, name="jnpfft",
-            bytes_moved=fft_bytes(n, batch, 8), rtt=rtt,
+            bytes_moved=fft_bytes(n, batch, 8),
         )
         log(f"jnp.fft.fft n={n}: {r.wall_s*1e3:.3f} ms  {r.gbs:.0f} GB/s")
         results["jnp_fft1024"] = {"wall_s": r.wall_s, "gbs": r.gbs}

@@ -102,6 +102,7 @@ def idct(y, norm: str | None = None) -> jax.Array:
     if y.shape[-1] == 0:
         return y
     if norm is None:
-        # scipy's unnormalized idct(dct(x)) == 2N x; match that pairing.
-        return _dct3_jit(y, None) / 1.0
+        # scipy.fft's backward norm makes idct the exact inverse of dct:
+        # idct(dct(x)) == x (the 2N factor is scipy.fftpack semantics).
+        return _dct3_jit(y, None)
     return _dct3_jit(y, "ortho")

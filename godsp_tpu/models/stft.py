@@ -122,16 +122,16 @@ def stft(
     return _stft_jit(x, w, nfft, hop, pad, onesided)
 
 
-@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided"))
-def _istft_jit(spec, w, nfft: int, hop: int, length: int, onesided: bool):
+@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
+def _istft_jit(spec, w, nfft: int, hop: int, length: int, onesided: bool,
+               pad: int):
     fdt = default_float()
     if onesided:
-        # Rebuild the full conjugate-symmetric spectrum from pad//2+1 bins.
-        pad = 2 * (spec.shape[-1] - 1)
-        tail = jnp.conj(jnp.flip(spec[..., 1:-1], axis=-1))
+        # Rebuild the full conjugate-symmetric pad-point spectrum from its
+        # pad//2+1 bins; odd pad has no real Nyquist bin (scipy irfft(n)).
+        mirrored = spec[..., 1:-1] if pad % 2 == 0 else spec[..., 1:]
+        tail = jnp.conj(jnp.flip(mirrored, axis=-1))
         spec = jnp.concatenate([spec, tail], axis=-1)
-    else:
-        pad = spec.shape[-1]
     frames = jnp.real(ifft(spec))[..., :nfft].astype(fdt)  # windowed frames
     n_frames = frames.shape[-2]
 
@@ -154,6 +154,7 @@ def istft(
     window: WindowSpec = None,
     length: Optional[int] = None,
     onesided: bool = True,
+    pad: Optional[int] = None,
 ) -> jax.Array:
     """Inverse STFT by weighted overlap-add (least-squares synthesis).
 
@@ -163,16 +164,33 @@ def istft(
     window overlap satisfies NOLA (non-zero overlapped sum), e.g. Hann
     with hop <= nfft/2 — or any window at hop <= nfft/2 with the
     normalization used here.
+
+    pad disambiguates the one-sided FFT length (as scipy's irfft takes
+    n): bins = pad//2 + 1 holds for both pad = 2*(bins-1) and the odd
+    pad = 2*bins - 1.  Defaults to the even choice; pass the stft call's
+    pad explicitly when it was odd.
     """
     spec = put(spec)  # split-plane transfer: host complex buffers cannot
     # move to some TPU transports directly (_dtypes.put)
     hop = nfft // 2 if hop is None else hop
     if hop <= 0:
         raise ValueError("hop must be positive")
+    bins = spec.shape[-1]
+    if onesided:
+        pad = pad if pad is not None else 2 * (bins - 1)
+        if pad // 2 + 1 != bins:
+            raise ValueError(
+                f"pad={pad} inconsistent with {bins} one-sided bins "
+                f"(need pad//2 + 1 == bins)"
+            )
+    else:
+        if pad is not None and pad != bins:
+            raise ValueError(f"pad={pad} != two-sided bin count {bins}")
+        pad = bins
     n_frames = spec.shape[-2]
     length = length or (n_frames - 1) * hop + nfft
     w = _resolve_window(window, nfft, default_float())
-    return _istft_jit(spec, w, nfft, hop, length, onesided)
+    return _istft_jit(spec, w, nfft, hop, length, onesided, pad)
 
 
 def spectrogram(

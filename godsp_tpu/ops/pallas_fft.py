@@ -130,7 +130,7 @@ _TABLE_ORDER = [
 
 
 # ---------------------------------------------------------------------------
-# Lane-slice kernel structure (the fast path for n1 <= 32, i.e. N <= 4096).
+# Lane-slice kernel structure (the fast path for n1 <= _LS_MAX_N1, N <= 8192).
 #
 # Instead of (bt, N) -> (bt, n1, 128) reshapes and 3-D batched dots — which
 # cost Mosaic relayouts on every intermediate — the kernel works on n1
@@ -170,7 +170,7 @@ _ls_enabled = True
 
 def set_laneslice_enabled(on: bool) -> None:
     """Select the kernel structure globally (True = lane-slice for
-    n1 <= 32, the fast path; False = batched-3D everywhere)."""
+    n1 <= _LS_MAX_N1, the fast path; False = batched-3D everywhere)."""
     global _ls_enabled
     _ls_enabled = bool(on)
 
@@ -419,8 +419,8 @@ def _step_a_vpu(xr, xi, n1: int, inverse: bool):
 
 def fft_real_tables(n: int, fast: bool = False):
     """(table_names, tables_dict) for the real-input FFT steps at size n
-    — lane-slice G tables for n1 <= 32, batched-3D tables otherwise.
-    Used by the fused Pwelch/STFT kernel wrappers."""
+    — lane-slice G tables for n1 <= _LS_MAX_N1, batched-3D tables
+    otherwise.  Used by the fused Pwelch/STFT kernel wrappers."""
     n1 = n // LANES
     if _use_laneslice(n1):
         return _ls_order(fast), _ls_tables(n, False, False)

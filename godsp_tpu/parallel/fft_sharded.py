@@ -45,14 +45,27 @@ def _f1_twiddle(p: int, n2_local: int, n2: int, inverse: bool):
     return f1
 
 
-def _local_twiddle(p: int, n2: int, j2_base, n2_local: int, dtype, inverse: bool):
-    """W_N^{k1 * i2} for k1 in [0, p), i2 in [j2_base, j2_base + n2_local)."""
-    k1 = jnp.arange(p, dtype=jnp.float64)[:, None]
-    i2 = (j2_base + jnp.arange(n2_local, dtype=jnp.float64))[None, :]
-    ang = -2.0 * jnp.pi * k1 * i2 / (p * n2)
+@lru_cache(maxsize=None)
+def _twiddle_tables(p: int, n2: int, inverse: bool):
+    """Trace-time f64 split of the step-2 twiddle W_N^{k1 * i2}.
+
+    Shard s holds i2 = s*m + t (m = n2//p), so the factorization
+    W^{k1 i2} = W^{k1 s m} * W^{k1 t} splits into
+      row[s, k1] = W_N^{k1 * s * m}   (runtime-indexed by shard id)
+      col[k1, t] = W_N^{k1 * t}       (shared constant)
+    — exact f64 numpy at trace time; nothing requests x64 on device
+    (the old runtime float64 arange/astype tripped truncation warnings
+    in non-x64 dryruns).
+    """
+    n = p * n2
+    m = n2 // p
+    w = -2j * np.pi / n
+    k1 = np.arange(p, dtype=np.float64)
+    col = np.exp(w * np.outer(k1, np.arange(m, dtype=np.float64)))
+    row = np.exp(w * np.outer(k1 * m, k1))  # [s, k1] = W^{k1 s m}
     if inverse:
-        ang = -ang
-    return (jnp.cos(ang) + 1j * jnp.sin(ang)).astype(dtype)
+        col, row = np.conj(col), np.conj(row)
+    return col, row
 
 
 def fft_sharded(
@@ -115,9 +128,11 @@ def _run_cached(mesh, p: int, n2: int, inverse: bool, order: str, cdtype_name: s
         # Step 1: p-point DFT over i1 (local matmul, f64 tables).
         a = f1 @ cols  # (p, n2/p)
 
-        # Step 2: twiddle W_N^{k1 * i2} on this device's i2 slice.
-        j2_base = (my * (n2 // p)).astype(jnp.float64)
-        a = a * _local_twiddle(p, n2, j2_base, n2 // p, cdtype, inverse)
+        # Step 2: twiddle W_N^{k1 * i2} on this device's i2 slice, from
+        # the exact trace-time f64 split (row indexed by shard id).
+        col, row = _twiddle_tables(p, n2, inverse)
+        tw = jnp.asarray(row, cdtype)[my][:, None] * jnp.asarray(col, cdtype)
+        a = a * tw
 
         # T2: back to row layout — device k1 gets B[k1, :] (n2,).
         rows = jax.lax.all_to_all(

@@ -90,6 +90,8 @@ def sharded_partial_step(
     over "sp"; a leading batch axis is sharded over "dp" when the mesh has
     one.  tail_halo: (..., H) samples that follow x in the global stream
     (zeros for one-shot use — the global-tail mask makes them irrelevant).
+    pad here is the FFT/window length, i.e. max(options.pad, nfft); lp may
+    be smaller than pad//2 + 1 when options.pad < nfft (head bins kept).
     Returns (periodogram_sum, segment_count), psum-reduced over "sp" and
     replicated.
     """
@@ -166,13 +168,20 @@ def sharded_partial_step(
 
 
 def resolve_geometry(options: Optional[PwelchOptions]):
-    """(nfft, window_fn, pad, noverlap, scaling, stride, lp) for a config."""
+    """(nfft, window_fn, pad, fft_len, noverlap, scaling, stride, lp).
+
+    fft_len = max(pad, nfft): the actual FFT/window length — the
+    reference's ZeroPadF(seg, pad) is a no-op when pad < nfft
+    (dsputils.go:60-63), so the transform then runs at nfft and only the
+    first lp = pad//2 + 1 bins are kept.
+    """
     o = options or PwelchOptions()
     nfft, wf, pad, noverlap, enable_scaling = o.resolved()
     stride = nfft - noverlap
     if stride <= 0:
         raise ValueError("noverlap must be < nfft")
-    return nfft, wf, pad, noverlap, enable_scaling, stride, pad // 2 + 1
+    return (nfft, wf, pad, max(pad, nfft), noverlap, enable_scaling, stride,
+            pad // 2 + 1)
 
 
 def pwelch_sharded(
@@ -198,7 +207,8 @@ def pwelch_sharded(
         mesh = make_mesh()
     n_sp = mesh.shape["sp"]
 
-    nfft, wf, pad, noverlap, enable_scaling, stride, lp = resolve_geometry(options)
+    (nfft, wf, pad, fft_len, noverlap, enable_scaling, stride,
+     lp) = resolve_geometry(options)
     if x.shape[-1] < nfft:
         x = zero_pad(x, nfft)  # pwelch.go:97-99
     L = x.shape[-1]
@@ -216,7 +226,7 @@ def pwelch_sharded(
     total_segs = num_segments(L, nfft, noverlap)
 
     fdt = x.dtype
-    w_pad = win.window_table(wf, pad).astype(fdt)
+    w_fft = win.window_table(wf, fft_len).astype(fdt)
     w_nfft = win.window_table(wf, nfft).astype(fdt)
     w_norm = jnp.sum(w_nfft * w_nfft)
     if enable_scaling:
@@ -225,8 +235,8 @@ def pwelch_sharded(
     H = max(nfft - stride, 0)
     tail = jnp.zeros(x.shape[:-1] + (H,), dtype=fdt)
     p_sum, count = sharded_partial_step(
-        x, tail, w_pad, mesh, nfft, pad, stride, segs_per_shard, lp, total_segs,
-        halo_impl=halo_impl,
+        x, tail, w_fft, mesh, nfft, fft_len, stride, segs_per_shard, lp,
+        total_segs, halo_impl=halo_impl,
     )
     pxx = p_sum / (count[..., None] * w_norm)
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)

@@ -110,6 +110,7 @@ class StreamingPwelch:
             self.nfft,
             self._wf,
             self.pad,
+            self.fft_len,
             self.noverlap,
             self._scaling,
             self.stride,
@@ -134,7 +135,7 @@ class StreamingPwelch:
             )
 
         fdt = default_float()
-        self._w_pad = win.window_table(self._wf, self.pad).astype(fdt)
+        self._w_pad = win.window_table(self._wf, self.fft_len).astype(fdt)
         w_nfft = win.window_table_np(self._wf, self.nfft)
         self._w_norm = float(np.sum(w_nfft * w_nfft)) * (self.fs if self._scaling else 1.0)
 
@@ -270,7 +271,7 @@ class StreamingPwelch:
             self._w_pad,
             self.mesh,
             self.nfft,
-            self.pad,
+            self.fft_len,
             self.stride,
             self.segs_per_shard,
             self.lp,

@@ -27,14 +27,6 @@ from godsp_tpu.spectral.pwelch import PwelchOptions
 __all__ = ["csd", "coherence"]
 
 
-def _segment_spectra(x, nfft: int, hop: int, wf, pad: int) -> jax.Array:
-    """(..., nsegs, pad//2+1) one-sided windowed segment spectra via the
-    models.stft machinery (fused kernel on TPU)."""
-    from godsp_tpu.models.stft import stft
-
-    return stft(x, nfft, hop=hop, window=wf, pad=pad, onesided=True)
-
-
 def csd(
     x,
     y,
@@ -66,12 +58,12 @@ def csd(
         x = zero_pad(x, nfft)  # pwelch.go:97-99
         y = zero_pad(y, nfft)
 
-    # NOTE: pwelch windows with the PAD-length taper after padding
-    # (pwelch.go:108-109); stft windows with the NFFT taper before
-    # padding.  They coincide at pad == nfft (the default); for pad >
-    # nfft we follow pwelch's convention by passing the pad-length
-    # window's head... which is what a pad-length table applied to
-    # nfft-padded data does — so build spectra from frames directly.
+    # Windowing convention: pwelch zero-pads each segment to pad FIRST
+    # and then applies a pad-length taper (pwelch.go:108-109), so the
+    # live nfft samples see the HEAD of the pad-length window.  Applying
+    # the pad-length table to nfft-zero-extended frames reproduces that
+    # exactly, so spectra are built from frames directly here rather
+    # than through models.stft (which tapers at nfft before padding).
     fdt = x.dtype
     lp = pad // 2 + 1
     w_pad = win.window_table(wf, pad).astype(fdt)

@@ -7,9 +7,12 @@ Semantics preserved exactly, including the reference's quirks:
     (pwelch.go:57-65);
   * input shorter than NFFT is zero-padded to NFFT (pwelch.go:97-99);
   * each segment is zero-padded to Pad FIRST and then windowed by a
-    PAD-length window (pwelch.go:108-109) — when Pad != NFFT the taper on
-    the live samples is the head of the longer window, while the Sum(w^2)
-    normalization still uses the NFFT-length window (pwelch.go:124-132);
+    window of the segment's (post-pad) length (pwelch.go:108-109) — when
+    Pad > NFFT the taper on the live samples is the head of the longer
+    window, while the Sum(w^2) normalization still uses the NFFT-length
+    window (pwelch.go:124-132); when Pad < NFFT the ZeroPadF is a no-op
+    (dsputils.go:60-63), so the FFT runs at NFFT with the NFFT window and
+    only the first pad/2+1 bins are kept;
   * one-sided spectrum of length pad/2+1 with interior bins doubled
     (pwelch.go:101, 113-121);
   * freqs[i] = i * Fs / pad (pwelch.go:138-142).
@@ -104,45 +107,51 @@ def pwelch(
         x = zero_pad(x, nfft)  # pwelch.go:97-99
 
     stride = nfft - noverlap
-    if stride > 0 and fused_path_eligible(nfft, pad, stride):
+    # ZeroPadF(seg, pad) is a no-op when pad < nfft (dsputils.go:60-63):
+    # the FFT then runs at nfft and only the first pad/2+1 bins are kept.
+    fft_len = max(pad, nfft)
+    if stride > 0 and fused_path_eligible(nfft, fft_len, stride):
         total_segs = (x.shape[-1] - nfft) // stride + 1  # spectral.go:26-33
         return _pwelch_fused(
-            x, fs, nfft, wf, pad, stride, total_segs, enable_scaling
+            x, fs, nfft, wf, pad, fft_len, stride, total_segs, enable_scaling
         )
 
     frames = segment(x, nfft, noverlap)  # (nsegs, nfft), pwelch.go:104
     return pwelch_from_frames(frames, fs, o)
 
 
-def _pwelch_fused(x, fs, nfft, wf, pad, stride, total_segs, enable_scaling):
+def _pwelch_fused(x, fs, nfft, wf, pad, fft_len, stride, total_segs,
+                  enable_scaling):
     """Single-kernel Pwelch: frame->window->FFT->|.|^2->sum fused in VMEM
     (ops.pallas_pwelch); numerics match pwelch_from_frames to f32."""
     from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
 
     fdt = x.dtype
     lp = pad // 2 + 1
-    w_pad = win.window_table(wf, pad).astype(fdt)  # pwelch.go:108-109
+    w_fft = win.window_table(wf, fft_len).astype(fdt)  # pwelch.go:108-109
     w_nfft = win.window_table(wf, nfft).astype(fdt)
     w_norm = jnp.sum(w_nfft * w_nfft)  # pwelch.go:124-128 (NFFT window)
     if enable_scaling:
         w_norm = w_norm * jnp.asarray(fs, dtype=fdt)  # pwelch.go:130-132
 
-    p = pwelch_power_sum(x, w_pad, nfft, stride, total_segs, pad=pad)
+    p = pwelch_power_sum(x, w_fft, nfft, stride, total_segs, pad=fft_len)
+    p = p[..., :lp]  # pad < nfft keeps the head bins (pwelch.go:101,113)
     doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
     pxx = p * doubler / (total_segs * w_norm)  # pwelch.go:113-136
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)  # pwelch.go:138-142
     return pxx, freqs
 
 
-@partial(jax.jit, static_argnames=("nfft", "pad", "lp"))
-def _pwelch_core(frames, w_pad, w_norm, nfft: int, pad: int, lp: int):
+@partial(jax.jit, static_argnames=("nfft", "fft_len", "lp"))
+def _pwelch_core(frames, w_fft, w_norm, nfft: int, fft_len: int, lp: int):
     """Jitted windowed-periodogram average.
 
     frames: (..., nsegs, nfft) real; returns (..., lp) mean one-sided
     periodogram, pre-normalization by w_norm handled by caller.
+    fft_len = max(pad, nfft): ZeroPadF is a no-op for pad < nfft.
     """
-    padded = zero_pad(frames, pad)  # pwelch.go:108
-    tapered = padded * w_pad  # pwelch.go:109 (pad-length window)
+    padded = zero_pad(frames, fft_len)  # pwelch.go:108
+    tapered = padded * w_fft  # pwelch.go:109 (post-pad-length window)
     spec = fft_real(tapered)[..., :lp]  # pwelch.go:111, one-sided
     p = spec.real * spec.real + spec.imag * spec.imag  # Re(conj(X)*X)
     p = p.mean(axis=-2)  # pwelch.go:113-121 (sum of d/nsegs)
@@ -172,24 +181,26 @@ def pwelch_from_frames(
     if frames.shape[-1] != nfft:
         raise ValueError(f"frames must have trailing length nfft={nfft}")
     lp = pad // 2 + 1
+    fft_len = max(pad, nfft)  # ZeroPadF no-op for pad < nfft
 
     fdt = frames.dtype
-    w_pad = win.window_table(wf, pad).astype(fdt)
+    w_fft = win.window_table(wf, fft_len).astype(fdt)
     w_nfft = win.window_table(wf, nfft).astype(fdt)
     w_norm = jnp.sum(w_nfft * w_nfft)  # pwelch.go:124-128
     if enable_scaling:
         w_norm = w_norm * jnp.asarray(fs, dtype=fdt)  # pwelch.go:130-132
 
     nsegs = frames.shape[-2]
-    if nsegs > 0 and fused_path_eligible(nfft, pad, nfft):
+    if nsegs > 0 and fused_path_eligible(nfft, fft_len, nfft):
         from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
 
         flat = frames.reshape(*frames.shape[:-2], nsegs * nfft)
-        p = pwelch_power_sum(flat, w_pad, nfft, nfft, nsegs, pad=pad)
+        p = pwelch_power_sum(flat, w_fft, nfft, nfft, nsegs, pad=fft_len)
+        p = p[..., :lp]
         doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
         pxx = p * doubler / (nsegs * w_norm)
     else:
-        pxx = _pwelch_core(frames, w_pad, w_norm, nfft, pad, lp)
+        pxx = _pwelch_core(frames, w_fft, w_norm, nfft, fft_len, lp)
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)  # pwelch.go:138-142
     return pxx, freqs
 

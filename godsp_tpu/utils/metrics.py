@@ -177,7 +177,6 @@ def time_chained(
     name: str = "bench",
     flops: float = 0.0,
     bytes_moved: float = 0.0,
-    rtt: Optional[float] = None,  # kept for API compat; unused
 ) -> BenchResult:
     """Time fn per application via the two-chain-length difference
     (time_chain_diff), immune to readback-RTT jitter on tunneled
@@ -198,7 +197,9 @@ def time_chained(
 
         return chained
 
-    per = time_chain_diff(make, x, k_lo=4, k_hi=max(chain, 12), iters=iters)
+    # Heavy depths only: shallow chains (k <= 12) are flattered by the
+    # tunnel-RTT jitter (see BASELINE.md's bogus shallow-chain roofline).
+    per = time_chain_diff(make, x, k_lo=8, k_hi=max(chain, 24), iters=iters)
     return BenchResult(name=name, wall_s=per, flops=flops, bytes_moved=bytes_moved)
 
 

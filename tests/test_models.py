@@ -73,6 +73,19 @@ class TestSTFT:
         y = np.asarray(istft(s, 128, 64, window="hamming"))
         assert snr_db(y, x[: len(y)]) >= 100.0
 
+    def test_istft_roundtrip_odd_pad(self):
+        """Odd one-sided pad must be passed to istft explicitly (as
+        scipy's irfft takes n); the even default would silently rebuild
+        a (pad-1)-point spectrum."""
+        x = _signal(1024)
+        nfft, hop, pad = 128, 64, 135  # odd pad >= nfft (Bluestein path)
+        s = stft(x, nfft, hop, window="hamming", pad=pad)
+        assert s.shape[-1] == pad // 2 + 1
+        y = np.asarray(istft(s, nfft, hop, window="hamming", pad=pad))
+        assert snr_db(y, x[: len(y)]) >= 100.0
+        with np.testing.assert_raises(ValueError):
+            istft(s, nfft, hop, window="hamming", pad=pad + 1)
+
     def test_batched(self):
         xb = np.stack([_signal(512, 1), _signal(512, 2)])
         s = stft(xb, 128, 64)

@@ -128,6 +128,42 @@ class TestPwelch:
         acc /= np.sum(w_nfft**2) * 1.0
         np.testing.assert_allclose(np.asarray(pxx), acc, rtol=1e-8, atol=1e-12)
 
+    def test_pad_lt_nfft(self):
+        """pad < nfft: ZeroPadF(seg, pad) is a no-op (dsputils.go:60-63),
+        so the FFT runs at nfft with the nfft window and only the first
+        pad/2+1 bins are kept (pwelch.go:101,107-121); freqs use pad."""
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=768)
+        opts = spectral.PwelchOptions(nfft=256, pad=128)
+        pxx, freqs = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        assert pxx.shape == (65,)
+        # Literal transcription of the reference loop.
+        w = np.asarray(window.hann(256), np.float64)
+        segs = [x[i : i + 256] for i in range(0, 768 - 256 + 1, 256)]
+        acc = np.zeros(65)
+        for s in segs:
+            spec = np.fft.fft(s * w)[:65]
+            d = np.abs(spec) ** 2 / len(segs)
+            d[1:-1] *= 2
+            acc += d
+        acc /= np.sum(w**2) * 2.0
+        np.testing.assert_allclose(np.asarray(pxx), acc, rtol=1e-8, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(freqs), np.arange(65) * (2.0 / 128), rtol=1e-12
+        )
+
+    def test_pad_lt_nfft_sharded_matches(self):
+        """The sharded driver reproduces the pad < nfft semantics."""
+        from godsp_tpu.parallel import MeshConfig, make_mesh, pwelch_sharded
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=2048)
+        opts = spectral.PwelchOptions(nfft=256, pad=128)
+        ref, _ = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        got, _ = pwelch_sharded(jnp.asarray(x), 2.0, opts, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
     def test_short_input_zero_padded(self):
         x = jnp.ones(10, dtype=jnp.float64)
         pxx, freqs = spectral.pwelch(x, 1.0, spectral.PwelchOptions())
