@@ -64,7 +64,7 @@ def main() -> None:
 
     from godsp_tpu.utils.metrics import time_chain_diff
 
-    def bench_pallas(n, batch, mode):
+    def bench_pallas(n, batch):
         xr = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
         xi = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
 
@@ -77,7 +77,7 @@ def main() -> None:
             def chain(r):
                 i = xi
                 for k in range(K):
-                    r, i = fft_pow2_split(r, i, order="digit", mode=mode)
+                    r, i = fft_pow2_split(r, i, order="digit")
                     r, i = i, r
                     if k % 4 == 3:
                         r, i = r * s, i * s
@@ -90,22 +90,18 @@ def main() -> None:
         gbs = 4 * batch * n * 4 / per / 1e9
         return per, gbs
 
-    for n, batch, modes in (
-        (1024, 16384, ("precise",)),
-        (4096, 4096, ("precise",)),
-    ):
-        for mode in modes:
-            per, gbs = bench_pallas(n, batch, mode)
-            frac = gbs / peak if peak else None
-            results[f"pallas_fft{n}_{mode}"] = {
-                "wall_s": per,
-                "gbs": gbs,
-                "roofline_fraction": frac,
-            }
-            log(
-                f"pallas fft n={n} batch={batch} {mode}: {per*1e3:.3f} ms  "
-                f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}"
-            )
+    for n, batch in ((1024, 16384), (4096, 4096)):
+        per, gbs = bench_pallas(n, batch)
+        frac = gbs / peak if peak else None
+        results[f"pallas_fft{n}_precise"] = {
+            "wall_s": per,
+            "gbs": gbs,
+            "roofline_fraction": frac,
+        }
+        log(
+            f"pallas fft n={n} batch={batch}: {per*1e3:.3f} ms  "
+            f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}"
+        )
 
     # --- public fft() API on c64 (kernel + complex<->plane conversions) --
     for n, batch in ((1024, 16384),):

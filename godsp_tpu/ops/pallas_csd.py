@@ -46,7 +46,6 @@ def _csd_kernel(
     nfft: int,
     pad: int,
     halo: int,
-    fast: bool,
 ):
     """One tile: frame both -> window -> FFTs -> conj(X)Y -> masked sums."""
     if halo:
@@ -59,8 +58,8 @@ def _csd_kernel(
     xw = _windowed_frames(bx_ref, hx_ref, w_ref, bt, stride, nfft, pad, halo)
     yw = _windowed_frames(by_ref, hy_ref, w_ref, bt, stride, nfft, pad, halo)
     n1 = pad // LANES
-    xr, xi = _fft_steps_real(xw, tuple(tabs), bt, n1, fast)
-    yr, yi = _fft_steps_real(yw, tuple(tabs), bt, n1, fast)
+    xr, xi = _fft_steps_real(xw, tuple(tabs), bt, n1)
+    yr, yi = _fft_steps_real(yw, tuple(tabs), bt, n1)
 
     pre = xr * yr + xi * yi  # (bt, pad) digit order
     pim = xr * yi - xi * yr
@@ -82,7 +81,6 @@ def csd_power_partials(
     nfft: int,
     stride: int,
     pad: int | None = None,
-    mode: str = "precise",
     segs_per_tile: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -92,8 +90,6 @@ def csd_power_partials(
     PAIR of aligned sample streams; returns (re, im) each
     (..., n_tiles, pad) in digit bin order.
     """
-    if mode not in ("precise", "fast"):
-        raise ValueError(f"unknown mode: {mode}")
     pad = pad or nfft
     if not fused_supported(nfft, pad, stride):
         raise ValueError(
@@ -150,7 +146,7 @@ def csd_power_partials(
     in_specs.append(tile3(mp))
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
-    order, tabs = fft_real_tables(pad, fast=(mode == "fast"))
+    order, tabs = fft_real_tables(pad)
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
@@ -164,19 +160,17 @@ def csd_power_partials(
     out_spec = pl.BlockSpec((1, 1, pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((R * n_tiles, 1, pad), _F32, vma=vma)
     n1 = pad // LANES
-    passes = 9 if mode == "fast" else 18
     re, im = pl.pallas_call(
         partial(
             _csd_kernel,
             bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-            fast=(mode == "fast"),
         ),
         grid=(R * n_tiles,),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=(shp, shp),
         cost_estimate=pl.CostEstimate(
-            flops=int(2 * R * n_tiles * bt * pad * (2 * n1 + passes // 3 * LANES)),
+            flops=int(2 * R * n_tiles * bt * pad * (2 * n1 + 6 * LANES)),
             bytes_accessed=int(4 * (2 * R * n_tiles * (T + halo) + 2 * R * n_tiles * pad)),
             transcendentals=0,
         ),

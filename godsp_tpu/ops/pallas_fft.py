@@ -9,12 +9,8 @@ with the DFT factor contractions on the MXU.
 Measured on a v5e chip (two-chain-length differential timing at heavy
 depth k=(16,48) — shallow chains are flattered by tunnel-RTT noise; see
 utils.metrics.time_chain_diff), lane-slice structure (see below),
-n=1024 batch=16384:
-  precise (~138 dB): 0.54 ms = 0.61 of HBM roofline
-  fast    (~105 dB): 0.56 ms — NOT faster in this structure: the
-      common bound is DMA/VPU/fixed cost, not the MXU passes, so the
-      precise default costs nothing.
-  (batched-3D structure on the same shapes: 1.05 / 0.87 ms.)
+n=1024 batch=16384: ~138 dB at 0.47-0.61 ms (run-to-run clock spread;
+0.54 ms typical = 0.61 of HBM roofline; batched-3D structure: 1.05 ms).
   vs jnp.fft.fft ~2.5 ms and the four-step XLA path ~1.6 ms (4.6x /
   3.0x at precise).
 
@@ -33,12 +29,11 @@ Mosaic layout discipline (probed empirically on v5e):
     consumers (the Pwelch kernel) keep digit order and permute their
     tiny reduced outputs instead, making the reorder free;
   * matmul precision: Mosaic supports DEFAULT (1-pass bf16, ~52 dB) and
-    HIGHEST (6-pass bf16 limb expansion, ~141 dB) only.  mode="precise"
-    uses HIGHEST; mode="fast" uses a manual 3-limb-product split
-    (hi*hi + hi*lo + lo*hi with precomputed hi/lo tables) whose accuracy
-    is capped ~105 dB by the second data limb's bf16 truncation (2^-18).
-    >=120 dB requires >=6 limb products, so "precise" is the default —
-    the 120 dB BASELINE parity bound rules "fast" out as a default.
+    HIGHEST (6-pass bf16 limb expansion, ~141 dB) only.  The kernels use
+    HIGHEST everywhere: a manual 3-limb-product "fast" mode (~105 dB)
+    was benchmarked SLOWER than HIGHEST in this structure (the bound is
+    DMA/VPU work, not MXU passes) while failing the 120 dB parity bar,
+    so it was removed (round-2 simplification; BASELINE.md).
 
 Per batch tile (bt, N), with n = i1*128 + i2:
   A[b, k1, i2] = sum_{i1} F1[k1, i1] x[b, i1, i2]   (MXU; exact VPU
@@ -106,27 +101,15 @@ def _tables(n: int, inverse: bool, scale: float = 1.0):
         f1, t, f2 = np.conj(f1), np.conj(t), np.conj(f2)
     c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
 
-    def hilo(w):
-        wh = np.asarray(w, np.float64).astype(np.float32).astype(jnp.bfloat16)
-        wl = (w - np.asarray(wh, np.float64)).astype(np.float32).astype(jnp.bfloat16)
-        return np.asarray(wh), np.asarray(wl)
-
     f2s = f2.real + f2.imag
-    tabs = {
+    return {
         "f1r": c32(f1.real), "f1i": c32(f1.imag), "f1s": c32(f1.real + f1.imag),
         "tr": c32(t.real), "ti": c32(t.imag),
         "f2r": c32(f2.real), "f2i": c32(f2.imag), "f2s": c32(f2s),
     }
-    for key, w in (("f2r", f2.real), ("f2i", f2.imag), ("f2s", f2s)):
-        h, l = hilo(w)
-        tabs[key + "_h"], tabs[key + "_l"] = h, l
-    return tabs
 
 
-_TABLE_ORDER = [
-    "f1r", "f1i", "f1s", "tr", "ti", "f2r", "f2i", "f2s",
-    "f2r_h", "f2r_l", "f2i_h", "f2i_l", "f2s_h", "f2s_l",
-]
+_TABLE_ORDER = ["f1r", "f1i", "f1s", "tr", "ti", "f2r", "f2i", "f2s"]
 
 
 # ---------------------------------------------------------------------------
@@ -150,14 +133,7 @@ _TABLE_ORDER = [
 
 _LS_MAX_N1 = 64
 
-# Table sets are split by mode so only the needed precision's tables
-# occupy VMEM: 3 f32 tables (precise) or 6 bf16 limb tables (fast).
-_LS_ORDER_PRECISE = ["gr", "gi", "gs"]
-_LS_ORDER_FAST = ["gr_h", "gr_l", "gi_h", "gi_l", "gs_h", "gs_l"]
-
-
-def _ls_order(fast: bool):
-    return _LS_ORDER_FAST if fast else _LS_ORDER_PRECISE
+_LS_ORDER = ["gr", "gi", "gs"]
 
 # Known interpreter-mode corner: the lane-slice kernels hang when run
 # under shard_map + force_tpu_interpret_mode (standalone interpret and
@@ -181,7 +157,7 @@ def _use_laneslice(n1: int) -> bool:
 
 @lru_cache(maxsize=None)
 def _ls_tables(n: int, inverse: bool, digit_in: bool, scale: float = 1.0):
-    """Per-k1 fused twiddle+DFT tables, f32 + bf16 hi/lo limbs.
+    """Per-k1 fused twiddle+DFT tables, float32.
 
     forward / natural-in inverse: G[k1][i2, k2] = T[k1, i2] * F2[i2, k2]
     digit-in inverse:             G[k1][k2, i2] = F2c[k2, i2] * Tc[k1, i2]
@@ -198,17 +174,8 @@ def _ls_tables(n: int, inverse: bool, digit_in: bool, scale: float = 1.0):
         g = t[:, :, None] * f2[None, :, :]  # [k1][i2, k2]
     c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
 
-    def hilo(w):
-        wh = np.asarray(w, np.float64).astype(np.float32).astype(jnp.bfloat16)
-        wl = (w - np.asarray(wh, np.float64)).astype(np.float32).astype(jnp.bfloat16)
-        return np.asarray(wh), np.asarray(wl)
-
     gs = g.real + g.imag
-    tabs = {"gr": c32(g.real), "gi": c32(g.imag), "gs": c32(gs)}
-    for key, w in (("gr", g.real), ("gi", g.imag), ("gs", gs)):
-        h, l = hilo(w)
-        tabs[key + "_h"], tabs[key + "_l"] = h, l
-    return tabs
+    return {"gr": c32(g.real), "gi": c32(g.imag), "gs": c32(gs)}
 
 
 @lru_cache(maxsize=None)
@@ -286,44 +253,28 @@ def _dft_slices(pairs, inverse: bool):
     return a
 
 
-def _karatsuba_g(ar, ai, k1: int, tabs, fast: bool):
+def _karatsuba_g(ar, ai, k1: int, tabs):
     """(ar + i·ai) @ G[k1] as 3 MXU matmuls; ai=None == zero imag.
 
-    tabs follow _ls_order(fast): (gr, gi, gs) f32 for precise, or the
-    six bf16 hi/lo limb tables for fast.
+    tabs follow _LS_ORDER: (gr, gi, gs) float32, contracted at HIGHEST
+    (the 6-pass bf16 limb expansion — the minimum for >=120 dB).
     """
     dn = (((1,), (0,)), ((), ()))
-    if fast:
-        d = partial(
-            jax.lax.dot_general, dimension_numbers=dn,
-            preferred_element_type=_F32,
-        )
-
-        def mm3(x, th, tl):
-            xh = x.astype(_BF16)
-            xl = (x - xh.astype(_F32)).astype(_BF16)
-            return d(xh, th[k1]) + d(xh, tl[k1]) + d(xl, th[k1])
-
-        grh, grl, gih, gil, gsh, gsl = tabs
-        m1 = mm3(ar, grh, grl)
-        m3 = mm3(ar if ai is None else ar + ai, gsh, gsl)
-        m2 = None if ai is None else mm3(ai, gih, gil)
-    else:
-        mm = partial(
-            jax.lax.dot_general, dimension_numbers=dn,
-            preferred_element_type=_F32, precision=_HI,
-        )
-        gr, gi, gs = tabs
-        m1 = mm(ar, gr[k1])
-        m3 = mm(ar if ai is None else ar + ai, gs[k1])
-        m2 = None if ai is None else mm(ai, gi[k1])
+    mm = partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=_F32, precision=_HI,
+    )
+    gr, gi, gs = tabs
+    m1 = mm(ar, gr[k1])
+    m3 = mm(ar if ai is None else ar + ai, gs[k1])
+    m2 = None if ai is None else mm(ai, gi[k1])
     if m2 is None:
         return m1, m3 - m1
     return m1 - m2, m3 - m1 - m2
 
 
 def _fft_kernel_ls(
-    *refs, n1: int, fast: bool, inverse: bool, real_input: bool = False,
+    *refs, n1: int, inverse: bool, real_input: bool = False,
 ):
     """Lane-slice forward (or natural-in inverse) kernel; digit output.
 
@@ -350,12 +301,12 @@ def _fft_kernel_ls(
     A = _dft_slices(pairs, inverse)
     for k1 in range(n1):
         ar, ai = A[k1]
-        cr, ci = _karatsuba_g(ar, ai, k1, tabs, fast)
+        cr, ci = _karatsuba_g(ar, ai, k1, tabs)
         yr_ref[:, k1 * LANES : (k1 + 1) * LANES] = cr
         yi_ref[:, k1 * LANES : (k1 + 1) * LANES] = ci
 
 
-def _ifft_digit_in_kernel_ls(*refs, n1: int, fast: bool):
+def _ifft_digit_in_kernel_ls(*refs, n1: int):
     """Lane-slice inverse consuming digit order; natural output.
 
     Per-k1 contraction with the column-scaled conjugate tables replaces
@@ -371,7 +322,7 @@ def _ifft_digit_in_kernel_ls(*refs, n1: int, fast: bool):
     for k1 in range(n1):
         ar = xr[:, k1 * LANES : (k1 + 1) * LANES]
         ai = xi[:, k1 * LANES : (k1 + 1) * LANES]
-        C.append(_karatsuba_g(ar, ai, k1, tabs, fast))
+        C.append(_karatsuba_g(ar, ai, k1, tabs))
     Y = _dft_slices(C, inverse=True)
     for i1 in range(n1):
         yr, yi = Y[i1]
@@ -417,17 +368,17 @@ def _step_a_vpu(xr, xi, n1: int, inverse: bool):
     return ar, ai
 
 
-def fft_real_tables(n: int, fast: bool = False):
+def fft_real_tables(n: int):
     """(table_names, tables_dict) for the real-input FFT steps at size n
     — lane-slice G tables for n1 <= _LS_MAX_N1, batched-3D tables
     otherwise.  Used by the fused Pwelch/STFT kernel wrappers."""
     n1 = n // LANES
     if _use_laneslice(n1):
-        return _ls_order(fast), _ls_tables(n, False, False)
+        return _LS_ORDER, _ls_tables(n, False, False)
     return _TABLE_ORDER, _tables(n, False)
 
 
-def _fft_steps_real(xw, tabs, bt: int, n1: int, fast: bool):
+def _fft_steps_real(xw, tabs, bt: int, n1: int):
     """Forward FFT of REAL xw (bt, n1*128) -> (cr, ci) (bt, n1*128),
     digit bin order.
 
@@ -442,19 +393,16 @@ def _fft_steps_real(xw, tabs, bt: int, n1: int, fast: bool):
         A = _dft_slices(pairs, inverse=False)
         crs, cis = [], []
         for k1 in range(n1):
-            cr, ci = _karatsuba_g(A[k1][0], A[k1][1], k1, tabs, fast)
+            cr, ci = _karatsuba_g(A[k1][0], A[k1][1], k1, tabs)
             crs.append(cr)
             cis.append(ci)
         return jnp.concatenate(crs, axis=1), jnp.concatenate(cis, axis=1)
-    return _fft_steps_real_3d(xw.reshape(bt, n1, LANES), tabs, bt, n1, fast)
+    return _fft_steps_real_3d(xw.reshape(bt, n1, LANES), tabs, bt, n1)
 
 
-def _fft_steps_real_3d(x3, tabs, bt: int, n1: int, fast: bool):
-    """Batched-3D real-input steps (n1 > 32); returns (bt, n1*128) digit."""
-    (
-        f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s,
-        f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
-    ) = tabs
+def _fft_steps_real_3d(x3, tabs, bt: int, n1: int):
+    """Batched-3D real-input steps (n1 > _LS_MAX_N1); (bt, n1*128) digit."""
+    f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s = tabs
 
     # Step 1: real input halves the contraction.
     if n1 <= 4:
@@ -474,28 +422,13 @@ def _fft_steps_real_3d(x3, tabs, bt: int, n1: int, fast: bool):
 
     # Step 3: lane contraction with F2 (Karatsuba complex).
     dn_c = (((2,), (0,)), ((), ()))
-    if fast:
-        d = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32,
-        )
-
-        def mm3(x, wh, wl):
-            xh = x.astype(_BF16)
-            xl = (x - xh.astype(_F32)).astype(_BF16)
-            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
-
-        m1 = mm3(br, f2rh, f2rl)
-        m2 = mm3(bi, f2ih, f2il)
-        m3 = mm3(br + bi, f2sh, f2sl)
-    else:
-        mm_c = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32, precision=_HI,
-        )
-        m1 = mm_c(br, f2r[:])
-        m2 = mm_c(bi, f2i[:])
-        m3 = mm_c(br + bi, f2s[:])
+    mm_c = partial(
+        jax.lax.dot_general, dimension_numbers=dn_c,
+        preferred_element_type=_F32, precision=_HI,
+    )
+    m1 = mm_c(br, f2r[:])
+    m2 = mm_c(bi, f2i[:])
+    m3 = mm_c(br + bi, f2s[:])
     return (
         (m1 - m2).reshape(bt, n1 * LANES),
         (m3 - m1 - m2).reshape(bt, n1 * LANES),
@@ -503,13 +436,12 @@ def _fft_steps_real_3d(x3, tabs, bt: int, n1: int, fast: bool):
 
 
 def _fft_kernel(
-    *refs, n1: int, fast: bool, inverse: bool, real_input: bool = False,
+    *refs, n1: int, inverse: bool, real_input: bool = False,
 ):
     if real_input:
         (
             xr_ref,
             f1r, f1i, f1s, tr, ti, f2r, f2i, f2s,
-            f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
             yr_ref, yi_ref,
         ) = refs
         xi_ref = None
@@ -517,7 +449,6 @@ def _fft_kernel(
         (
             xr_ref, xi_ref,
             f1r, f1i, f1s, tr, ti, f2r, f2i, f2s,
-            f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
             yr_ref, yi_ref,
         ) = refs
     bt = xr_ref.shape[0]
@@ -551,28 +482,13 @@ def _fft_kernel(
 
     # ---- Step 3: 128-deep lane contraction with F2 (Karatsuba) ----
     dn_c = (((2,), (0,)), ((), ()))
-    if fast:
-        d = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32,
-        )
-
-        def mm3(x, wh, wl):
-            xh = x.astype(_BF16)
-            xl = (x - xh.astype(_F32)).astype(_BF16)
-            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
-
-        m1 = mm3(br, f2rh, f2rl)
-        m2 = mm3(bi, f2ih, f2il)
-        m3 = mm3(br + bi, f2sh, f2sl)
-    else:
-        mm_c = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32, precision=_HI,
-        )
-        m1 = mm_c(br, f2r[:])
-        m2 = mm_c(bi, f2i[:])
-        m3 = mm_c(br + bi, f2s[:])
+    mm_c = partial(
+        jax.lax.dot_general, dimension_numbers=dn_c,
+        preferred_element_type=_F32, precision=_HI,
+    )
+    m1 = mm_c(br, f2r[:])
+    m2 = mm_c(bi, f2i[:])
+    m3 = mm_c(br + bi, f2s[:])
     cr = m1 - m2
     ci = m3 - m1 - m2
 
@@ -584,8 +500,7 @@ def _fft_kernel(
 def _ifft_digit_in_kernel(
     xr_ref, xi_ref,
     f1r, f1i, _f1s, tr, ti, f2r, f2i, f2s,
-    f2rh, f2rl, f2ih, f2il, f2sh, f2sl,
-    yr_ref, yi_ref, *, n1: int, fast: bool,
+    yr_ref, yi_ref, *, n1: int,
 ):
     """Inverse DFT CONSUMING the forward kernel's digit order.
 
@@ -604,28 +519,13 @@ def _ifft_digit_in_kernel(
 
     # ---- Step A: lane contraction with conj(F2) (Karatsuba complex) ----
     dn_c = (((2,), (0,)), ((), ()))
-    if fast:
-        d = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32,
-        )
-
-        def mm3(x, wh, wl):
-            xh = x.astype(_BF16)
-            xl = (x - xh.astype(_F32)).astype(_BF16)
-            return d(xh, wh[:]) + d(xh, wl[:]) + d(xl, wh[:])
-
-        m1 = mm3(xr, f2rh, f2rl)
-        m2 = mm3(xi, f2ih, f2il)
-        m3 = mm3(xr + xi, f2sh, f2sl)
-    else:
-        mm_c = partial(
-            jax.lax.dot_general, dimension_numbers=dn_c,
-            preferred_element_type=_F32, precision=_HI,
-        )
-        m1 = mm_c(xr, f2r[:])
-        m2 = mm_c(xi, f2i[:])
-        m3 = mm_c(xr + xi, f2s[:])
+    mm_c = partial(
+        jax.lax.dot_general, dimension_numbers=dn_c,
+        preferred_element_type=_F32, precision=_HI,
+    )
+    m1 = mm_c(xr, f2r[:])
+    m2 = mm_c(xi, f2i[:])
+    m3 = mm_c(xr + xi, f2s[:])
     br = m1 - m2
     bi = m3 - m1 - m2
 
@@ -662,7 +562,6 @@ def fft_pow2_split(
     xi: jax.Array | None,
     inverse: bool = False,
     order: str = "natural",
-    mode: str = "precise",
     batch_tile: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -677,9 +576,6 @@ def fft_pow2_split(
             "digit" returns the kernel's k1-major order — free for
             consumers that reduce over bins and permute the reduced
             result (the fused Pwelch kernel).
-    mode:   "precise" (~138 dB, default — clears the 120 dB parity
-            bound) or "fast" (~105 dB, ~1.4x faster, for bf16-class
-            pipelines).
 
     Leading axes are flattened into the grid's batch dimension; a ragged
     final tile is zero-padded (FFT of zeros is zeros — harmless).
@@ -691,8 +587,6 @@ def fft_pow2_split(
         raise ValueError("re/im planes must have identical shapes")
     if order not in ("natural", "digit"):
         raise ValueError(f"unknown order: {order}")
-    if mode not in ("precise", "fast"):
-        raise ValueError(f"unknown mode: {mode}")
     n = xr.shape[-1]
     if not supported_size(n):
         raise ValueError(f"unsupported FFT size for the Pallas kernel: {n}")
@@ -715,19 +609,15 @@ def fft_pow2_split(
 
     if _use_laneslice(n1):
         tabs = _ls_tables(n, inverse, False)
-        tables = [jnp.asarray(tabs[k]) for k in _ls_order(mode == "fast")]
+        tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
         kern = partial(
-            _fft_kernel_ls,
-            n1=n1, fast=(mode == "fast"), inverse=inverse,
-            real_input=real_input,
+            _fft_kernel_ls, n1=n1, inverse=inverse, real_input=real_input,
         )
     else:
         tabs = _tables(n, inverse)
         tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
         kern = partial(
-            _fft_kernel,
-            n1=n1, fast=(mode == "fast"), inverse=inverse,
-            real_input=real_input,
+            _fft_kernel, n1=n1, inverse=inverse, real_input=real_input,
         )
 
     data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -736,8 +626,7 @@ def fft_pow2_split(
         for t in tables
     ]
 
-    passes = 9 if mode == "fast" else 18
-    flops = passes * 2 * xr2.shape[0] * n * (n1 + LANES)
+    flops = 18 * 2 * xr2.shape[0] * n * (n1 + LANES)  # 6-pass HIGHEST
     bytes_acc = (3 if real_input else 4) * xr2.shape[0] * n * 4
 
     yr, yi = pl.pallas_call(
@@ -767,7 +656,6 @@ def fft_pow2_split(
 def ifft_pow2_digit_split(
     yr: jax.Array,
     yi: jax.Array,
-    mode: str = "precise",
     batch_tile: int | None = None,
     interpret: bool = False,
     scale: float = 1.0,
@@ -782,8 +670,6 @@ def ifft_pow2_digit_split(
     """
     if yr.shape != yi.shape:
         raise ValueError("re/im planes must have identical shapes")
-    if mode not in ("precise", "fast"):
-        raise ValueError(f"unknown mode: {mode}")
     n = yr.shape[-1]
     if not supported_size(n):
         raise ValueError(f"unsupported FFT size for the Pallas kernel: {n}")
@@ -802,18 +688,17 @@ def ifft_pow2_digit_split(
 
     if _use_laneslice(n1):
         tabs = _ls_tables(n, True, True, scale)  # conjugated, column-scaled
-        tables = [jnp.asarray(tabs[k]) for k in _ls_order(mode == "fast")]
-        kern = partial(_ifft_digit_in_kernel_ls, n1=n1, fast=(mode == "fast"))
+        tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
+        kern = partial(_ifft_digit_in_kernel_ls, n1=n1)
     else:
         tabs = _tables(n, True, scale)  # conjugated
         tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
-        kern = partial(_ifft_digit_in_kernel, n1=n1, fast=(mode == "fast"))
+        kern = partial(_ifft_digit_in_kernel, n1=n1)
     data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [
         pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
         for t in tables
     ]
-    passes = 9 if mode == "fast" else 18
     zr, zi = pl.pallas_call(
         kern,
         grid=grid,
@@ -824,7 +709,7 @@ def ifft_pow2_digit_split(
             jax.ShapeDtypeStruct(r2.shape, _F32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(passes * 2 * r2.shape[0] * n * (n1 + LANES)),
+            flops=int(18 * 2 * r2.shape[0] * n * (n1 + LANES)),
             bytes_accessed=int(4 * r2.shape[0] * n * 4),
             transcendentals=0,
         ),

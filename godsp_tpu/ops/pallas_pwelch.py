@@ -126,7 +126,6 @@ def _pwelch_kernel(
     nfft: int,
     pad: int,
     halo: int,
-    fast: bool,
 ):
     """One tile: frame -> window -> FFT -> |.|^2 -> masked segment sum."""
     if halo:
@@ -137,7 +136,7 @@ def _pwelch_kernel(
     *tabs, out_ref = rest
 
     xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
-    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES, fast)
+    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES)
 
     # ---- |X|^2 then masked segment reduction in one MXU contraction ----
     p = cr * cr + ci * ci  # (bt, pad), digit order (k1-major)
@@ -157,7 +156,6 @@ def pwelch_power_partials(
     nfft: int,
     stride: int,
     pad: int | None = None,
-    mode: str = "precise",
     segs_per_tile: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -178,8 +176,6 @@ def pwelch_power_partials(
     |FFT(w * frame)|^2 in the kernel's digit order — pass through
     `digit_to_natural_bins` (or sum tiles first; summing commutes).
     """
-    if mode not in ("precise", "fast"):
-        raise ValueError(f"unknown mode: {mode}")
     pad = pad or nfft
     if not fused_supported(nfft, pad, stride):
         raise ValueError(
@@ -235,7 +231,7 @@ def pwelch_power_partials(
         pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     )
 
-    order, tabs = fft_real_tables(pad, fast=(mode == "fast"))
+    order, tabs = fft_real_tables(pad)
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
@@ -247,8 +243,7 @@ def pwelch_power_partials(
 
     n1 = pad // LANES
     # Step 1 (real): 2 matmuls over n1; step 3: 3 over 128; mask-sum: 1.
-    passes = 9 if mode == "fast" else 18
-    flops = R * n_tiles * bt * pad * (2 * n1 + passes // 3 * LANES + 8)
+    flops = R * n_tiles * bt * pad * (2 * n1 + 6 * LANES + 8)
     bytes_acc = 4 * (R * n_tiles * (T + halo + bt) + R * n_tiles * pad)
 
     # Inside shard_map with vma checking, the output must declare which
@@ -258,7 +253,6 @@ def pwelch_power_partials(
         partial(
             _pwelch_kernel,
             bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-            fast=(mode == "fast"),
         ),
         grid=(R * n_tiles,),
         in_specs=in_specs,
@@ -296,7 +290,6 @@ def pwelch_power_sum(
     stride: int,
     total_segs: int,
     pad: int | None = None,
-    mode: str = "precise",
     segs_per_tile: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -311,7 +304,7 @@ def pwelch_power_sum(
     mask = jnp.ones(x.shape[:-1] + (total_segs,), _F32)
     pad = pad or nfft
     partials = pwelch_power_partials(
-        x, mask, w, nfft, stride, pad=pad, mode=mode,
+        x, mask, w, nfft, stride, pad=pad,
         segs_per_tile=segs_per_tile, interpret=interpret,
     )
     p = digit_to_natural_bins(partials.sum(axis=-2), pad)

@@ -49,7 +49,6 @@ def _stft_kernel(
     nfft: int,
     pad: int,
     halo: int,
-    fast: bool,
     out: str,
 ):
     """One tile: frame -> window -> FFT -> per-segment outputs."""
@@ -67,7 +66,7 @@ def _stft_kernel(
         *tabs, yr_ref, yi_ref = rest
 
     xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
-    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES, fast)
+    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES)
     if out == "mel":
         # |X|^2 then the mel filterbank contraction — the full power
         # spectrum never leaves VMEM.  fb rows arrive in the kernel's
@@ -101,7 +100,6 @@ def stft_pallas(
     total_segs: int,
     pad: int | None = None,
     out: str = "complex",
-    mode: str = "precise",
     segs_per_tile: int | None = None,
     interpret: bool = False,
     fb: jax.Array | None = None,
@@ -122,8 +120,6 @@ def stft_pallas(
         raise ValueError(f"unknown out: {out}")
     if out == "mel" and fb is None:
         raise ValueError("out='mel' requires fb")
-    if mode not in ("precise", "fast"):
-        raise ValueError(f"unknown mode: {mode}")
     pad = pad or nfft
     if not fused_supported(nfft, pad, stride):
         raise ValueError(
@@ -179,7 +175,7 @@ def stft_pallas(
         in_specs.append(
             pl.BlockSpec(fb_digit.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
-    order, tabs = fft_real_tables(pad, fast=(mode == "fast"))
+    order, tabs = fft_real_tables(pad)
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
@@ -195,17 +191,16 @@ def stft_pallas(
     out_rows = R * n_tiles * bt
     vma = getattr(jax.typeof(blocks), "vma", None) or frozenset()
     shp = jax.ShapeDtypeStruct((out_rows, pad), _F32, vma=vma)
-    passes = 9 if mode == "fast" else 18
     n1 = pad // LANES
     cost = pl.CostEstimate(
-        flops=int(out_rows * pad * (2 * n1 + passes // 3 * LANES)),
+        flops=int(out_rows * pad * (2 * n1 + 6 * LANES)),
         bytes_accessed=int(4 * (R * n_tiles * (T + halo) + out_rows * pad)),
         transcendentals=0,
     )
     kern = partial(
         _stft_kernel,
         bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-        fast=(mode == "fast"), out=out,
+        out=out,
     )
     call = partial(
         pl.pallas_call,

@@ -28,16 +28,6 @@ class TestPallasFFT:
         got = np.asarray(yr) + 1j * np.asarray(yi)
         assert snr_db(got, np.fft.fft(x)) >= 120.0
 
-    def test_fast_mode_accuracy(self):
-        rng = np.random.default_rng(1)
-        x = (rng.normal(size=(8, 1024)) + 1j * rng.normal(size=(8, 1024))).astype(
-            np.complex64
-        )
-        yr, yi = fft_pow2_split(*_split(x), mode="fast", interpret=True)
-        got = np.asarray(yr) + 1j * np.asarray(yi)
-        # fast mode is capped ~105 dB by the 2-limb bf16 split
-        assert snr_db(got, np.fft.fft(x)) >= 95.0
-
     def test_digit_order(self):
         n, n1 = 1024, 8
         rng = np.random.default_rng(2)
@@ -101,8 +91,6 @@ class TestPallasFFT:
             fft_pow2_split(x2, jnp.zeros((3, 256), jnp.float32))
         with pytest.raises(ValueError, match="unknown order"):
             fft_pow2_split(x2, x2, order="weird")
-        with pytest.raises(ValueError, match="unknown mode"):
-            fft_pow2_split(x2, x2, mode="weird")
 
     def test_supported_size(self):
         assert supported_size(256) and supported_size(16384)
@@ -242,8 +230,6 @@ class TestPallasPwelch:
         w = jnp.ones(100, jnp.float32)
         with pytest.raises(ValueError, match="unsupported by the fused kernel"):
             pwelch_power_partials(x, m, w, 100, 100, interpret=True)
-        with pytest.raises(ValueError, match="unknown mode"):
-            pwelch_power_partials(x, m, jnp.ones(256), 256, 256, mode="x", interpret=True)
 
     def test_pad_gt_nfft(self):
         """pad > nfft: segments zero-extended in VMEM, PAD-length window
