@@ -45,6 +45,17 @@ def _pallas_eligible(dtype, n: int) -> bool:
     )
 
 
+def _large_eligible(dtype, n: int) -> bool:
+    from godsp_tpu.fft.large import large_supported
+
+    return (
+        _pallas_on
+        and jnp.dtype(dtype) == jnp.complex64
+        and large_supported(n)
+        and jax.default_backend() == "tpu"
+    )
+
+
 def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
     """Unnormalized DFT of the trailing power-of-2 axis, batched.
 
@@ -59,6 +70,10 @@ def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
 
         yr, yi = fft_pow2_split(jnp.real(x), jnp.imag(x), inverse=inverse)
         return jax.lax.complex(yr, yi)
+    if _large_eligible(x.dtype, n):
+        from godsp_tpu.fft.large import fft_large
+
+        return fft_large(x, inverse)
     return four_step_fft(x, inverse)
 
 

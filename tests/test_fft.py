@@ -310,3 +310,88 @@ class TestDCT:
             fft.dct(np.ones(8), norm="x")
         with pytest.raises(ValueError, match="real input"):
             fft.dct(np.ones(8, dtype=np.complex128))
+
+
+class TestLargeFFT:
+    """Large-N four-step over the kernel (fft/large.py): the structure
+    is validated here in float64 with the four-step oracle as the row
+    transform, and with interpret-mode Pallas kernels at a real
+    kernel-split size; the TPU path itself is exercised on hardware
+    (bench.py fft_2pow20)."""
+
+    def _oracle_row(self, xr, xi, inverse):
+        from godsp_tpu.fft.four_step import four_step_fft
+
+        y = four_step_fft(jnp.asarray(xr) + 1j * jnp.asarray(xi), inverse)
+        return jnp.real(y), jnp.imag(y)
+
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 16, 1 << 20, 1 << 21])
+    def test_structure_vs_numpy(self, n):
+        from godsp_tpu.fft.large import fft_large_split, large_supported
+
+        assert large_supported(n)
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=n) + 1j * rng.normal(size=n)
+        yr, yi = fft_large_split(
+            jnp.asarray(x.real), jnp.asarray(x.imag), row_fft=self._oracle_row
+        )
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, np.fft.fft(x)) >= 200.0  # f64 structure-exact
+
+    def test_inverse_round_trip(self):
+        from godsp_tpu.fft.large import fft_large_split
+
+        n = 1 << 15
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+        yr, yi = fft_large_split(
+            jnp.asarray(x.real), jnp.asarray(x.imag), row_fft=self._oracle_row
+        )
+        zr, zi = fft_large_split(yr, yi, inverse=True, row_fft=self._oracle_row)
+        got = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        assert snr_db(got, x) >= 200.0
+
+    def test_interpret_kernel_rows(self):
+        """Drive the real kernel (interpret mode) as the row transform:
+        n = 2^15 exercises the N1=2 einsum step plus a 16384-point kernel
+        row — the smallest true kernel-split integration."""
+        from godsp_tpu.fft import large
+        from godsp_tpu.ops.pallas_fft import fft_pow2_split
+
+        def krow(xr, xi, inverse):
+            return fft_pow2_split(
+                xr.astype(jnp.float32), xi.astype(jnp.float32),
+                inverse=inverse, interpret=True,
+            )
+
+        n = 1 << 15
+        rng = np.random.default_rng(3)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        yr, yi = large.fft_large_split(
+            jnp.asarray(x.real), jnp.asarray(x.imag), row_fft=krow
+        )
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
+
+    def test_digit_path_interpret(self):
+        """The default (row_fft=None) path with its combined digit+final
+        transpose, via interpret-mode kernels."""
+        from godsp_tpu.fft.large import fft_large_split
+
+        n = 1 << 15
+        rng = np.random.default_rng(4)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        yr, yi = fft_large_split(
+            jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+            interpret=True,
+        )
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
+
+    def test_unsupported_sizes(self):
+        from godsp_tpu.fft.large import large_supported
+
+        assert not large_supported(16384)  # single-kernel territory
+        assert not large_supported(3 * (1 << 15))  # not a power of 2
+        assert large_supported(1 << 28)
+        assert not large_supported(1 << 29)
