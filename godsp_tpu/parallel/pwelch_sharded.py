@@ -67,8 +67,7 @@ def _frames_from_block(block, halo, nfft: int, stride: int, segs_per_shard: int)
 @partial(
     jax.jit,
     static_argnames=(
-        "mesh", "nfft", "pad", "stride", "segs_per_shard", "lp", "total_segs",
-        "halo_impl",
+        "mesh", "nfft", "pad", "stride", "segs_per_shard", "lp", "halo_impl",
     ),
 )
 def sharded_partial_step(
@@ -81,7 +80,7 @@ def sharded_partial_step(
     stride: int,
     segs_per_shard: int,
     lp: int,
-    total_segs: int,
+    total_segs,
     halo_impl: tuple = ("ppermute", False),
 ):
     """One sharded accumulation step.
@@ -92,6 +91,9 @@ def sharded_partial_step(
     (zeros for one-shot use — the global-tail mask makes them irrelevant).
     pad here is the FFT/window length, i.e. max(options.pad, nfft); lp may
     be smaller than pad//2 + 1 when options.pad < nfft (head bins kept).
+    total_segs is TRACED (not static): the streaming driver's final
+    remainder chunk changes it per call, and a static arg would trigger a
+    full remote recompile (~minutes on this transport) at finalize.
     Returns (periodogram_sum, segment_count), psum-reduced over "sp" and
     replicated.
     """

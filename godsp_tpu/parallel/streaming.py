@@ -44,6 +44,39 @@ def _neumaier_add(s, c, x):
     c = c + jnp.where(jnp.abs(s) >= jnp.abs(x), (s - t) + x, (x - t) + s)
     return t, c
 
+
+from functools import partial as _partial
+
+
+@_partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "nfft", "pad", "stride", "segs_per_shard", "lp", "halo_impl",
+        "channels", "chunk_len",
+    ),
+)
+def _chunk_accumulate(
+    ext, w_pad, acc_s, acc_c, total_segs,
+    mesh, nfft, pad, stride, segs_per_shard, lp, halo_impl, channels,
+    chunk_len,
+):
+    """ONE device program per chunk: slice off the tail halo, sharded
+    partial step, reshape, compensated accumulate.  Everything must live
+    under a single jit, and the chunk + its halo arrive as ONE host
+    buffer — on tunneled transports each eager op dispatch costs ~0.2 s
+    (a remote mini-program) and every extra device_put is a separate
+    transfer; the pre-fix path was capped at ~10 Msamples/s by exactly
+    these.
+    """
+    x = ext[..., :chunk_len]
+    tail = ext[..., chunk_len:]
+    p, _count = sharded_partial_step(
+        x, tail, w_pad, mesh, nfft, pad, stride, segs_per_shard, lp,
+        total_segs, halo_impl=halo_impl,
+    )
+    p = p.reshape(channels, lp)
+    return _neumaier_add(acc_s, acc_c, p)
+
 log = logging.getLogger("godsp_tpu.streaming")
 
 
@@ -239,14 +272,10 @@ class StreamingPwelch:
         self.metrics.samples_in += samples.shape[-1]
         # A chunk is processable once its tail halo is also buffered.
         while len(self._bufs[0]) >= self.chunk_len + self.halo:
-            ext = np.stack(
-                [b.peek(self.chunk_len + self.halo) for b in self._bufs]
-            )
-            self._process(
-                ext[:, : self.chunk_len],
-                ext[:, self.chunk_len :],
-                total_segs=self.n_sp * self.segs_per_shard,
-            )
+            peeks = [b.peek(self.chunk_len + self.halo) for b in self._bufs]
+            # Single-channel: hand the peek copy through without restacking.
+            ext = peeks[0][None] if self.channels == 1 else np.stack(peeks)
+            self._process(ext, total_segs=self.n_sp * self.segs_per_shard)
             for b in self._bufs:
                 b.consume(self.chunk_len)
             self._consumed += self.chunk_len
@@ -259,33 +288,41 @@ class StreamingPwelch:
             ):
                 self._snapshot()
 
-    def _process(self, chunk: np.ndarray, tail: np.ndarray, total_segs: int) -> None:
-        """chunk: (C, chunk_len); tail: (C, halo)."""
+    def _process(self, ext: np.ndarray, total_segs: int) -> None:
+        """ext: (C, chunk_len + halo) — chunk plus its tail halo."""
         t0 = time.perf_counter()
         fdt = default_float()
         if self.channels == 1:  # preserve the scalar-signal jit signature
-            chunk, tail = chunk[0], tail[0]
-        p, c = sharded_partial_step(
-            jnp.asarray(chunk, dtype=fdt),
-            jnp.asarray(tail, dtype=fdt),
+            ext = ext[0]
+        if self._acc_s is None:
+            z = np.zeros((self.channels, self.lp), dtype=fdt)
+            self._acc_s = jax.device_put(z)
+            self._acc_c = jax.device_put(z)
+        # Transfer synchronously BEFORE dispatching the chunk program:
+        # deep async host->device queues on the tunneled transport stall
+        # host-side buffer ops ~80x (client-thread contention), capping
+        # the old path at ~10 Msamples/s; the blocked put sustains the
+        # transport's full ~1.6 GB/s.
+        ext_dev = jax.device_put(np.asarray(ext, dtype=fdt))
+        jax.block_until_ready(ext_dev)
+        self._acc_s, self._acc_c = _chunk_accumulate(
+            ext_dev,
             self._w_pad,
+            self._acc_s,
+            self._acc_c,
+            total_segs,
             self.mesh,
             self.nfft,
             self.fft_len,
             self.stride,
             self.segs_per_shard,
             self.lp,
-            total_segs,
+            ("ppermute", False),
+            self.channels,
+            self.chunk_len,
         )
-        p = p.reshape(self.channels, self.lp)
-        if self._acc_s is None:
-            self._acc_s = p
-            self._acc_c = jnp.zeros_like(p)
-        else:
-            self._acc_s, self._acc_c = _neumaier_add(self._acc_s, self._acc_c, p)
         # The masked segment count is deterministic (== total_segs), so
         # nothing needs to be read back from the device here.
-        del c
         self._count += float(total_segs)
         self.metrics.chunks_done += 1
         self.metrics.segments_done += int(total_segs)
@@ -311,11 +348,7 @@ class StreamingPwelch:
                 (self.channels, self.chunk_len + self.halo), dtype=self._np_float
             )
             padded[:, : rem.shape[-1]] = rem
-            self._process(
-                padded[:, : self.chunk_len],
-                padded[:, self.chunk_len :],
-                total_segs=rem_segs,
-            )
+            self._process(padded, total_segs=rem_segs)
             for b in self._bufs:
                 b.consume(len(b))
         if self._t_first is not None:
