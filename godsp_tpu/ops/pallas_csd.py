@@ -28,6 +28,9 @@ from godsp_tpu.ops.pallas_fft import (
     fft_real_tables,
 )
 from godsp_tpu.ops.pallas_pwelch import (
+    _phases,
+    framing_halo,
+    frame_class_perm,
     _segs_per_tile,
     _windowed_frames,
     fused_supported,
@@ -110,7 +113,8 @@ def csd_power_partials(
     bt = max(8, 1 << (bt.bit_length() - 1))
     n_tiles = pl.cdiv(S, bt)
     T = bt * stride
-    halo = nfft - stride
+    P = _phases(stride)
+    halo = framing_halo(nfft, stride)
 
     def flat(ext):
         e2 = ext.reshape(-1, ext.shape[-1]).astype(_F32)
@@ -141,7 +145,12 @@ def csd_power_partials(
         inputs += [halos_of(ex2), halos_of(ey2)]
         in_specs += [tile3(halo), tile3(halo)]
     mp = max(bt, LANES)
-    masks = jnp.pad(mask2.reshape(R * n_tiles, bt), ((0, 0), (0, mp - bt)))
+    masks = mask2.reshape(R * n_tiles, bt)
+    if P > 1:
+        # Frames emerge class-ordered; the summed reduction absorbs the
+        # order by permuting the mask (see pallas_pwelch).
+        masks = masks[:, frame_class_perm(bt, stride)]
+    masks = jnp.pad(masks, ((0, 0), (0, mp - bt)))
     inputs.append(masks.reshape(R * n_tiles, 1, mp))
     in_specs.append(tile3(mp))
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))

@@ -28,10 +28,12 @@ the unfused path (frames write+read at 2x, spectrum write+read), on top
 of removing all intermediate HBM round-trips.
 
 Geometry supported (checked by `fused_supported`): pad >= nfft with
-pad in ops.pallas_fft.supported_size (256..16384), nfft % 128 == 0,
-stride % 128 == 0, nfft % stride == 0 (covers 0%, 50%, 75%, ...
-overlap).  Everything else falls back to the XLA path in
-spectral.pwelch.
+pad in ops.pallas_fft.supported_size (256..16384), nfft % 128 == 0, and
+either a lane-aligned stride (stride % 128 == 0, nfft % stride == 0 —
+0%, 50%, 75%, ... overlap, pure-reshape framing) or any stride with
+stride % 16 == 0 (phase-class framing: one static lane roll per class,
+<= 8 classes — covers audio hops like 160/320/480).  Everything else
+falls back to the XLA path in spectral.pwelch.
 
 Reference parity: bit-semantics of pwelch.go:101-121 (one-sided lp
 bins, interior doubling and normalization applied by the caller);
@@ -44,6 +46,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,6 +60,7 @@ from godsp_tpu.ops.pallas_fft import (
 
 __all__ = [
     "fused_supported",
+    "frame_class_perm",
     "pwelch_power_partials",
     "pwelch_power_sum",
     "digit_to_natural_bins",
@@ -67,20 +71,62 @@ _BF16 = jnp.bfloat16
 _HI = jax.lax.Precision.HIGHEST
 
 
+_MAX_PHASES = 8  # cap on 128/gcd(stride, 128): one static roll per phase
+
+
+def _phases(stride: int) -> int:
+    import math
+
+    return LANES // math.gcd(stride, LANES)
+
+
 def fused_supported(nfft: int, pad: int, stride: int) -> bool:
     """True if the fused kernel covers this Pwelch geometry.
 
     pad >= nfft (segments zero-extended in VMEM before the FFT,
-    pwelch.go:108); the FFT size is pad.
+    pwelch.go:108); the FFT size is pad.  Lane-aligned strides
+    (stride % 128 == 0, nfft % stride == 0) frame by pure reshapes;
+    non-aligned strides down to stride % 16 == 0 (e.g. audio hops 160,
+    320, 480) frame via <= 8 phase classes, each one static lane roll +
+    reshapes (see _windowed_frames) — frames emerge class-ordered, which
+    the masked segment reduction absorbs by permuting the mask.
     """
     return (
         pad >= nfft
         and supported_size(pad)
         and nfft % LANES == 0
         and stride > 0
-        and stride % LANES == 0
-        and nfft % stride == 0
+        and _phases(stride) <= _MAX_PHASES
     )
+
+
+def framing_halo(nfft: int, stride: int) -> int:
+    """Lanes of right-halo each tile must load for in-kernel framing.
+
+    Exact-division lane-aligned strides read nfft - stride past the
+    block; the generalized (phase-class / partial-period) framing reads
+    up to (P-1)*stride + ceil-period slack plus a <=128-lane roll-wrap
+    margin (see _windowed_frames), rounded up to whole lanes.
+    """
+    P = _phases(stride)
+    if P == 1 and nfft % stride == 0:
+        return nfft - stride
+    L = stride * P
+    m_full, rem = divmod(nfft, L)
+    j_last = m_full if rem else m_full - 1
+    return -(-((L - stride) + j_last * L + LANES) // LANES) * LANES
+
+
+def frame_class_perm(bt: int, stride: int) -> np.ndarray:
+    """perm such that class-ordered frame j is original segment perm[j].
+
+    Class p (of P = 128/gcd(stride,128)) holds segments s ≡ p (mod P) in
+    k order: j = p*bt_p + k  ->  s = p + k*P.
+    """
+    P = _phases(stride)
+    bt_p = bt // P
+    j = np.arange(bt)
+    return (j // bt_p) + (j % bt_p) * P
 
 
 def _segs_per_tile(nfft: int) -> int:
@@ -100,20 +146,52 @@ def _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo):
     Returns (bt, pad) windowed real frames:
     frames[s] = ext[s*stride : s*stride + nfft] zero-extended to pad and
     tapered by the PAD-length window (pwelch.go:108-109).
+
+    Lane-aligned strides use m = nfft/stride pure reshapes.  Otherwise
+    segments are grouped into P = 128/gcd(stride,128) phase classes:
+    class p's starts p*stride + k*L (L = lcm(stride,128)) become
+    128-aligned after ONE static roll by (p*stride) mod 128, and the
+    same reshape trick applies at period L.  Frames come out
+    CLASS-ORDERED (frame_class_perm) — callers permute the mask (sum
+    reductions) or un-permute outputs (per-frame kernels).
     """
     T = bt * stride
-    m = nfft // stride
     ext = block_ref[:].reshape(1, T)
     if halo:
         ext = jnp.concatenate([ext, halo_ref[:].reshape(1, halo)], axis=1)
-    if m == 1:
-        frames = ext[:, :T].reshape(bt, stride)
+    P = _phases(stride)
+    if P == 1 and nfft % stride == 0:
+        m = nfft // stride
+        if m == 1:
+            frames = ext[:, :T].reshape(bt, stride)
+        else:
+            # m lane-aligned reshapes of the extended block — no gathers.
+            frames = jnp.concatenate(
+                [
+                    ext[:, k * stride : k * stride + T].reshape(bt, stride)
+                    for k in range(m)
+                ],
+                axis=1,
+            )
     else:
-        # m lane-aligned reshapes of the extended block — no gathers.
-        frames = jnp.concatenate(
-            [ext[:, k * stride : k * stride + T].reshape(bt, stride) for k in range(m)],
-            axis=1,
-        )
+        L = stride * P  # lcm(stride, 128): multiple of 128
+        bt_p = bt // P
+        m_full, rem = divmod(nfft, L)  # rem is a multiple of 128
+        classes = []
+        E = ext.shape[1]
+        for p in range(P):
+            o = p * stride
+            a, c = divmod(o, LANES)  # start = a*128 + c in unrolled coords
+            # Left-rotate by c (pltpu.roll takes non-negative right shifts):
+            R = pltpu.roll(ext, E - c, 1) if c else ext
+            base = a * LANES
+            parts = []
+            for j in range(m_full + (1 if rem else 0)):
+                lo = base + j * L
+                span = R[:, lo : lo + bt_p * L].reshape(bt_p, L)
+                parts.append(span if j < m_full else span[:, :rem])
+            classes.append(jnp.concatenate(parts, axis=1))
+        frames = jnp.concatenate(classes, axis=0)  # (bt, nfft), class order
     if pad > nfft:
         frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
     return frames * w_ref[:]
@@ -193,7 +271,8 @@ def pwelch_power_partials(
     bt = max(8, 1 << (bt.bit_length() - 1))  # pow2: keeps T 1024-aligned
     n_tiles = pl.cdiv(S, bt)
     T = bt * stride
-    halo = nfft - stride
+    P = _phases(stride)
+    halo = framing_halo(nfft, stride)
 
     ext2 = ext.reshape(-1, ext.shape[-1]).astype(_F32)
     mask2 = mask.reshape(-1, S).astype(_F32)
@@ -220,7 +299,14 @@ def pwelch_power_partials(
             pl.BlockSpec((1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         )
     mp = max(bt, LANES)
-    masks = jnp.pad(mask2.reshape(R * n_tiles, bt), ((0, 0), (0, mp - bt)))
+    masks = mask2.reshape(R * n_tiles, bt)
+    if P > 1:
+        # Frames emerge class-ordered: row j of the kernel's frame stack
+        # is segment frame_class_perm(bt, stride)[j] of its tile, so the
+        # mask columns follow the same permutation (the summed result is
+        # order-invariant).
+        masks = masks[:, frame_class_perm(bt, stride)]
+    masks = jnp.pad(masks, ((0, 0), (0, mp - bt)))
     inputs.append(masks.reshape(R * n_tiles, 1, mp))
     in_specs.append(
         pl.BlockSpec((1, 1, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

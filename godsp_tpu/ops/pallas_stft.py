@@ -32,8 +32,11 @@ from godsp_tpu.ops.pallas_fft import (
     fft_real_tables,
 )
 from godsp_tpu.ops.pallas_pwelch import (
+    _phases,
+    framing_halo,
     _segs_per_tile,
     _windowed_frames,
+    frame_class_perm,
     fused_supported,
 )
 
@@ -138,7 +141,18 @@ def stft_pallas(
     bt = max(8, 1 << (bt.bit_length() - 1))
     n_tiles = pl.cdiv(total_segs, bt)
     T = bt * stride
-    halo = nfft - stride
+    P = _phases(stride)
+    halo = framing_halo(nfft, stride)
+    # Per-frame outputs must be un-permuted from the kernel's class
+    # order back to segment order (inverse of frame_class_perm).
+    if P > 1:
+        import numpy as np
+
+        inv = np.empty(bt, np.int64)
+        inv[frame_class_perm(bt, stride)] = np.arange(bt)
+        inv = jnp.asarray(inv)
+    else:
+        inv = None
 
     x2 = x.reshape(-1, x.shape[-1]).astype(_F32)
     R = x2.shape[0]
@@ -212,9 +226,16 @@ def stft_pallas(
         interpret=interpret,
     )
 
+    def unpermute(rows, width):
+        # (R*n_tiles*bt, width) class order -> segment order, trimmed.
+        rows = rows.reshape(R, n_tiles, bt, width)
+        if inv is not None:
+            rows = jnp.take(rows, inv, axis=2)
+        return rows.reshape(R, n_tiles * bt, width)[:, :total_segs]
+
     def finish(rows):
         # (R*n_tiles*bt, pad) digit -> (..., total_segs, lp) natural.
-        rows = rows.reshape(R, n_tiles * bt, pad)[:, :total_segs]
+        rows = unpermute(rows, pad)
         rows = _digit_to_natural_rows(rows, pad)[..., :lp]
         return rows.reshape(*lead, total_segs, lp)
 
@@ -226,7 +247,7 @@ def stft_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((out_rows, mel_pad), _F32, vma=vma),
         )(*inputs)
-        m = m.reshape(R, n_tiles * bt, mel_pad)[:, :total_segs, :n_mels]
+        m = unpermute(m, mel_pad)[..., :n_mels]
         return m.reshape(*lead, total_segs, n_mels)
     if out == "power":
         p = call(out_specs=out_spec, out_shape=shp)(*inputs)

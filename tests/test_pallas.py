@@ -221,8 +221,13 @@ class TestPallasPwelch:
         assert not fused_supported(1024, 512, 512)    # pad < nfft
         assert not fused_supported(1024, 100000, 512) # pad not kernel-size
         assert not fused_supported(100, 100, 100)     # not a kernel size
-        assert not fused_supported(1024, 1024, 100)   # stride % 128 != 0
-        assert not fused_supported(1024, 1024, 384)   # nfft % stride != 0
+        assert not fused_supported(1024, 1024, 100)   # 32 phase classes
+        assert not fused_supported(1024, 1024, 7)     # odd stride
+        # Generalized framing (round 2): partial-period lane-aligned
+        # strides and phase-class strides run fully fused.
+        assert fused_supported(1024, 1024, 384)       # nfft % stride != 0
+        assert fused_supported(1024, 1024, 160)       # P=4 phase classes
+        assert fused_supported(256, 512, 48)          # P=8, gcd=16
 
     def test_errors(self):
         x = jnp.zeros(1024, jnp.float32)
@@ -489,8 +494,13 @@ class TestFusedGeometryFuzz:
         cases = 0
         for _ in range(12):
             nfft = int(rng.choice([256, 512, 1024]))
-            divisors = [d for d in (128, 256, 512, 1024) if d <= nfft and nfft % d == 0]
-            stride = int(rng.choice(divisors))
+            # Lane-aligned strides plus phase-class (stride % 16 == 0)
+            # ones: audio hops 160/320/480 and gcd=16/32 stress cases.
+            candidates = [128, 256, 512, 1024, 48, 96, 160, 208, 320, 480]
+            from godsp_tpu.ops.pallas_pwelch import fused_supported
+
+            ok = [d for d in candidates if fused_supported(nfft, nfft, d)]
+            stride = int(rng.choice(ok))
             pad = int(nfft * rng.choice([1, 2]))
             segs = int(rng.integers(1, 40))
             extra = int(rng.integers(0, stride))  # ragged tail beyond last seg
@@ -512,6 +522,59 @@ class TestFusedGeometryFuzz:
             assert snr_db(got, ref) >= 95.0, (nfft, stride, pad, segs, L)
             cases += 1
         assert cases == 12
+
+    def test_phase_class_strides(self):
+        """Non-lane-aligned strides (stride % 128 != 0) run fully fused
+        via phase-class framing; exact vs the float64 reference loop."""
+        from godsp_tpu import window as win
+
+        rng = np.random.default_rng(160)
+        for nfft, stride, pad in (
+            (1024, 160, 1024),  # the VERDICT example geometry (P=4)
+            (512, 320, 512),    # P=2
+            (256, 48, 512),     # P=8, gcd=16, pad > nfft
+            (1024, 480, 1024),  # P=4
+        ):
+            segs = 23
+            L = (segs - 1) * stride + nfft + 37
+            x = rng.normal(size=L).astype(np.float32)
+            w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+            got = np.asarray(
+                pwelch_power_sum(
+                    jnp.asarray(x), w, nfft, stride, segs, pad=pad, interpret=True
+                )
+            )
+            w64 = np.asarray(win.window_table_np("hann", pad))
+            lp = pad // 2 + 1
+            ref = np.zeros(lp)
+            for s in range(segs):
+                fr = np.zeros(pad)
+                fr[:nfft] = x[s * stride : s * stride + nfft].astype(np.float64)
+                ref += np.abs(np.fft.fft(fr * w64)[:lp]) ** 2
+            assert snr_db(got, ref) >= 95.0, (nfft, stride, pad)
+
+    def test_phase_class_stft_order(self):
+        """Per-frame outputs are un-permuted back to segment order."""
+        from godsp_tpu import window as win
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        rng = np.random.default_rng(161)
+        nfft, stride, segs = 256, 160, 21
+        L = (segs - 1) * stride + nfft
+        x = rng.normal(size=L).astype(np.float32)
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        got = np.asarray(
+            stft_pallas(
+                jnp.asarray(x), w, nfft, stride, segs, out="power",
+                interpret=True,
+            )
+        )
+        w64 = np.asarray(win.window_table_np("hann", nfft))
+        lp = nfft // 2 + 1
+        for s in range(segs):
+            fr = x[s * stride : s * stride + nfft].astype(np.float64)
+            ref = np.abs(np.fft.fft(fr * w64)[:lp]) ** 2
+            assert snr_db(got[s], ref) >= 95.0, s
 
 
 class TestPallasCSD:
