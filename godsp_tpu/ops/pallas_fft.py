@@ -629,14 +629,17 @@ def fft_pow2_split(
     flops = 18 * 2 * xr2.shape[0] * n * (n1 + LANES)  # 6-pass HIGHEST
     bytes_acc = (3 if real_input else 4) * xr2.shape[0] * n * 4
 
+    # Under vma-checked shard_map the outputs must declare the mesh axes
+    # they vary over — exactly as the input planes do.
+    vma = getattr(jax.typeof(xr2), "vma", None) or frozenset()
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[data_spec] * len(data) + const_specs,
         out_specs=(data_spec, data_spec),
         out_shape=(
-            jax.ShapeDtypeStruct(xr2.shape, _F32),
-            jax.ShapeDtypeStruct(xr2.shape, _F32),
+            jax.ShapeDtypeStruct(xr2.shape, _F32, vma=vma),
+            jax.ShapeDtypeStruct(xr2.shape, _F32, vma=vma),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
@@ -699,14 +702,15 @@ def ifft_pow2_digit_split(
         pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
         for t in tables
     ]
+    vma = getattr(jax.typeof(r2), "vma", None) or frozenset()
     zr, zi = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[data_spec, data_spec] + const_specs,
         out_specs=(data_spec, data_spec),
         out_shape=(
-            jax.ShapeDtypeStruct(r2.shape, _F32),
-            jax.ShapeDtypeStruct(r2.shape, _F32),
+            jax.ShapeDtypeStruct(r2.shape, _F32, vma=vma),
+            jax.ShapeDtypeStruct(r2.shape, _F32, vma=vma),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(18 * 2 * r2.shape[0] * n * (n1 + LANES)),

@@ -286,12 +286,45 @@ class TestShardedFFT:
 
         assert snr_db(back, x) >= 200.0
 
+    def test_batched(self):
+        """Leading axes carried along; every row matches numpy."""
+        from godsp_tpu.dsputils import snr_db
+        from godsp_tpu.parallel import fft_sharded
+
+        n = 1 << 12
+        rng = np.random.default_rng(3)
+        x = (rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n)))
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        got = np.asarray(fft_sharded(jnp.asarray(x), mesh))
+        assert got.shape == (3, n)
+        assert snr_db(got, np.fft.fft(x, axis=-1)) >= 200.0
+
+    def test_uneven_psum_scatter_path(self):
+        """n2 % p != 0 (here n2 < p): the reduce-scatter step-1 path."""
+        from godsp_tpu.dsputils import snr_db
+        from godsp_tpu.parallel import fft_sharded
+
+        p = 8
+        n = p * 4  # n2 = 4 < p: all_to_all split impossible
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=n) + 1j * rng.normal(size=n)
+        mesh = make_mesh(MeshConfig(dp=1, sp=p))
+        got = np.asarray(fft_sharded(jnp.asarray(x), mesh))
+        assert snr_db(got, np.fft.fft(x)) >= 200.0
+        # digit order + round trip on the same path
+        X = fft_sharded(jnp.asarray(x), mesh, order="digit")
+        n2 = n // p
+        ref_digit = np.fft.fft(x).reshape(n2, p).T.reshape(n)
+        assert snr_db(np.asarray(X), ref_digit) >= 200.0
+
     def test_errors(self):
         from godsp_tpu.parallel import fft_sharded
 
         mesh = make_mesh(MeshConfig(dp=1, sp=8))
         with pytest.raises(ValueError, match="divisible"):
-            fft_sharded(jnp.ones(1000, jnp.complex128), mesh)
+            fft_sharded(jnp.ones(1001, jnp.complex128), mesh)
+        with pytest.raises(ValueError, match="power of 2"):
+            fft_sharded(jnp.ones(1000, jnp.complex128), mesh)  # n2 = 125
         with pytest.raises(ValueError, match="unknown order"):
             fft_sharded(jnp.ones(4096, jnp.complex128), mesh, order="x")
 
