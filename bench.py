@@ -246,6 +246,45 @@ def main() -> None:
     }
     log(f"fused mel front end: {per*1e3:.3f} ms  {L/per/1e6:.0f} Msamples/s")
 
+    # --- fused-halo sharded Pwelch (RDMA inside the kernel) -------------
+    # Single chip = a 1-device "sp" ring (self-send): validates and times
+    # the compiled remote-DMA kernel; multi-chip overlap needs a pod.
+    try:
+        from jax.sharding import Mesh
+
+        from godsp_tpu.parallel import pwelch_sharded
+
+        opts_fh = spectral.PwelchOptions(nfft=1024, noverlap=512)
+        Lfh = 512 * 4096
+        sig_fh = put(rng.normal(size=Lfh).astype(np.float32))
+        mesh1 = Mesh(np.array(jax.devices()[:1]), ("sp",))
+
+        def make_fh(K):
+            @jax.jit
+            def chain(z):
+                acc = 0.0
+                for k in range(K):
+                    p, _ = pwelch_sharded(
+                        z * (1.0 + 1e-6 * k), 2.0, opts_fh, mesh=mesh1,
+                        halo_impl=("fused", False),
+                    )
+                    acc = acc + p[0]
+                return acc
+
+            return chain
+
+        per = time_chain_diff(make_fh, sig_fh, k_lo=6, k_hi=18, iters=6)
+        results["pwelch_fused_halo"] = {
+            "wall_s": per,
+            "msamples_per_s": Lfh / per / 1e6,
+        }
+        log(
+            f"fused-halo sharded pwelch (1-dev ring): {per*1e3:.3f} ms  "
+            f"{Lfh/per/1e6:.0f} Msamples/s on-device"
+        )
+    except Exception as e:  # pragma: no cover
+        log("fused-halo bench failed:", e)
+
     # --- Pwelch streaming throughput, single chip -----------------------
     fs = 44100.0
     opts = spectral.PwelchOptions(nfft=1024, noverlap=512)

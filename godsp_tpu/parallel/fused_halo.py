@@ -1,0 +1,249 @@
+"""Welch partial sums with the cross-shard halo fused INTO the kernel.
+
+The SURVEY.md §5 commitment ("hand-written Pallas remote-DMA ... where
+collective-permute fusion with the FFT kernel pays"), round-1's missing
+piece: instead of a separate halo collective (ppermute or the standalone
+ring kernel, parallel/halo.py) followed by the fused Pwelch kernel, ONE
+kernel per shard
+
+  * starts the remote DMA of its block head to the LEFT neighbor at
+    grid step 0,
+  * processes all interior tiles while the copy is in flight (their
+    halos are local data),
+  * waits for the receive only at the LAST tile, whose boundary
+    segments read the neighbor's head from the RDMA buffer.
+
+The communication therefore overlaps with all but the final tile's
+FFTs — no XLA collective rendezvous sits between framing and compute.
+
+Ring wraparound: the last shard receives shard 0's head, which is
+garbage for its tail segments — exactly the segments the global-tail
+mask (spectral.go:26-33 semantics) already zeroes, so no special case
+is needed for the one-shot driver.  The streaming driver keeps the
+ppermute path (its tail halo is real data from the next chunk).
+
+Call INSIDE shard_map over a single-axis ("sp",) mesh region (logical
+device ids — the interpret-mode restriction; the compiled path also
+accepts them on 1-D meshes).  Validated against the ppermute path on
+the virtual 8-device mesh (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from godsp_tpu.ops.pallas_fft import LANES, _fft_steps_real, fft_real_tables
+from godsp_tpu.ops.pallas_pwelch import (
+    _F32,
+    _HI,
+    _phases,
+    _segs_per_tile,
+    _windowed_frames,
+    frame_class_perm,
+    framing_halo,
+    fused_supported,
+)
+
+__all__ = ["pwelch_power_partials_rdma"]
+
+
+def _rdma(head_ref, left_ref, rbuf, send_sem, recv_sem):
+    """Descriptor for head -> left neighbor's rbuf (state lives in the
+    semaphores, so rebuilding it at the waiting grid step is sound).
+    The neighbor id arrives via SMEM — axis_index arithmetic inside the
+    kernel trips interpret-mode vma checking."""
+    return pltpu.make_async_remote_copy(
+        src_ref=head_ref,
+        dst_ref=rbuf,
+        send_sem=send_sem,
+        recv_sem=recv_sem,
+        device_id=left_ref[0, 0],
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+
+
+def _kernel(
+    *refs,
+    bt: int,
+    stride: int,
+    nfft: int,
+    pad: int,
+    halo: int,
+    n_sp: int,
+):
+    (
+        left_ref, head_ref, block_ref, lhalo_ref, mask_ref, w_ref, *rest
+    ) = refs
+    *tabs, out_ref, rbuf, send_sem, recv_sem = rest
+
+    pid = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(pid == 0)
+    def _():
+        _rdma(head_ref, left_ref, rbuf, send_sem, recv_sem).start()
+
+    @pl.when(pid == last)
+    def _():
+        _rdma(head_ref, left_ref, rbuf, send_sem, recv_sem).wait()
+
+    # Interior tiles read their (local) gathered halo; the last tile's
+    # halo is the neighbor's head from the RDMA buffer.  Reading rbuf
+    # before the wait on non-last tiles is safe: the value is discarded.
+    halo_val = jnp.where(pid == last, rbuf[:], lhalo_ref[:])
+
+    xw = _windowed_frames(
+        block_ref, halo_val, w_ref, bt, stride, nfft, pad, halo
+    )
+    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES)
+    p = cr * cr + ci * ci
+    mask_row = mask_ref[:].reshape(1, -1)[:, :bt]
+    row = jax.lax.dot_general(
+        mask_row, p,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=_F32, precision=_HI,
+    )
+    out_ref[:] = row.reshape(1, 1, pad)
+
+
+def pwelch_power_partials_rdma(
+    x_local: jax.Array,
+    mask: jax.Array,
+    w: jax.Array,
+    nfft: int,
+    stride: int,
+    n_sp: int,
+    pad: int | None = None,
+    segs_per_tile: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Per-tile masked periodogram sums of THIS shard, digit bin order.
+
+    x_local: (L,) float32 — this shard's time block (no leading axes;
+    the dp-batched drivers use the ppermute path).  mask: (S,) validity
+    over this shard's segments; segments whose frames extend past
+    L + halo into the ring-wrapped garbage MUST be masked (the one-shot
+    driver's global-tail mask guarantees this).  Returns (n_tiles, pad).
+    """
+    pad = pad or nfft
+    if not fused_supported(nfft, pad, stride):
+        raise ValueError(
+            f"geometry (nfft={nfft}, pad={pad}, stride={stride}) unsupported "
+            "by the fused kernel"
+        )
+    if x_local.ndim != 1:
+        raise ValueError("pwelch_power_partials_rdma takes a 1-D shard block")
+    S = mask.shape[-1]
+    if S == 0:
+        return jnp.zeros((0, pad), dtype=_F32)
+    bt = segs_per_tile or _segs_per_tile(pad)
+    bt = min(bt, max(8, S))
+    bt = max(8, 1 << (bt.bit_length() - 1))
+    # Tiles must cover the shard EXACTLY: the RDMA halo is consumed at
+    # offset n_tiles*T, which must coincide with the shard boundary L
+    # (a ragged last tile would put the neighbor's samples at the wrong
+    # offset for boundary-straddling frames).
+    while bt > 8 and S % bt:
+        bt //= 2
+    if S % bt:
+        raise ValueError(
+            f"segment count per shard ({S}) must be divisible by a "
+            f"power-of-2 tile size >= 8 for the fused-halo path"
+        )
+    n_tiles = S // bt
+    T = bt * stride
+    halo = framing_halo(nfft, stride)
+    P = _phases(stride)
+
+    x2 = x_local.reshape(1, -1).astype(_F32)
+    L = x2.shape[-1]
+    if halo > L:
+        raise ValueError(
+            f"shard block ({L} samples) must cover the {halo}-lane halo"
+        )
+    if L != n_tiles * T:
+        raise ValueError(
+            f"shard block length {L} != segments*stride {n_tiles * T}"
+        )
+    x2 = jnp.pad(x2, ((0, 0), (0, halo)))  # halo region placeholder
+
+    head = x2[:, :halo].reshape(1, 1, halo)  # what the LEFT neighbor needs
+    blocks = x2[:, : n_tiles * T].reshape(n_tiles, 1, T)
+    # Local per-tile halos; the last tile's row is zeros beyond the
+    # shard and gets overridden by the RDMA buffer in-kernel.
+    idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
+    lhalos = jnp.take(x2[0], idx, axis=-1).reshape(n_tiles, 1, halo)
+
+    mask2 = mask.astype(_F32)
+    pad_s = n_tiles * bt - S
+    if pad_s:
+        mask2 = jnp.pad(mask2, (0, pad_s))
+    masks = mask2.reshape(n_tiles, bt)
+    if P > 1:
+        masks = masks[:, frame_class_perm(bt, stride)]
+    mp = max(bt, LANES)
+    masks = jnp.pad(masks, ((0, 0), (0, mp - bt))).reshape(n_tiles, 1, mp)
+
+    my = jax.lax.axis_index("sp")
+    left = jax.lax.rem(
+        my.astype(jnp.int32) + jnp.int32(n_sp - 1), jnp.int32(n_sp)
+    ).reshape(1, 1)
+
+    tile3 = lambda X: pl.BlockSpec(
+        (1, 1, X), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    inputs = [left, head, blocks, lhalos, masks]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, halo), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        tile3(T),
+        tile3(halo),
+        tile3(mp),
+    ]
+    inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
+    in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    order, tabs = fft_real_tables(pad)
+    for key in order:
+        t = jnp.asarray(tabs[key])
+        inputs.append(t)
+        in_specs.append(
+            pl.BlockSpec(
+                t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+            )
+        )
+
+    n1 = pad // LANES
+    vma = getattr(jax.typeof(blocks), "vma", None) or frozenset()
+    out = pl.pallas_call(
+        partial(
+            _kernel,
+            bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo, n_sp=n_sp,
+        ),
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, pad), _F32, vma=vma),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, halo), _F32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(n_tiles * bt * pad * (2 * n1 + 6 * LANES + 8)),
+            bytes_accessed=int(4 * n_tiles * (T + halo + bt + pad)),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out.reshape(n_tiles, pad)

@@ -97,10 +97,41 @@ def sharded_partial_step(
     Returns (periodogram_sum, segment_count), psum-reduced over "sp" and
     replicated.
     """
+    from godsp_tpu.spectral.pwelch import fused_path_eligible
+
     n_sp = mesh.shape["sp"]
     H = max(nfft - stride, 0)
+    use_fused_halo = (
+        H > 0
+        and halo_impl[0] == "fused"
+        and x.ndim == 1
+        and segs_per_shard % 8 == 0
+        and fused_path_eligible(nfft, pad, stride)
+    )
 
     def shard_fn(x_local, tail_local):
+        if use_fused_halo:
+            # Fully-fused path: the halo RDMA is started INSIDE the
+            # Pwelch kernel and overlaps the interior tiles' FFTs
+            # (parallel/fused_halo.py).  Ring-wrap garbage on the last
+            # shard is exactly the globally-masked tail.
+            from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
+            from godsp_tpu.parallel.fused_halo import (
+                pwelch_power_partials_rdma,
+            )
+
+            sp_idx = jax.lax.axis_index("sp")
+            seg_global = sp_idx * segs_per_shard + jnp.arange(segs_per_shard)
+            mask = (seg_global < total_segs).astype(x_local.dtype)
+            partials = pwelch_power_partials_rdma(
+                x_local, mask, w_pad, nfft, stride, n_sp,
+                pad=pad, interpret=bool(halo_impl[1]),
+            )
+            p = digit_to_natural_bins(partials.sum(axis=-2), pad)[..., :lp]
+            doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
+            p_sum, count = p * doubler, jnp.sum(mask, axis=-1)
+            return jax.lax.psum(p_sum, "sp"), jax.lax.psum(count, "sp")
+
         if H > 0:
             # Ring halo: src i -> dst i-1, so device i receives the head
             # of device i+1's block.  The wraparound into the last shard
@@ -133,8 +164,6 @@ def sharded_partial_step(
         mask = (seg_global < total_segs).astype(x_local.dtype)
         mask = jnp.broadcast_to(mask, x_local.shape[:-1] + (segs_per_shard,))
 
-        from godsp_tpu.spectral.pwelch import fused_path_eligible
-
         if fused_path_eligible(nfft, pad, stride):
             # Fused Pallas path: frame/window/FFT/|.|^2/masked-sum in one
             # kernel per tile (ops.pallas_pwelch); the halo is appended so
@@ -164,8 +193,12 @@ def sharded_partial_step(
     in_x = P(*lead, "sp")
     in_tail = P(*lead, None)  # tail halo is small; replicated along sp
     out = P(*lead)
+    # The fused-halo kernel's conditional RDMA (pl.when) trips vma branch
+    # checking in interpret mode (jax suggests check_vma=False as the
+    # workaround); every other path keeps full vma checking.
     return jax.shard_map(
-        shard_fn, mesh=mesh, in_specs=(in_x, in_tail), out_specs=(out, out)
+        shard_fn, mesh=mesh, in_specs=(in_x, in_tail), out_specs=(out, out),
+        check_vma=not use_fused_halo,
     )(x, tail_halo)
 
 

@@ -417,3 +417,85 @@ class TestShardedSpectrogram:
         mesh = make_mesh(MeshConfig(dp=1, sp=8))
         with pytest.raises(ValueError, match="divide"):
             spectrogram_sharded(jnp.ones(1000), mesh, 256)
+
+
+class TestFusedHalo:
+    """parallel/fused_halo.py: halo RDMA fused into the Pwelch kernel.
+
+    Interpret-mode RDMA needs a single-named-axis mesh (dma_start
+    discharge limitation), and the lane-slice FFT structure is disabled
+    under shard_map + interpret (see pallas_fft.set_laneslice_enabled).
+    """
+
+    def test_fused_halo_matches_ppermute(self, monkeypatch):
+        import importlib
+
+        import jax
+        from jax.sharding import Mesh
+
+        from godsp_tpu.ops import pallas_fft
+        from godsp_tpu.parallel import pwelch_sharded
+
+        monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        stride = 128
+        L = 8 * stride * 16  # 16 segments per shard (divisible by 8)
+        x = jnp.asarray(_signal(L), jnp.float32)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+
+        ref, _ = spectral.pwelch(x, 2.0, opts)  # XLA oracle
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+
+        p_fused, _ = pwelch_sharded(
+            x, 2.0, opts, mesh=mesh, halo_impl=("fused", True)
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_fused), np.asarray(ref), rtol=2e-4, atol=1e-12
+        )
+
+        # And bit-match against the ppermute + fused-kernel path.
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            p_pp, _ = pwelch_sharded(
+                x, 2.0, opts, mesh=mesh, halo_impl=("ppermute", False)
+            )
+        np.testing.assert_allclose(
+            np.asarray(p_fused), np.asarray(p_pp), rtol=1e-6
+        )
+
+    def test_fused_halo_global_tail_mask(self, monkeypatch):
+        """Ring-wrap garbage on the last shard must be masked out: use a
+        geometry where the final segments are globally invalid."""
+        import importlib
+
+        import jax
+        from jax.sharding import Mesh
+
+        from godsp_tpu.ops import pallas_fft
+        from godsp_tpu.parallel import pwelch_sharded
+
+        monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+
+        # noverlap > 0 makes the last shard's final segment straddle the
+        # global end: it must be masked, not filled with wrapped data.
+        opts = spectral.PwelchOptions(nfft=512, noverlap=384)
+        stride = 128
+        L = 8 * stride * 8
+        x = jnp.asarray(_signal(L, seed=5), jnp.float32)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+        ref, _ = spectral.pwelch(x, 2.0, opts)
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+        p_fused, _ = pwelch_sharded(
+            x, 2.0, opts, mesh=mesh, halo_impl=("fused", True)
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_fused), np.asarray(ref), rtol=2e-4, atol=1e-12
+        )
