@@ -183,7 +183,10 @@ def csd_power_partials(
             bytes_accessed=int(4 * (2 * R * n_tiles * (T + halo) + 2 * R * n_tiles * pad)),
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(*inputs)
     return (

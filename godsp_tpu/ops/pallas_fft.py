@@ -644,7 +644,10 @@ def fft_pow2_split(
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(*data, *tables)
 
@@ -717,7 +720,10 @@ def ifft_pow2_digit_split(
             bytes_accessed=int(4 * r2.shape[0] * n * 4),
             transcendentals=0,
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(r2, i2, *tables)
     if pad:

@@ -349,7 +349,10 @@ def pwelch_power_partials(
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
         ),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(*inputs)
     return out.reshape(*lead, n_tiles, pad)

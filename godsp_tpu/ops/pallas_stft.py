@@ -222,7 +222,10 @@ def stft_pallas(
         grid=(R * n_tiles,),
         in_specs=in_specs,
         cost_estimate=cost,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )
 

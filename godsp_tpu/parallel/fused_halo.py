@@ -243,6 +243,7 @@ def pwelch_power_partials_rdma(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20,
             has_side_effects=True,
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(*inputs)
