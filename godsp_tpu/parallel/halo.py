@@ -94,7 +94,10 @@ def ring_halo_pallas(
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=0
+            # collective_id is only legal with a custom barrier semaphore;
+            # specifying it made the COMPILED path fail ("collective_id
+            # has to be unspecified ... when not using a custom barrier").
+            has_side_effects=True,
         ),
         interpret=interpret,
     )(x2)
