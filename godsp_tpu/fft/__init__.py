@@ -22,6 +22,7 @@ from godsp_tpu.fft.core import (
     ifftn,
 )
 from godsp_tpu.fft.four_step import four_step_fft
+from godsp_tpu.fft.helpers import fftfreq, fftshift, hilbert, ifftshift, rfftfreq
 from godsp_tpu.fft.pow2 import pallas_enabled, pow2_fft, set_pallas_enabled
 from godsp_tpu.fft.stockham import stockham_fft, twiddles
 
@@ -36,8 +37,13 @@ __all__ = [
     "fft2",
     "fft2_real",
     "fft_real",
+    "fftfreq",
     "fftn",
+    "fftshift",
+    "hilbert",
     "ifft",
+    "ifftshift",
+    "rfftfreq",
     "ifft2",
     "ifft2_real",
     "ifft_real",

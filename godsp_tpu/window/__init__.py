@@ -27,6 +27,9 @@ __all__ = [
     "bartlett",
     "flat_top",
     "blackman",
+    "blackman_harris",
+    "nuttall",
+    "kaiser",
     "window_table",
     "window_table_np",
     "WINDOWS",
@@ -65,7 +68,30 @@ def _table(name: str, L: int) -> np.ndarray:
         return a0 - a1 * np.cos(f) + a2 * np.cos(2 * f) - a3 * np.cos(3 * f) + a4 * np.cos(4 * f)
     if name == "blackman":  # window.go:136-152
         return 0.42 - 0.5 * np.cos(2.0 * np.pi * n / N) + 0.08 * np.cos(4.0 * np.pi * n / N)
+    # Beyond-reference tapers (scipy-compatible symmetric forms).
+    if name == "blackman_harris":
+        a = (0.35875, 0.48829, 0.14128, 0.01168)
+        f = n * (2.0 * np.pi / N)
+        return a[0] - a[1] * np.cos(f) + a[2] * np.cos(2 * f) - a[3] * np.cos(3 * f)
+    if name == "nuttall":
+        a = (0.3635819, 0.4891775, 0.1365995, 0.0106411)
+        f = n * (2.0 * np.pi / N)
+        return a[0] - a[1] * np.cos(f) + a[2] * np.cos(2 * f) - a[3] * np.cos(3 * f)
     raise ValueError(f"unknown window: {name}")
+
+
+@lru_cache(maxsize=None)
+def _kaiser_table(beta: float, L: int) -> np.ndarray:
+    """Symmetric Kaiser window, float64 (scipy.signal.windows.kaiser)."""
+    if L == 0:
+        return np.zeros(0, dtype=np.float64)
+    if L == 1:
+        return np.ones(1, dtype=np.float64)
+    n = np.arange(L, dtype=np.float64)
+    N = L - 1
+    from numpy import i0
+
+    return i0(beta * np.sqrt(1.0 - ((2.0 * n - N) / N) ** 2)) / i0(beta)
 
 
 def _make(name: str) -> Callable[[int], jnp.ndarray]:
@@ -84,6 +110,22 @@ hann = _make("hann")
 bartlett = _make("bartlett")
 flat_top = _make("flat_top")
 blackman = _make("blackman")
+blackman_harris = _make("blackman_harris")
+nuttall = _make("nuttall")
+
+
+def kaiser(beta: float) -> Callable[[int], jnp.ndarray]:
+    """Kaiser window factory: kaiser(beta) is an L -> table callable
+    usable anywhere a window is accepted (beyond-reference, scipy form).
+    """
+
+    def w(L: int) -> jnp.ndarray:
+        return jnp.asarray(_kaiser_table(float(beta), L), dtype=default_float())
+
+    w.__name__ = f"kaiser_{beta}"
+    w.__doc__ = f"L-point symmetric Kaiser window, beta={beta}."
+    return w
+
 
 WINDOWS = {
     "rectangular": rectangular,
@@ -92,6 +134,8 @@ WINDOWS = {
     "bartlett": bartlett,
     "flat_top": flat_top,
     "blackman": blackman,
+    "blackman_harris": blackman_harris,
+    "nuttall": nuttall,
 }
 
 

@@ -395,3 +395,51 @@ class TestLargeFFT:
         assert not large_supported(3 * (1 << 15))  # not a power of 2
         assert large_supported(1 << 28)
         assert not large_supported(1 << 29)
+
+
+class TestHelpers:
+    """fft/helpers.py: frequency grids, shifts, analytic signal."""
+
+    @pytest.mark.parametrize("n", [8, 9, 100, 1024])
+    def test_fftfreq_vs_numpy(self, n):
+        np.testing.assert_allclose(
+            np.asarray(fft.fftfreq(n, 0.25)), np.fft.fftfreq(n, 0.25)
+        )
+        np.testing.assert_allclose(
+            np.asarray(fft.rfftfreq(n, 0.25)), np.fft.rfftfreq(n, 0.25)
+        )
+
+    @pytest.mark.parametrize("n", [8, 9])
+    def test_shift_roundtrip(self, n):
+        x = np.arange(n, dtype=np.float64)
+        np.testing.assert_array_equal(np.asarray(fft.fftshift(x)), np.fft.fftshift(x))
+        np.testing.assert_array_equal(
+            np.asarray(fft.ifftshift(fft.fftshift(x))), x
+        )
+        x2 = np.arange(n * 6, dtype=np.float64).reshape(n, 6)
+        np.testing.assert_array_equal(
+            np.asarray(fft.fftshift(x2)), np.fft.fftshift(x2)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fft.fftshift(x2, axes=1)), np.fft.fftshift(x2, axes=1)
+        )
+
+    @pytest.mark.parametrize("n", [64, 100, 256])
+    def test_hilbert_vs_scipy(self, n):
+        import scipy.signal as ss
+
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=n)
+        got = np.asarray(fft.hilbert(jnp.asarray(x)))
+        ref = ss.hilbert(x)
+        assert snr_db(got, ref) >= 150.0
+
+    def test_hilbert_envelope(self):
+        """|hilbert| of a modulated tone recovers the envelope."""
+        t = np.arange(4096) / 4096
+        env = 1.0 + 0.5 * np.sin(2 * np.pi * 3 * t)
+        x = env * np.cos(2 * np.pi * 200 * t)
+        got = np.abs(np.asarray(fft.hilbert(jnp.asarray(x))))
+        # ignore edges (Gibbs at the boundaries)
+        sl = slice(200, -200)
+        np.testing.assert_allclose(got[sl], env[sl], rtol=2e-2)

@@ -90,3 +90,43 @@ def test_symmetry():
     for name, wf in window.WINDOWS.items():
         w = np.asarray(wf(33))
         np.testing.assert_allclose(w, w[::-1], atol=1e-15, err_msg=name)
+
+
+class TestBeyondReferenceWindows:
+    """Round-2 additions: blackman-harris, nuttall, kaiser (scipy forms)."""
+
+    def test_vs_scipy(self):
+        import scipy.signal.windows as sw
+
+        for name, ref in (
+            ("blackman_harris", sw.blackmanharris),
+            ("nuttall", sw.nuttall),
+        ):
+            got = np.asarray(window.WINDOWS[name](64))
+            np.testing.assert_allclose(got, ref(64, sym=True), atol=1e-12)
+
+    def test_kaiser_vs_scipy(self):
+        import scipy.signal.windows as sw
+
+        w = window.kaiser(8.6)
+        np.testing.assert_allclose(
+            np.asarray(w(128)), sw.kaiser(128, 8.6, sym=True), rtol=1e-10
+        )
+        assert np.asarray(w(1)) == [1.0]
+
+    def test_usable_in_pwelch(self):
+        from godsp_tpu import spectral
+
+        import jax.numpy as jnp
+
+        x = np.random.default_rng(0).normal(size=2048)
+        pxx, _ = spectral.pwelch(
+            jnp.asarray(x), 2.0,
+            spectral.PwelchOptions(nfft=256, window="blackman_harris"),
+        )
+        assert pxx.shape == (129,)
+        pxx2, _ = spectral.pwelch(
+            jnp.asarray(x), 2.0,
+            spectral.PwelchOptions(nfft=256, window=window.kaiser(12.0)),
+        )
+        assert pxx2.shape == (129,)
