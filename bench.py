@@ -86,20 +86,30 @@ def main() -> None:
             return chain
 
         # Heavy depth: shallow chains are flattered by tunnel-RTT noise.
-        per = time_chain_diff(make, xr, k_lo=10, k_hi=26, iters=8)
+        # The chip clock is BIMODAL across minutes-long windows (same
+        # program measured 0.36 and 0.54 ms in one session), so the
+        # capability number is the best of several spaced measurements,
+        # with every rep recorded.
+        reps = [
+            time_chain_diff(make, xr, k_lo=10, k_hi=26, iters=8)
+            for _ in range(3)
+        ]
+        per = min(reps)
         gbs = 4 * batch * n * 4 / per / 1e9
-        return per, gbs
+        return per, gbs, reps
 
     for n, batch in ((1024, 16384), (4096, 4096)):
-        per, gbs = bench_pallas(n, batch)
+        per, gbs, reps = bench_pallas(n, batch)
         frac = gbs / peak if peak else None
         results[f"pallas_fft{n}_precise"] = {
             "wall_s": per,
+            "wall_s_reps": reps,
             "gbs": gbs,
             "roofline_fraction": frac,
         }
         log(
-            f"pallas fft n={n} batch={batch}: {per*1e3:.3f} ms  "
+            f"pallas fft n={n} batch={batch}: {per*1e3:.3f} ms "
+            f"(reps {'/'.join(f'{r*1e3:.2f}' for r in reps)})  "
             f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}"
         )
 
@@ -176,16 +186,19 @@ def main() -> None:
         return make
 
     per = time_chain_diff(mk_large(fft.fft), z20, k_lo=16, k_hi=64, iters=8)
-    per_jnp = time_chain_diff(mk_large(jnp.fft.fft), z20, k_lo=16, k_hi=64, iters=8)
-    results["fft_2pow20"] = {
-        "wall_s": per,
-        "jnp_wall_s": per_jnp,
-        "speedup_vs_jnp": per_jnp / per,
-    }
-    log(
-        f"fft 2^20 single: {per*1e3:.3f} ms vs jnp {per_jnp*1e3:.3f} ms "
-        f"({per_jnp/per:.2f}x)"
-    )
+    results["fft_2pow20"] = {"wall_s": per}
+    log(f"fft 2^20 single: {per*1e3:.3f} ms")
+    try:
+        # Shallower chain: a 64-deep jnp.fft.fft program is too large for
+        # the remote compile service.
+        per_jnp = time_chain_diff(
+            mk_large(jnp.fft.fft), z20, k_lo=8, k_hi=24, iters=6
+        )
+        results["fft_2pow20"]["jnp_wall_s"] = per_jnp
+        results["fft_2pow20"]["speedup_vs_jnp"] = per_jnp / per
+        log(f"  vs jnp.fft.fft: {per_jnp*1e3:.3f} ms ({per_jnp/per:.2f}x)")
+    except Exception as e:  # pragma: no cover
+        log("jnp 2^20 comparison failed:", e)
 
     # --- fused Pallas Pwelch kernel (frame->window->FFT->|.|^2->sum) -----
     from godsp_tpu import window as win

@@ -7,12 +7,16 @@ transform in VMEM — HBM traffic is one read and one write per element —
 with the DFT factor contractions on the MXU.
 
 Measured on a v5e chip (two-chain-length differential timing at heavy
-depth k=(16,48) — shallow chains are flattered by tunnel-RTT noise; see
+depth — shallow chains are flattered by tunnel-RTT noise; see
 utils.metrics.time_chain_diff), lane-slice structure (see below),
-n=1024 batch=16384: ~138 dB at 0.47-0.61 ms (run-to-run clock spread;
-0.54 ms typical = 0.61 of HBM roofline; batched-3D structure: 1.05 ms).
-  vs jnp.fft.fft ~2.5 ms and the four-step XLA path ~1.6 ms (4.6x /
-  3.0x at precise).
+n=1024 batch=16384: ~138 dB at 0.36-0.61 ms across the chip's bimodal
+clock windows (best measured 0.36 ms = 0.90 of the 819 GB/s
+per-direction HBM roofline; slow-window medians ~0.53 ms = 0.61;
+batched-3D structure: 1.05 ms), vs jnp.fft.fft ~2.4 ms and the
+four-step XLA path ~1.6 ms.  BASELINE.md carries the full round-2
+analysis: the structure is NOT MAC-bound (HIGHEST = DEFAULT precision
+in time), and the binding constraint is the slice store/feed pipeline
+at the day's copy ceiling.
 
 Layout: split-complex (re, im) float32 planes of shape (batch, N).
 Pallas TPU has no complex dtype, and this environment's TPU transport
