@@ -499,3 +499,20 @@ class TestFusedHalo:
         np.testing.assert_allclose(
             np.asarray(p_fused), np.asarray(ref), rtol=2e-4, atol=1e-12
         )
+
+
+class TestStreamingPadLtNfft:
+    def test_stream_pad_lt_nfft(self):
+        """Streaming reproduces the pad < nfft head-bins semantics."""
+        opts = spectral.PwelchOptions(nfft=256, pad=128, noverlap=0)
+        L = 60_000
+        x = _signal(L, seed=11)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        pxx, freqs = stream_pwelch(
+            [x[i : i + 9000] for i in range(0, L, 9000)],
+            2.0, opts, mesh, segs_per_chunk_shard=8,
+        )
+        ref, ref_f = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        assert pxx.shape == (65,)
+        np.testing.assert_allclose(pxx, np.asarray(ref), rtol=1e-9)
+        np.testing.assert_allclose(freqs, np.asarray(ref_f))
