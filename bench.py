@@ -305,18 +305,29 @@ def main() -> None:
     sig = rng.normal(size=total).astype(np.float32)
     mesh = make_mesh(MeshConfig(dp=1, sp=1), jax.devices()[:1])
     stream_pwelch([sig[: 1 << 22]], fs, opts, mesh, segs_per_chunk_shard=4096)  # warm
-    t0 = time.perf_counter()
-    pxx, freqs = stream_pwelch(
-        (sig[i : i + (1 << 22)] for i in range(0, total, 1 << 22)),
-        fs,
-        opts,
-        mesh,
-        segs_per_chunk_shard=4096,
-    )
-    wall = time.perf_counter() - t0
+    # The tunnel's host->device bandwidth is bimodal across minutes-long
+    # windows (~30 MB/s to ~1.6 GB/s); report the best of three runs with
+    # all reps recorded (each run is seconds).
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pxx, freqs = stream_pwelch(
+            (sig[i : i + (1 << 22)] for i in range(0, total, 1 << 22)),
+            fs,
+            opts,
+            mesh,
+            segs_per_chunk_shard=4096,
+        )
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
     msps = total / wall / 1e6
-    results["pwelch_stream"] = {"wall_s": wall, "msamples_per_s": msps}
-    log(f"pwelch streaming: {msps:.1f} Msamples/s ({wall:.3f}s for {total} samples)")
+    results["pwelch_stream"] = {
+        "wall_s": wall, "wall_s_reps": walls, "msamples_per_s": msps
+    }
+    log(
+        f"pwelch streaming: {msps:.1f} Msamples/s "
+        f"(reps {'/'.join(f'{w:.2f}s' for w in walls)} for {total} samples)"
+    )
 
     # --- summary line ----------------------------------------------------
     frac1k = results["pallas_fft1024_precise"]["roofline_fraction"] or 0.0
