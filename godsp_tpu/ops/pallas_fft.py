@@ -139,12 +139,17 @@ _LS_MAX_N1 = 64
 
 _LS_ORDER = ["gr", "gi", "gs"]
 
-# Known interpreter-mode corner: the lane-slice kernels hang when run
-# under shard_map + force_tpu_interpret_mode (standalone interpret and
-# the compiled TPU path are fine).  The sharded integration tests toggle
-# this off to exercise the data plumbing through the batched-3D
-# structure; the lane-slice structure itself is covered standalone
-# (tests/test_pallas.py) and on hardware.
+# Known interpreter-mode corner (root-caused in round 2): under
+# shard_map + force_tpu_interpret_mode, pallas calls route to the MOSAIC
+# interpreter (not the HLO interpreter of interpret=True), whose
+# io_callback-based buffer allocator deadlocks across concurrent virtual
+# devices — all device threads pile up in _allocate_buffer
+# (interpret_pallas_call.py).  A jax limitation, not a kernel bug:
+# interpret=True under shard_map works, as does the compiled TPU path.
+# The sharded integration tests toggle this off to exercise the data
+# plumbing through the batched-3D structure (which happens not to trip
+# the allocator race); the lane-slice structure itself is covered
+# standalone (tests/test_pallas.py) and on hardware.
 _ls_enabled = True
 
 
