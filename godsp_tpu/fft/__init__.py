@@ -24,6 +24,7 @@ from godsp_tpu.fft.core import (
 from godsp_tpu.fft.four_step import four_step_fft
 from godsp_tpu.fft.helpers import fftfreq, fftshift, hilbert, ifftshift, rfftfreq
 from godsp_tpu.fft.pow2 import pallas_enabled, pow2_fft, set_pallas_enabled
+from godsp_tpu.fft.split import fft_split, ifft_split
 from godsp_tpu.fft.stockham import stockham_fft, twiddles
 
 __all__ = [
@@ -37,6 +38,8 @@ __all__ = [
     "fft2",
     "fft2_real",
     "fft_real",
+    "fft_split",
+    "ifft_split",
     "fftfreq",
     "fftn",
     "fftshift",

@@ -573,6 +573,7 @@ def fft_pow2_split(
     order: str = "natural",
     batch_tile: int | None = None,
     interpret: bool = False,
+    scale: float = 1.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched power-of-2 FFT over split-complex float32 planes.
 
@@ -585,6 +586,9 @@ def fft_pow2_split(
             "digit" returns the kernel's k1-major order — free for
             consumers that reduce over bins and permute the reduced
             result (the fused Pwelch kernel).
+
+    scale multiplies the transform, FOLDED into the contraction tables
+    (e.g. 1/N for a normalized inverse — no extra pass).
 
     Leading axes are flattened into the grid's batch dimension; a ragged
     final tile is zero-padded (FFT of zeros is zeros — harmless).
@@ -617,13 +621,13 @@ def fft_pow2_split(
     grid = (xr2.shape[0] // bt,)
 
     if _use_laneslice(n1):
-        tabs = _ls_tables(n, inverse, False)
+        tabs = _ls_tables(n, inverse, False, scale)
         tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
         kern = partial(
             _fft_kernel_ls, n1=n1, inverse=inverse, real_input=real_input,
         )
     else:
-        tabs = _tables(n, inverse)
+        tabs = _tables(n, inverse, scale)
         tables = [jnp.asarray(tabs[k]) for k in _TABLE_ORDER]
         kern = partial(
             _fft_kernel, n1=n1, inverse=inverse, real_input=real_input,

@@ -443,3 +443,40 @@ class TestHelpers:
         # ignore edges (Gibbs at the boundaries)
         sl = slice(200, -200)
         np.testing.assert_allclose(got[sl], env[sl], rtol=2e-2)
+
+
+class TestSplitAPI:
+    """fft/split.py: the planes-native public FFT."""
+
+    @pytest.mark.parametrize("n", [8, 256, 1024, 1000])
+    def test_matches_complex_api(self, n):
+        rng = np.random.default_rng(n)
+        xr = rng.normal(size=(3, n))
+        xi = rng.normal(size=(3, n))
+        yr, yi = fft.fft_split(jnp.asarray(xr), jnp.asarray(xi))
+        ref = np.asarray(fft.fft(jnp.asarray(xr + 1j * xi)))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        bound = 120.0 if n == 1000 else 200.0  # Bluestein fallback vs exact
+        assert snr_db(got, ref) >= bound
+
+    @pytest.mark.parametrize("n", [256, 1024, 1000])
+    def test_inverse_roundtrip(self, n):
+        rng = np.random.default_rng(n + 1)
+        xr = rng.normal(size=n)
+        xi = rng.normal(size=n)
+        yr, yi = fft.fft_split(jnp.asarray(xr), jnp.asarray(xi))
+        zr, zi = fft.ifft_split(yr, yi)
+        got = np.asarray(zr) + 1j * np.asarray(zi)
+        assert snr_db(got, xr + 1j * xi) >= 120.0
+
+    def test_real_input(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=512)
+        yr, yi = fft.fft_split(jnp.asarray(x))
+        ref = np.fft.fft(x)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, ref) >= 200.0
+
+    def test_shape_errors(self):
+        with pytest.raises(ValueError, match="identical shapes"):
+            fft.fft_split(jnp.zeros(8), jnp.zeros(9))
