@@ -38,8 +38,8 @@ def main():
     print("bluestein N=1000 vs numpy SNR:",
           round(dsputils.snr_db(Y, np.fft.fft(y)), 1), "dB")
 
-    # Circular convolution and a 2-D transform.
-    c = to_host(fft.convolve(y[:512], y[512:]))
+    # Circular convolution (equal lengths, fft.go:56-58) and a 2-D transform.
+    c = to_host(fft.convolve(y[:500], y[500:]))
     print("convolve:", c.shape)
     M = to_host(fft.fft2(np.outer(np.hanning(64), np.hanning(128))))
     print("fft2:", M.shape)
