@@ -86,30 +86,47 @@ def main() -> None:
             return chain
 
         # Heavy depth: shallow chains are flattered by tunnel-RTT noise.
-        # The chip clock is BIMODAL across minutes-long windows (same
-        # program measured 0.36 and 0.54 ms in one session), so the
-        # capability number is the best of several spaced measurements,
-        # with every rep recorded.
-        reps = [
-            time_chain_diff(make, xr, k_lo=10, k_hi=26, iters=8)
-            for _ in range(3)
-        ]
-        per = min(reps)
+        per = time_chain_diff(make, xr, k_lo=10, k_hi=26, iters=8)
         gbs = 4 * batch * n * 4 / per / 1e9
-        return per, gbs, reps
+        return per, gbs, make, xr
+
+    # The chip clock is BIMODAL across minutes-long windows (the same
+    # program measured 0.36 and 0.54 ms in one session), so the headline
+    # takes the best of reps SPACED ACROSS the whole bench run (one
+    # more after the pwelch section, one at the end), every rep recorded.
+    flagship_reps = []
+    _flagship = {}
+
+    def flagship_rep():
+        per = time_chain_diff(
+            _flagship["make"], _flagship["x"], k_lo=10, k_hi=26, iters=8
+        )
+        flagship_reps.append(per)
+        n, batch = 1024, 16384
+        best = min(flagship_reps)
+        gbs = 4 * batch * n * 4 / best / 1e9
+        results["pallas_fft1024_precise"] = {
+            "wall_s": best,
+            "wall_s_reps": list(flagship_reps),
+            "gbs": gbs,
+            "roofline_fraction": gbs / peak if peak else None,
+        }
+        log(f"  flagship rep: {per*1e3:.3f} ms (best {best*1e3:.3f})")
 
     for n, batch in ((1024, 16384), (4096, 4096)):
-        per, gbs, reps = bench_pallas(n, batch)
+        per, gbs, make, xr = bench_pallas(n, batch)
         frac = gbs / peak if peak else None
         results[f"pallas_fft{n}_precise"] = {
             "wall_s": per,
-            "wall_s_reps": reps,
+            "wall_s_reps": [per],
             "gbs": gbs,
             "roofline_fraction": frac,
         }
+        if n == 1024:
+            flagship_reps.append(per)
+            _flagship.update(make=make, x=xr)
         log(
-            f"pallas fft n={n} batch={batch}: {per*1e3:.3f} ms "
-            f"(reps {'/'.join(f'{r*1e3:.2f}' for r in reps)})  "
+            f"pallas fft n={n} batch={batch}: {per*1e3:.3f} ms  "
             f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}"
         )
 
@@ -233,6 +250,8 @@ def main() -> None:
             f"{msps:.0f} Msamples/s on-device"
         )
 
+    flagship_rep()  # spaced clock-window sample
+
     # --- fused mel front end (frame->window->FFT->|.|^2->filterbank) ----
     from godsp_tpu.models import mel_spectrogram
 
@@ -328,6 +347,8 @@ def main() -> None:
         f"pwelch streaming: {msps:.1f} Msamples/s "
         f"(reps {'/'.join(f'{w:.2f}s' for w in walls)} for {total} samples)"
     )
+
+    flagship_rep()  # final clock-window sample
 
     # --- summary line ----------------------------------------------------
     frac1k = results["pallas_fft1024_precise"]["roofline_fraction"] or 0.0

@@ -16,11 +16,10 @@ kernel per shard
 The communication therefore overlaps with all but the final tile's
 FFTs — no XLA collective rendezvous sits between framing and compute.
 
-Ring wraparound: the last shard receives shard 0's head, which is
-garbage for its tail segments — exactly the segments the global-tail
-mask (spectral.go:26-33 semantics) already zeroes, so no special case
-is needed for the one-shot driver.  The streaming driver keeps the
-ppermute path (its tail halo is real data from the next chunk).
+Ring wraparound: the last shard receives shard 0's head — garbage it
+either masks (one-shot: the global-tail mask, spectral.go:26-33) or
+replaces with the injected `tail` (streaming: the head of the NEXT
+chunk), selected in-kernel by an SMEM flag.
 
 Call INSIDE shard_map over a single-axis ("sp",) mesh region (logical
 device ids — the interpret-mode restriction; the compiled path also
@@ -77,7 +76,8 @@ def _kernel(
     n_sp: int,
 ):
     (
-        left_ref, head_ref, block_ref, lhalo_ref, mask_ref, w_ref, *rest
+        left_ref, islast_ref, head_ref, tail_ref, block_ref, lhalo_ref,
+        mask_ref, w_ref, *rest
     ) = refs
     *tabs, out_ref, rbuf, send_sem, recv_sem = rest
 
@@ -93,9 +93,13 @@ def _kernel(
         _rdma(head_ref, left_ref, rbuf, send_sem, recv_sem).wait()
 
     # Interior tiles read their (local) gathered halo; the last tile's
-    # halo is the neighbor's head from the RDMA buffer.  Reading rbuf
-    # before the wait on non-last tiles is safe: the value is discarded.
-    halo_val = jnp.where(pid == last, rbuf[:], lhalo_ref[:])
+    # halo is the neighbor's head from the RDMA buffer — except on the
+    # LAST SHARD, whose ring neighbor wraps to shard 0: there the
+    # injected tail (next-chunk head in streaming; zeros one-shot, where
+    # the global mask kills those segments anyway) is used instead.
+    # Reading rbuf before the wait on non-last tiles is safe: discarded.
+    cross = jnp.where(islast_ref[0, 0] == 1, tail_ref[:], rbuf[:])
+    halo_val = jnp.where(pid == last, cross, lhalo_ref[:])
 
     xw = _windowed_frames(
         block_ref, halo_val, w_ref, bt, stride, nfft, pad, halo
@@ -119,6 +123,7 @@ def pwelch_power_partials_rdma(
     stride: int,
     n_sp: int,
     pad: int | None = None,
+    tail: jax.Array | None = None,
     segs_per_tile: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -126,9 +131,11 @@ def pwelch_power_partials_rdma(
 
     x_local: (L,) float32 — this shard's time block (no leading axes;
     the dp-batched drivers use the ppermute path).  mask: (S,) validity
-    over this shard's segments; segments whose frames extend past
-    L + halo into the ring-wrapped garbage MUST be masked (the one-shot
-    driver's global-tail mask guarantees this).  Returns (n_tiles, pad).
+    over this shard's segments.  tail: samples that globally FOLLOW the
+    last shard's block (the streaming driver's next-chunk head; None =
+    zeros, in which case the last shard's boundary-straddling segments
+    must be masked — the one-shot global-tail mask guarantees this).
+    Returns (n_tiles, pad).
     """
     pad = pad or nfft
     if not fused_supported(nfft, pad, stride):
@@ -193,18 +200,25 @@ def pwelch_power_partials_rdma(
     left = jax.lax.rem(
         my.astype(jnp.int32) + jnp.int32(n_sp - 1), jnp.int32(n_sp)
     ).reshape(1, 1)
+    islast = (my == n_sp - 1).astype(jnp.int32).reshape(1, 1)
+    if tail is None:
+        tail3 = jnp.zeros((1, 1, halo), _F32)
+    else:
+        t1 = tail.reshape(-1).astype(_F32)
+        if t1.shape[0] < halo:  # frame reads past H are slice slack
+            t1 = jnp.pad(t1, (0, halo - t1.shape[0]))
+        tail3 = t1[:halo].reshape(1, 1, halo)
 
     tile3 = lambda X: pl.BlockSpec(
         (1, 1, X), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    inputs = [left, head, blocks, lhalos, masks]
-    in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, halo), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        tile3(T),
-        tile3(halo),
-        tile3(mp),
-    ]
+    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    halo_spec = pl.BlockSpec(
+        (1, 1, halo), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    inputs = [left, islast, head, tail3, blocks, lhalos, masks]
+    in_specs = [smem1, smem1, halo_spec, halo_spec, tile3(T), tile3(halo),
+                tile3(mp)]
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
     order, tabs = fft_real_tables(pad)

@@ -125,7 +125,7 @@ def sharded_partial_step(
             mask = (seg_global < total_segs).astype(x_local.dtype)
             partials = pwelch_power_partials_rdma(
                 x_local, mask, w_pad, nfft, stride, n_sp,
-                pad=pad, interpret=bool(halo_impl[1]),
+                pad=pad, tail=tail_local, interpret=bool(halo_impl[1]),
             )
             p = digit_to_natural_bins(partials.sum(axis=-2), pad)[..., :lp]
             doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)

@@ -133,6 +133,7 @@ class StreamingPwelch:
         checkpoint_path: Optional[str] = None,
         checkpoint_every_chunks: int = 0,
         channels: int = 1,
+        halo_impl: tuple = ("ppermute", False),
     ):
         from godsp_tpu.parallel.mesh import make_mesh
 
@@ -198,6 +199,10 @@ class StreamingPwelch:
         self._t_first: Optional[float] = None  # wall clock of first update
         self.metrics = StreamingMetrics()
 
+        # ("ppermute", _) | ("pallas", interp) | ("fused", interp): how the
+        # cross-shard halo travels; "fused" = the in-kernel RDMA with the
+        # next-chunk tail injected (parallel/fused_halo.py), single-channel.
+        self._halo_impl = tuple(halo_impl)
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = int(checkpoint_every_chunks)
         if checkpoint_path and os.path.exists(checkpoint_path):
@@ -317,7 +322,7 @@ class StreamingPwelch:
             self.stride,
             self.segs_per_shard,
             self.lp,
-            ("ppermute", False),
+            self._halo_impl,
             self.channels,
             self.chunk_len,
         )

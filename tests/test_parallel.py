@@ -516,3 +516,33 @@ class TestStreamingPadLtNfft:
         assert pxx.shape == (65,)
         np.testing.assert_allclose(pxx, np.asarray(ref), rtol=1e-9)
         np.testing.assert_allclose(freqs, np.asarray(ref_f))
+
+
+class TestStreamingFusedHalo:
+    def test_stream_fused_halo_matches_oneshot(self, monkeypatch):
+        """Streaming with the in-kernel RDMA halo: the next-chunk tail is
+        injected for the last shard, so chunk boundaries stay exact."""
+        import importlib
+
+        from jax.sharding import Mesh
+
+        from godsp_tpu.ops import pallas_fft
+        from godsp_tpu.parallel.streaming import stream_pwelch as spw
+
+        monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        L = 8 * 128 * 16 * 3 + 7000  # three chunks + ragged remainder
+        x = _signal(L, seed=13)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+        ref, _ = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+        pxx, _ = spw(
+            [x[i : i + 9001] for i in range(0, L, 9001)],
+            2.0, opts, mesh, segs_per_chunk_shard=16,
+            halo_impl=("fused", True),
+        )
+        np.testing.assert_allclose(pxx, np.asarray(ref), rtol=2e-4, atol=1e-12)
