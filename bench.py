@@ -202,14 +202,19 @@ def main() -> None:
 
         return make
 
-    per = time_chain_diff(mk_large(fft.fft), z20, k_lo=16, k_hi=64, iters=8)
+    per = min(
+        time_chain_diff(mk_large(fft.fft), z20, k_lo=16, k_hi=64, iters=8)
+        for _ in range(2)
+    )
     results["fft_2pow20"] = {"wall_s": per}
     log(f"fft 2^20 single: {per*1e3:.3f} ms")
     try:
         # Shallower chain: a 64-deep jnp.fft.fft program is too large for
-        # the remote compile service.
-        per_jnp = time_chain_diff(
-            mk_large(jnp.fft.fft), z20, k_lo=8, k_hi=24, iters=6
+        # the remote compile service.  Best-of-2 on both sides: the ratio
+        # is double-jittered by the bimodal clock otherwise.
+        per_jnp = min(
+            time_chain_diff(mk_large(jnp.fft.fft), z20, k_lo=8, k_hi=24, iters=6)
+            for _ in range(2)
         )
         results["fft_2pow20"]["jnp_wall_s"] = per_jnp
         results["fft_2pow20"]["speedup_vs_jnp"] = per_jnp / per
