@@ -227,6 +227,7 @@ def main() -> None:
     from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
 
     for nfft, stride in ((1024, 512), (256, 256)):
+      try:
         segs = (1 << 23) // stride
         L = (segs - 1) * stride + nfft
         sig = put(rng.normal(size=L).astype(np.float32))
@@ -254,6 +255,8 @@ def main() -> None:
             f"pallas pwelch nfft={nfft} stride={stride}: {per*1e3:.3f} ms  "
             f"{msps:.0f} Msamples/s on-device"
         )
+      except Exception as e:  # pragma: no cover
+        log("pwelch kernel section failed:", e)
 
     flagship_rep()  # spaced clock-window sample
 
@@ -276,12 +279,15 @@ def main() -> None:
 
         return chain
 
-    per = time_chain_diff(make_mel, sig, k_lo=4, k_hi=12, iters=8)
-    results["mel_frontend_1024"] = {
-        "wall_s": per,
-        "msamples_per_s": L / per / 1e6,
-    }
-    log(f"fused mel front end: {per*1e3:.3f} ms  {L/per/1e6:.0f} Msamples/s")
+    try:
+        per = time_chain_diff(make_mel, sig, k_lo=4, k_hi=12, iters=8)
+        results["mel_frontend_1024"] = {
+            "wall_s": per,
+            "msamples_per_s": L / per / 1e6,
+        }
+        log(f"fused mel front end: {per*1e3:.3f} ms  {L/per/1e6:.0f} Msamples/s")
+    except Exception as e:  # pragma: no cover
+        log("mel section failed:", e)
 
     # --- fused-halo sharded Pwelch (RDMA inside the kernel) -------------
     # Single chip = a 1-device "sp" ring (self-send): validates and times
@@ -328,30 +334,33 @@ def main() -> None:
     total = 1 << 24  # ~16.8 M samples
     sig = rng.normal(size=total).astype(np.float32)
     mesh = make_mesh(MeshConfig(dp=1, sp=1), jax.devices()[:1])
-    stream_pwelch([sig[: 1 << 22]], fs, opts, mesh, segs_per_chunk_shard=4096)  # warm
-    # The tunnel's host->device bandwidth is bimodal across minutes-long
-    # windows (~30 MB/s to ~1.6 GB/s); report the best of three runs with
-    # all reps recorded (each run is seconds).
-    walls = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pxx, freqs = stream_pwelch(
-            (sig[i : i + (1 << 22)] for i in range(0, total, 1 << 22)),
-            fs,
-            opts,
-            mesh,
-            segs_per_chunk_shard=4096,
+    try:
+        stream_pwelch([sig[: 1 << 22]], fs, opts, mesh, segs_per_chunk_shard=4096)  # warm
+        # The tunnel's host->device bandwidth is bimodal across
+        # minutes-long windows (~30 MB/s to ~1.6 GB/s); report the best
+        # of three runs with all reps recorded (each run is seconds).
+        walls = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pxx, freqs = stream_pwelch(
+                (sig[i : i + (1 << 22)] for i in range(0, total, 1 << 22)),
+                fs,
+                opts,
+                mesh,
+                segs_per_chunk_shard=4096,
+            )
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
+        msps = total / wall / 1e6
+        results["pwelch_stream"] = {
+            "wall_s": wall, "wall_s_reps": walls, "msamples_per_s": msps
+        }
+        log(
+            f"pwelch streaming: {msps:.1f} Msamples/s "
+            f"(reps {'/'.join(f'{w:.2f}s' for w in walls)} for {total} samples)"
         )
-        walls.append(time.perf_counter() - t0)
-    wall = min(walls)
-    msps = total / wall / 1e6
-    results["pwelch_stream"] = {
-        "wall_s": wall, "wall_s_reps": walls, "msamples_per_s": msps
-    }
-    log(
-        f"pwelch streaming: {msps:.1f} Msamples/s "
-        f"(reps {'/'.join(f'{w:.2f}s' for w in walls)} for {total} samples)"
-    )
+    except Exception as e:  # pragma: no cover
+        log("streaming section failed:", e)
 
     flagship_rep()  # final clock-window sample
 
