@@ -3,7 +3,10 @@
 Host-side streaming reader that feeds device shards.  Semantics preserved
 exactly, including the reference's documented quirks (SURVEY.md appendix):
 
-  * formats: PCM 8/16-bit and IEEE float32 only (wav.go:33-36, 90-95);
+  * formats: PCM 8/16-bit and IEEE float32 (wav.go:33-36, 90-95) — plus,
+    BEYOND the reference's whitelist, PCM 24/32-bit and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) headers, normalized by the same
+    [0, 1] convention extended to the wider widths;
   * unknown chunks (JUNK, bext, ...) are skipped (wav.go:105-106);
   * Samples = data_size / BitsPerSample * 8 — ignores NumChannels
     (wav.go:101); Duration DOES divide by NumChannels (wav.go:102);
@@ -29,6 +32,7 @@ __all__ = ["Header", "Wav", "new", "read_wav", "write_wav", "WavFormatError"]
 
 WAV_FORMAT_PCM = 1
 WAV_FORMAT_IEEE_FLOAT = 3
+WAV_FORMAT_EXTENSIBLE = 0xFFFE  # real-world 24-bit files usually use this
 
 
 class WavFormatError(ValueError):
@@ -90,34 +94,50 @@ class Wav:
     def duration_seconds(self) -> float:
         return self.duration_ns / 1e9
 
-    def _sample_dtype(self) -> np.dtype:
-        if self.header.audio_format == WAV_FORMAT_PCM:
-            if self.header.bits_per_sample == 8:
-                return np.dtype("<u1")
-            if self.header.bits_per_sample == 16:
-                return np.dtype("<i2")
-            raise WavFormatError(
-                f"wav: unknown bits per sample: {self.header.bits_per_sample}"
-            )
-        if self.header.audio_format == WAV_FORMAT_IEEE_FLOAT:
-            return np.dtype("<f4")
+    def _sample_width(self) -> int:
+        """Bytes per sample; validates the format/width combination."""
+        fmt, bits = self.header.audio_format, self.header.bits_per_sample
+        if fmt == WAV_FORMAT_PCM:
+            if bits in (8, 16, 24, 32):
+                return bits // 8
+            raise WavFormatError(f"wav: unknown bits per sample: {bits}")
+        if fmt == WAV_FORMAT_IEEE_FLOAT:
+            return 4
         raise WavFormatError("wav: unknown audio format")
 
+    def _sample_dtype(self) -> np.dtype:
+        if self.header.audio_format == WAV_FORMAT_PCM:
+            return {
+                8: np.dtype("<u1"),
+                16: np.dtype("<i2"),
+                24: np.dtype("<i4"),  # decoded/sign-extended to int32
+                32: np.dtype("<i4"),
+            }[self.header.bits_per_sample]
+        return np.dtype("<f4")
+
     def read_samples(self, n: int) -> np.ndarray:
-        """Next n raw samples as uint8 | int16 | float32 (wav.go:113-134).
+        """Next n raw samples as uint8 | int16 | int32 | float32
+        (wav.go:113-134; 24-bit packs are sign-extended to int32).
 
         Raises EOFError if fewer than n samples remain (binary.Read
         semantics: all-or-nothing).
         """
-        dt = self._sample_dtype()
-        nbytes = n * dt.itemsize
+        width = self._sample_width()
+        nbytes = n * width
         if nbytes > self._remaining:
             raise EOFError("wav: unexpected EOF")
         buf = self._r.read(nbytes)
         if len(buf) < nbytes:
             raise EOFError("wav: unexpected EOF")
         self._remaining -= nbytes
-        return np.frombuffer(buf, dtype=dt)
+        if (
+            self.header.audio_format == WAV_FORMAT_PCM
+            and self.header.bits_per_sample == 24
+        ):
+            b = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            return ((v ^ 0x800000) - 0x800000).astype(np.int32)  # sign-extend
+        return np.frombuffer(buf, dtype=self._sample_dtype())
 
     def read_floats(self, n: int) -> np.ndarray:
         """Next n samples normalized to float32 (wav.go:138-161).
@@ -133,11 +153,17 @@ class Wav:
             return native.decode_u8(d)
         if d.dtype == np.int16:
             return native.decode_i16(d)
+        if d.dtype == np.int32:
+            # Beyond-reference widths, same [0,1] convention extended:
+            # intN -> (v + 2^(N-1)) / (2^N - 1).
+            bits = self.header.bits_per_sample
+            lo, span = 1 << (bits - 1), (1 << bits) - 1
+            return ((d.astype(np.float64) + lo) / span).astype(np.float32)
         return d  # float32 passthrough
 
     @property
     def samples_remaining(self) -> int:
-        return self._remaining // self._sample_dtype().itemsize
+        return self._remaining // self._sample_width()
 
     def read_channels(self, n_frames: int) -> np.ndarray:
         """Next n_frames deinterleaved frames as (num_channels, n_frames)
@@ -199,6 +225,11 @@ def new(r: Union[BinaryIO, bytes]) -> Wav:
             f = read_full(sz)
             fields = struct.unpack("<HHIIHH", f[:16])
             header = Header(*fields)
+            if header.audio_format == WAV_FORMAT_EXTENSIBLE and sz >= 40:
+                # fmt extension: cbSize(2) validBits(2) channelMask(4)
+                # GUID(16); the GUID's first two bytes are the real
+                # format code (beyond the reference's whitelist).
+                header.audio_format = struct.unpack("<H", f[24:26])[0]
             if header.audio_format not in (WAV_FORMAT_PCM, WAV_FORMAT_IEEE_FLOAT):
                 raise WavFormatError(
                     f"wav: unknown audio format: {header.audio_format:02x}"

@@ -3,6 +3,7 @@ reference wav/wav_test.go (fixtures read in place from the read-only
 reference checkout), plus synthetic round-trips through our writer."""
 
 import io
+import struct
 import os
 
 import numpy as np
@@ -251,3 +252,69 @@ class TestMultiChannel:
         # each channel's peak at its tone
         assert abs(freqs[np.argmax(pxx[0][1:]) + 1] - 50.0) < 8
         assert abs(freqs[np.argmax(pxx[1][1:]) + 1] - 200.0) < 8
+
+
+class TestExtendedFormats:
+    """Beyond the reference's whitelist (round 2): PCM 24/32-bit and
+    WAVE_FORMAT_EXTENSIBLE headers, with the [0,1] normalization
+    convention extended to the wider widths."""
+
+    @staticmethod
+    def _riff(fmt_payload: bytes, data: bytes) -> bytes:
+        fmt_chunk = b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+        data_chunk = b"data" + struct.pack("<I", len(data)) + data
+        body = b"WAVE" + fmt_chunk + data_chunk
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_pcm24(self):
+        # 8 samples: the reference's Samples formula (sz/bits*8,
+        # wav.go:101) truncates at 8-sample granularity, a quirk kept
+        # for the extended widths too.
+        vals = np.array(
+            [-(1 << 23), -1, 0, 1, (1 << 23) - 1, 12345, -54321, 7], np.int64
+        )
+        raw = b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        fmt = struct.pack("<HHIIHH", 1, 1, 48000, 48000 * 3, 3, 24)
+        w = wav.new(self._riff(fmt, raw))
+        assert w.bits_per_sample == 24
+        assert w.samples == len(vals)
+        got = w.read_floats(len(vals))
+        want = (vals + (1 << 23)) / ((1 << 24) - 1)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+    def test_pcm32(self):
+        vals = np.array([-(1 << 31), 0, (1 << 31) - 1], np.int64)
+        raw = np.asarray(vals, "<i4").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 44100, 44100 * 4, 4, 32)
+        w = wav.new(self._riff(fmt, raw))
+        got = w.read_floats(3)
+        want = (vals + (1 << 31)) / ((1 << 32) - 1)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+    def test_extensible_pcm24(self):
+        vals = np.array([0, 1000, -1000], np.int64)
+        raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+        # WAVE_FORMAT_EXTENSIBLE: base fields + cbSize(22) + validBits +
+        # channelMask + KSDATAFORMAT_SUBTYPE_PCM GUID.
+        guid = struct.pack("<H", 1) + bytes(
+            [0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+             0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+        )
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 1, 48000, 48000 * 3, 3, 24)
+            + struct.pack("<HHI", 22, 24, 0x4)
+            + guid
+        )
+        w = wav.new(self._riff(fmt, raw))
+        assert w.audio_format == 1  # resolved from the GUID
+        got = w.read_floats(3)
+        want = (vals + (1 << 23)) / ((1 << 24) - 1)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+    def test_unknown_width_still_rejected(self):
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 12)
+        w = wav.new(self._riff(fmt, b"\x00\x00\x00"))
+        with pytest.raises(wav.WavFormatError, match="bits per sample"):
+            w.read_samples(1)
