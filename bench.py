@@ -98,9 +98,13 @@ def main() -> None:
     _flagship = {}
 
     def flagship_rep():
-        per = time_chain_diff(
-            _flagship["make"], _flagship["x"], k_lo=10, k_hi=26, iters=8
-        )
+        try:
+            per = time_chain_diff(
+                _flagship["make"], _flagship["x"], k_lo=10, k_hi=26, iters=8
+            )
+        except Exception as e:  # pragma: no cover
+            log("flagship rep failed:", e)
+            return
         flagship_reps.append(per)
         n, batch = 1024, 16384
         best = min(flagship_reps)

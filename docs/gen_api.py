@@ -43,6 +43,10 @@ def kind(obj) -> str:
 
 
 def first_line(obj) -> str:
+    if not (inspect.isclass(obj) or callable(obj)):
+        # Constants inherit their TYPE's docstring (dict(), int(), ...) —
+        # print the value's type instead of that nonsense.
+        return f"{type(obj).__name__} constant"
     doc = inspect.getdoc(obj) or ""
     return doc.split("\n", 1)[0].strip()
 

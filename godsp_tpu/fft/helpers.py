@@ -66,7 +66,9 @@ def hilbert(x) -> jax.Array:
     x = as_real_array(x)
     n = x.shape[-1]
     if n == 0:
-        return x.astype(jnp.complex64)
+        from godsp_tpu._dtypes import complex_for
+
+        return x.astype(complex_for(x.dtype))
     X = fft(x)
     h = np.zeros(n, dtype=np.float64)
     h[0] = 1.0

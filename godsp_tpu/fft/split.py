@@ -31,11 +31,15 @@ def _dispatch(xr, xi, inverse: bool, scale: float):
     from godsp_tpu.ops.pallas_fft import fft_pow2_split
 
     n = xr.shape[-1]
-    if _pallas_eligible(jnp.complex64, n):
+    # Kernel paths are float32-only: wider planes (the CPU x64 parity
+    # mode) must keep their precision through the complex fallback, not
+    # be silently downcast.
+    f32 = jnp.dtype(xr.dtype) == jnp.float32
+    if f32 and _pallas_eligible(jnp.complex64, n):
         return fft_pow2_split(xr, xi, inverse=inverse, scale=scale)
     if xi is None:
         xi = jnp.zeros_like(xr)
-    if _large_eligible(jnp.complex64, n):
+    if f32 and _large_eligible(jnp.complex64, n):
         yr, yi = fft_large_split(xr, xi, inverse=inverse)
         if scale != 1.0:
             s = jnp.asarray(scale, dtype=yr.dtype)

@@ -73,7 +73,6 @@ def _kernel(
     nfft: int,
     pad: int,
     halo: int,
-    n_sp: int,
 ):
     (
         left_ref, islast_ref, head_ref, tail_ref, block_ref, lhalo_ref,
@@ -186,11 +185,8 @@ def pwelch_power_partials_rdma(
     idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
     lhalos = jnp.take(x2[0], idx, axis=-1).reshape(n_tiles, 1, halo)
 
-    mask2 = mask.astype(_F32)
-    pad_s = n_tiles * bt - S
-    if pad_s:
-        mask2 = jnp.pad(mask2, (0, pad_s))
-    masks = mask2.reshape(n_tiles, bt)
+    # Tiles cover the shard exactly (enforced above): no mask padding.
+    masks = mask.astype(_F32).reshape(n_tiles, bt)
     if P > 1:
         masks = masks[:, frame_class_perm(bt, stride)]
     mp = max(bt, LANES)
@@ -236,7 +232,7 @@ def pwelch_power_partials_rdma(
     out = pl.pallas_call(
         partial(
             _kernel,
-            bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo, n_sp=n_sp,
+            bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
         ),
         grid=(n_tiles,),
         in_specs=in_specs,

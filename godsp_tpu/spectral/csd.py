@@ -66,7 +66,11 @@ def csd(
     # than through models.stft (which tapers at nfft before padding).
     fdt = x.dtype
     lp = pad // 2 + 1
-    w_pad = win.window_table(wf, pad).astype(fdt)
+    # ZeroPadF(seg, pad) is a no-op when pad < nfft (dsputils.go:60-63):
+    # the FFT then runs at nfft and only the first lp bins are kept —
+    # same semantics as spectral.pwelch.
+    fft_len = max(pad, nfft)
+    w_pad = win.window_table(wf, fft_len).astype(fdt)
     w_nfft = win.window_table(wf, nfft).astype(fdt)
     w_norm = jnp.sum(w_nfft * w_nfft)
     if enable_scaling:
@@ -76,25 +80,27 @@ def csd(
 
     doubler = jnp.ones(lp, dtype=fdt).at[1 : lp - 1].set(2.0)
     total_segs = (x.shape[-1] - nfft) // stride + 1
-    if total_segs > 0 and fused_path_eligible(nfft, pad, stride):
+    if total_segs > 0 and fused_path_eligible(nfft, fft_len, stride):
         # Fused cross-spectral kernel: both signals framed, transformed,
         # and reduced entirely in VMEM (ops.pallas_csd).
         from godsp_tpu.ops.pallas_csd import csd_power_partials
         from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
 
         mask = jnp.ones(x.shape[:-1] + (total_segs,), jnp.float32)
-        re_p, im_p = csd_power_partials(x, y, mask, w_pad, nfft, stride, pad=pad)
-        re = digit_to_natural_bins(re_p.sum(axis=-2), pad)[..., :lp]
-        im = digit_to_natural_bins(im_p.sum(axis=-2), pad)[..., :lp]
+        re_p, im_p = csd_power_partials(
+            x, y, mask, w_pad, nfft, stride, pad=fft_len
+        )
+        re = digit_to_natural_bins(re_p.sum(axis=-2), fft_len)[..., :lp]
+        im = digit_to_natural_bins(im_p.sum(axis=-2), fft_len)[..., :lp]
         pxy = jax.lax.complex(re, im) * doubler / (total_segs * w_norm)
         freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)
         return pxy, freqs
 
     from godsp_tpu.spectral.segment import segment
 
-    if total_segs > 0 and fused_path_eligible(nfft, pad, nfft):
-        # Odd stride: frame in XLA, run the fused cross kernel on the
-        # frames as back-to-back (stride == nfft) streams.
+    if total_segs > 0 and fused_path_eligible(nfft, fft_len, nfft):
+        # Unsupported stride: frame in XLA, run the fused cross kernel on
+        # the frames as back-to-back (stride == nfft) streams.
         from godsp_tpu.ops.pallas_csd import csd_power_partials
         from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
 
@@ -105,17 +111,17 @@ def csd(
         flat_y = fy.reshape(*fy.shape[:-2], nsegs * nfft)
         mask = jnp.ones(flat_x.shape[:-1] + (nsegs,), jnp.float32)
         re_p, im_p = csd_power_partials(
-            flat_x, flat_y, mask, w_pad, nfft, nfft, pad=pad
+            flat_x, flat_y, mask, w_pad, nfft, nfft, pad=fft_len
         )
-        re = digit_to_natural_bins(re_p.sum(axis=-2), pad)[..., :lp]
-        im = digit_to_natural_bins(im_p.sum(axis=-2), pad)[..., :lp]
+        re = digit_to_natural_bins(re_p.sum(axis=-2), fft_len)[..., :lp]
+        im = digit_to_natural_bins(im_p.sum(axis=-2), fft_len)[..., :lp]
         pxy = jax.lax.complex(re, im) * doubler / (nsegs * w_norm)
         freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)
         return pxy, freqs
 
     def spectra(sig):
         frames = segment(sig, nfft, noverlap)
-        padded = zero_pad(frames, pad) * w_pad
+        padded = zero_pad(frames, fft_len) * w_pad
         from godsp_tpu.fft.core import fft_real
 
         return fft_real(padded)[..., :lp]

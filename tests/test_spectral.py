@@ -326,3 +326,30 @@ def test_csd_semi_fused_odd_stride(monkeypatch):
     with pltpu.force_tpu_interpret_mode():
         got, _ = spectral.csd(x, y, 2.0, opts)
     assert snr_db(np.asarray(got), np.asarray(ref)) >= 95.0
+
+
+class TestCsdPadLtNfft:
+    def test_csd_pad_lt_nfft_matches_pwelch(self):
+        """csd(x, x) == pwelch(x) must hold for pad < nfft too (the
+        ZeroPadF no-op semantics, dsputils.go:60-63)."""
+        rng = np.random.default_rng(8)
+        x = rng.normal(size=1024)
+        opts = spectral.PwelchOptions(nfft=256, pad=128, noverlap=64)
+        pxy, f1 = spectral.csd(jnp.asarray(x), jnp.asarray(x), 2.0, opts)
+        pxx, f2 = spectral.pwelch(jnp.asarray(x), 2.0, opts)
+        assert pxy.shape == (65,)
+        np.testing.assert_allclose(
+            np.asarray(pxy.real), np.asarray(pxx), rtol=1e-10
+        )
+        np.testing.assert_allclose(np.asarray(pxy.imag), 0.0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2))
+
+    def test_coherence_pad_lt_nfft(self):
+        rng = np.random.default_rng(9)
+        x = rng.normal(size=2048)
+        y = 0.7 * x + 0.3 * rng.normal(size=2048)
+        opts = spectral.PwelchOptions(nfft=256, pad=128, noverlap=128)
+        cxy, _ = spectral.coherence(jnp.asarray(x), jnp.asarray(y), 2.0, opts)
+        c = np.asarray(cxy)
+        assert c.shape == (65,)
+        assert np.all(c >= 0) and np.all(c <= 1 + 1e-9)
