@@ -21,6 +21,10 @@ either masks (one-shot: the global-tail mask, spectral.go:26-33) or
 replaces with the injected `tail` (streaming: the head of the NEXT
 chunk), selected in-kernel by an SMEM flag.
 
+Leading axes (dp-sharded channels / batch) are flattened into extra
+kernel grid rows; all channels' halo heads travel in ONE remote copy
+started at the first grid step and awaited at channel 0's last tile.
+
 Call INSIDE shard_map over a single-axis ("sp",) mesh region (logical
 device ids — the interpret-mode restriction; the compiled path also
 accepts them on 1-D meshes).  Validated against the ppermute path on
@@ -80,14 +84,20 @@ def _kernel(
     ) = refs
     *tabs, out_ref, rbuf, send_sem, recv_sem = rest
 
-    pid = pl.program_id(0)
-    last = pl.num_programs(0) - 1
+    c = pl.program_id(0)  # channel (dp-batched row)
+    pid = pl.program_id(1)  # tile within the channel's shard block
+    last = pl.num_programs(1) - 1
 
-    @pl.when(pid == 0)
+    # ONE remote copy moves every channel's head (the full (C, 1, halo)
+    # array) at the very first grid step; the wait happens at channel
+    # 0's last tile — the earliest step that can read it.  Grid steps
+    # are sequential on a TPU core, so later channels' last tiles read
+    # rbuf strictly after the wait.
+    @pl.when((c == 0) & (pid == 0))
     def _():
         _rdma(head_ref, left_ref, rbuf, send_sem, recv_sem).start()
 
-    @pl.when(pid == last)
+    @pl.when((c == 0) & (pid == last))
     def _():
         _rdma(head_ref, left_ref, rbuf, send_sem, recv_sem).wait()
 
@@ -97,7 +107,9 @@ def _kernel(
     # injected tail (next-chunk head in streaming; zeros one-shot, where
     # the global mask kills those segments anyway) is used instead.
     # Reading rbuf before the wait on non-last tiles is safe: discarded.
-    cross = jnp.where(islast_ref[0, 0] == 1, tail_ref[:], rbuf[:])
+    cross = jnp.where(
+        islast_ref[0, 0] == 1, tail_ref[:], rbuf[pl.ds(c, 1)]
+    )
     halo_val = jnp.where(pid == last, cross, lhalo_ref[:])
 
     xw = _windowed_frames(
@@ -128,13 +140,14 @@ def pwelch_power_partials_rdma(
 ) -> jax.Array:
     """Per-tile masked periodogram sums of THIS shard, digit bin order.
 
-    x_local: (L,) float32 — this shard's time block (no leading axes;
-    the dp-batched drivers use the ppermute path).  mask: (S,) validity
-    over this shard's segments.  tail: samples that globally FOLLOW the
-    last shard's block (the streaming driver's next-chunk head; None =
-    zeros, in which case the last shard's boundary-straddling segments
-    must be masked — the one-shot global-tail mask guarantees this).
-    Returns (n_tiles, pad).
+    x_local: (..., L) float32 — this shard's time block; leading axes
+    (dp-sharded channels, batch) are flattened into kernel grid rows and
+    every channel's halo head travels in the SAME remote copy.  mask:
+    (..., S) validity over this shard's segments.  tail: (..., H)
+    samples that globally FOLLOW the last shard's block (the streaming
+    driver's next-chunk head; None = zeros, in which case the last
+    shard's boundary-straddling segments must be masked — the one-shot
+    global-tail mask guarantees this).  Returns (..., n_tiles, pad).
     """
     pad = pad or nfft
     if not fused_supported(nfft, pad, stride):
@@ -142,11 +155,12 @@ def pwelch_power_partials_rdma(
             f"geometry (nfft={nfft}, pad={pad}, stride={stride}) unsupported "
             "by the fused kernel"
         )
-    if x_local.ndim != 1:
-        raise ValueError("pwelch_power_partials_rdma takes a 1-D shard block")
+    lead = x_local.shape[:-1]
+    if mask.shape[:-1] != lead:
+        raise ValueError("x_local and mask must share leading dimensions")
     S = mask.shape[-1]
     if S == 0:
-        return jnp.zeros((0, pad), dtype=_F32)
+        return jnp.zeros(lead + (0, pad), dtype=_F32)
     bt = segs_per_tile or _segs_per_tile(pad)
     bt = min(bt, max(8, S))
     bt = max(8, 1 << (bt.bit_length() - 1))
@@ -166,8 +180,8 @@ def pwelch_power_partials_rdma(
     halo = framing_halo(nfft, stride)
     P = _phases(stride)
 
-    x2 = x_local.reshape(1, -1).astype(_F32)
-    L = x2.shape[-1]
+    x2 = x_local.reshape(-1, x_local.shape[-1]).astype(_F32)
+    C, L = x2.shape
     if halo > L:
         raise ValueError(
             f"shard block ({L} samples) must cover the {halo}-lane halo"
@@ -178,19 +192,19 @@ def pwelch_power_partials_rdma(
         )
     x2 = jnp.pad(x2, ((0, 0), (0, halo)))  # halo region placeholder
 
-    head = x2[:, :halo].reshape(1, 1, halo)  # what the LEFT neighbor needs
-    blocks = x2[:, : n_tiles * T].reshape(n_tiles, 1, T)
-    # Local per-tile halos; the last tile's row is zeros beyond the
-    # shard and gets overridden by the RDMA buffer in-kernel.
+    head = x2[:, :halo].reshape(C, 1, halo)  # what the LEFT neighbor needs
+    blocks = x2[:, : n_tiles * T].reshape(C * n_tiles, 1, T)
+    # Local per-tile halos; each channel's last tile row is zeros beyond
+    # the shard and gets overridden by the RDMA buffer in-kernel.
     idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
-    lhalos = jnp.take(x2[0], idx, axis=-1).reshape(n_tiles, 1, halo)
+    lhalos = jnp.take(x2, idx, axis=-1).reshape(C * n_tiles, 1, halo)
 
     # Tiles cover the shard exactly (enforced above): no mask padding.
-    masks = mask.astype(_F32).reshape(n_tiles, bt)
+    masks = mask.astype(_F32).reshape(C * n_tiles, bt)
     if P > 1:
         masks = masks[:, frame_class_perm(bt, stride)]
     mp = max(bt, LANES)
-    masks = jnp.pad(masks, ((0, 0), (0, mp - bt))).reshape(n_tiles, 1, mp)
+    masks = jnp.pad(masks, ((0, 0), (0, mp - bt))).reshape(C * n_tiles, 1, mp)
 
     my = jax.lax.axis_index("sp")
     left = jax.lax.rem(
@@ -198,32 +212,39 @@ def pwelch_power_partials_rdma(
     ).reshape(1, 1)
     islast = (my == n_sp - 1).astype(jnp.int32).reshape(1, 1)
     if tail is None:
-        tail3 = jnp.zeros((1, 1, halo), _F32)
+        tail3 = jnp.zeros((C, 1, halo), _F32)
     else:
-        t1 = tail.reshape(-1).astype(_F32)
-        if t1.shape[0] < halo:  # frame reads past H are slice slack
-            t1 = jnp.pad(t1, (0, halo - t1.shape[0]))
-        tail3 = t1[:halo].reshape(1, 1, halo)
+        t2 = tail.reshape(C, -1).astype(_F32)
+        if t2.shape[-1] < halo:  # frame reads past H are slice slack
+            t2 = jnp.pad(t2, ((0, 0), (0, halo - t2.shape[-1])))
+        tail3 = t2[:, :halo].reshape(C, 1, halo)
 
-    tile3 = lambda X: pl.BlockSpec(
-        (1, 1, X), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    # Grid (C, n_tiles): channel-major sequential order so channel 0's
+    # last tile (the wait step) precedes every other channel's last tile.
+    row = lambda c, j: (c * n_tiles + j, 0, 0)
+    tile3 = lambda X: pl.BlockSpec((1, 1, X), row, memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec((1, 1), lambda c, j: (0, 0), memory_space=pltpu.SMEM)
+    head_spec = pl.BlockSpec(
+        (C, 1, halo), lambda c, j: (0, 0, 0), memory_space=pltpu.VMEM
     )
-    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    halo_spec = pl.BlockSpec(
-        (1, 1, halo), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    tail_spec = pl.BlockSpec(
+        (1, 1, halo), lambda c, j: (c, 0, 0), memory_space=pltpu.VMEM
     )
     inputs = [left, islast, head, tail3, blocks, lhalos, masks]
-    in_specs = [smem1, smem1, halo_spec, halo_spec, tile3(T), tile3(halo),
+    in_specs = [smem1, smem1, head_spec, tail_spec, tile3(T), tile3(halo),
                 tile3(mp)]
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
-    in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    in_specs.append(
+        pl.BlockSpec((1, pad), lambda c, j: (0, 0), memory_space=pltpu.VMEM)
+    )
     order, tabs = fft_real_tables(pad)
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
         in_specs.append(
             pl.BlockSpec(
-                t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+                t.shape, lambda c, j, nd=t.ndim: (0,) * nd,
+                memory_space=pltpu.VMEM,
             )
         )
 
@@ -234,27 +255,25 @@ def pwelch_power_partials_rdma(
             _kernel,
             bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
         ),
-        grid=(n_tiles,),
+        grid=(C, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, pad), _F32, vma=vma),
+        out_specs=pl.BlockSpec((1, 1, pad), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C * n_tiles, 1, pad), _F32, vma=vma),
         scratch_shapes=[
-            pltpu.VMEM((1, 1, halo), _F32),
+            pltpu.VMEM((C, 1, halo), _F32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(n_tiles * bt * pad * (2 * n1 + 6 * LANES + 8)),
-            bytes_accessed=int(4 * n_tiles * (T + halo + bt + pad)),
+            flops=int(C * n_tiles * bt * pad * (2 * n1 + 6 * LANES + 8)),
+            bytes_accessed=int(4 * C * n_tiles * (T + halo + bt + pad)),
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20,
             has_side_effects=True,
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(n_tiles, pad)
+    return out.reshape(*lead, n_tiles, pad)

@@ -104,7 +104,6 @@ def sharded_partial_step(
     use_fused_halo = (
         H > 0
         and halo_impl[0] == "fused"
-        and x.ndim == 1
         and segs_per_shard % 8 == 0
         and fused_path_eligible(nfft, pad, stride)
     )
@@ -123,6 +122,9 @@ def sharded_partial_step(
             sp_idx = jax.lax.axis_index("sp")
             seg_global = sp_idx * segs_per_shard + jnp.arange(segs_per_shard)
             mask = (seg_global < total_segs).astype(x_local.dtype)
+            mask = jnp.broadcast_to(
+                mask, x_local.shape[:-1] + (segs_per_shard,)
+            )
             partials = pwelch_power_partials_rdma(
                 x_local, mask, w_pad, nfft, stride, n_sp,
                 pad=pad, tail=tail_local, interpret=bool(halo_impl[1]),
@@ -189,7 +191,8 @@ def sharded_partial_step(
     if batch_dims == 0:
         lead = []
     else:
-        lead = ["dp" if mesh.shape["dp"] > 1 else None] + [None] * (batch_dims - 1)
+        dp = mesh.shape.get("dp", 1)
+        lead = ["dp" if dp > 1 else None] + [None] * (batch_dims - 1)
     in_x = P(*lead, "sp")
     in_tail = P(*lead, None)  # tail halo is small; replicated along sp
     out = P(*lead)

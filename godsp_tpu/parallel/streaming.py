@@ -201,7 +201,9 @@ class StreamingPwelch:
 
         # ("ppermute", _) | ("pallas", interp) | ("fused", interp): how the
         # cross-shard halo travels; "fused" = the in-kernel RDMA with the
-        # next-chunk tail injected (parallel/fused_halo.py), single-channel.
+        # next-chunk tail injected (parallel/fused_halo.py); multichannel
+        # blocks ride the same kernel (one remote copy carries every
+        # channel's head).
         self._halo_impl = tuple(halo_impl)
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = int(checkpoint_every_chunks)

@@ -468,6 +468,53 @@ class TestFusedHalo:
             np.asarray(p_fused), np.asarray(p_pp), rtol=1e-6
         )
 
+    def test_fused_halo_multichannel(self, monkeypatch):
+        """Batched leading axis through the RDMA kernel: every channel's
+        head travels in ONE remote copy; per-channel results must match
+        the single-channel fused path bit-for-bit."""
+        import importlib
+
+        import jax
+        from jax.sharding import Mesh
+
+        from godsp_tpu.ops import pallas_fft
+        from godsp_tpu.parallel import pwelch_sharded
+
+        monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        stride = 128
+        L = 8 * stride * 16
+        C = 3
+        x = jnp.stack(
+            [jnp.asarray(_signal(L, seed=20 + c), jnp.float32) for c in range(C)]
+        )
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+        refs = [np.asarray(spectral.pwelch(x[c], 2.0, opts)[0]) for c in range(C)]
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+
+        p_multi, _ = pwelch_sharded(
+            x, 2.0, opts, mesh=mesh, halo_impl=("fused", True)
+        )
+        assert p_multi.shape[0] == C
+        for c in range(C):
+            # Same kernel math per channel; tolerance only for the HLO
+            # interpreter's fusion-dependent LSBs.
+            p_one, _ = pwelch_sharded(
+                x[c], 2.0, opts, mesh=mesh, halo_impl=("fused", True)
+            )
+            np.testing.assert_allclose(
+                np.asarray(p_multi[c]), np.asarray(p_one), rtol=1e-6
+            )
+        # And against the XLA oracle.
+        for c in range(C):
+            np.testing.assert_allclose(
+                np.asarray(p_multi[c]), refs[c], rtol=2e-4, atol=1e-12
+            )
+
     def test_fused_halo_global_tail_mask(self, monkeypatch):
         """Ring-wrap garbage on the last shard must be masked out: use a
         geometry where the final segments are globally invalid."""
@@ -546,3 +593,40 @@ class TestStreamingFusedHalo:
             halo_impl=("fused", True),
         )
         np.testing.assert_allclose(pxx, np.asarray(ref), rtol=2e-4, atol=1e-12)
+
+    def test_stream_fused_halo_multichannel(self, monkeypatch):
+        """Stereo streaming through the batched RDMA kernel (channels as
+        kernel grid rows on an sp-only mesh)."""
+        import importlib
+
+        from jax.sharding import Mesh
+
+        from godsp_tpu.ops import pallas_fft
+        from godsp_tpu.parallel.streaming import StreamingPwelch
+
+        monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
+        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128)
+        L = 8 * 128 * 16 * 2 + 5000
+        xs = np.stack([_signal(L, seed=31), _signal(L, seed=32)])
+        mesh = Mesh(np.array(jax.devices()[:8]), ("sp",))
+        refs = [
+            np.asarray(spectral.pwelch(jnp.asarray(xs[c]), 2.0, opts)[0])
+            for c in range(2)
+        ]
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+        sp = StreamingPwelch(
+            2.0, opts, mesh, segs_per_chunk_shard=16, channels=2,
+            halo_impl=("fused", True),
+        )
+        for i in range(0, L, 9001):
+            sp.update(xs[:, i : i + 9001])
+        pxx, _ = sp.finalize()
+        assert pxx.shape[0] == 2
+        for c in range(2):
+            np.testing.assert_allclose(
+                pxx[c], refs[c], rtol=2e-4, atol=1e-12
+            )
