@@ -122,16 +122,82 @@ def stft(
     return _stft_jit(x, w, nfft, hop, pad, onesided)
 
 
+def _mirror_full_spectrum(spec, pad: int):
+    """One-sided (..., F, pad//2+1) complex -> full conjugate-symmetric
+    pad-bin spectrum; odd pad has no real Nyquist bin (scipy irfft(n))."""
+    mirrored = spec[..., 1:-1] if pad % 2 == 0 else spec[..., 1:]
+    tail = jnp.conj(jnp.flip(mirrored, axis=-1))
+    return jnp.concatenate([spec, tail], axis=-1)
+
+
+def _nola_norm(w, n_frames: int, hop: int, length: int, fdt):
+    """Least-squares denominator sum_f w^2[t - f*hop], length samples."""
+    nfft = w.shape[0]
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
+    norm = jnp.zeros(length, dtype=fdt).at[idx].add(
+        jnp.broadcast_to(w * w, (n_frames, nfft))
+    )
+    return jnp.maximum(norm, jnp.finfo(fdt).tiny)
+
+
+def _istft_fused_eligible(nfft: int, pad: int, hop: int) -> bool:
+    from godsp_tpu.ops.pallas_istft import istft_fused_supported
+
+    return (
+        jax.default_backend() == "tpu"
+        and not jax.config.jax_enable_x64
+        and istft_fused_supported(nfft, pad, hop)
+    )
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
+def _istft_fused_jit(spec, w, nfft: int, hop: int, length: int,
+                     onesided: bool, pad: int):
+    """Fused-kernel ISTFT: IFFT + window + overlap-add in VMEM
+    (ops.pallas_istft); spectrum mirroring, the natural -> digit bin
+    permutation, and NOLA normalization stay in XLA."""
+    from godsp_tpu.ops.pallas_istft import istft_overlap_add
+
+    fdt = default_float()
+    # Split to f32 planes FIRST: flips/transposes on complex arrays
+    # compile pathologically through the remote compiler (BASELINE.md),
+    # so the mirror and digit permutation run plane-wise.
+    sr = jnp.real(spec).astype(jnp.float32)
+    si = jnp.imag(spec).astype(jnp.float32)
+    if onesided:
+        mid = slice(1, -1) if pad % 2 == 0 else slice(1, None)
+        tr = jnp.flip(sr[..., mid], axis=-1)
+        ti = -jnp.flip(si[..., mid], axis=-1)
+        sr = jnp.concatenate([sr, tr], axis=-1)
+        si = jnp.concatenate([si, ti], axis=-1)
+    n1 = pad // 128
+    lead = sr.shape[:-1]
+
+    def to_digit(p):
+        # digit position k1*128 + k2 holds bin k1 + n1*k2, i.e. the
+        # (128, n1) transpose of the natural row (ops.pallas_fft layout).
+        return (
+            p.reshape(*lead, 128, n1).swapaxes(-1, -2).reshape(*lead, pad)
+        )
+
+    y = istft_overlap_add(
+        to_digit(sr), to_digit(si), w.astype(jnp.float32), nfft, hop,
+    ).astype(fdt)
+    n_frames = spec.shape[-2]
+    span = (n_frames - 1) * hop + nfft
+    if length > span:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - span)])
+    else:
+        y = y[..., :length]
+    return y / _nola_norm(w, n_frames, hop, length, fdt)
+
+
 @partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
 def _istft_jit(spec, w, nfft: int, hop: int, length: int, onesided: bool,
                pad: int):
     fdt = default_float()
     if onesided:
-        # Rebuild the full conjugate-symmetric pad-point spectrum from its
-        # pad//2+1 bins; odd pad has no real Nyquist bin (scipy irfft(n)).
-        mirrored = spec[..., 1:-1] if pad % 2 == 0 else spec[..., 1:]
-        tail = jnp.conj(jnp.flip(mirrored, axis=-1))
-        spec = jnp.concatenate([spec, tail], axis=-1)
+        spec = _mirror_full_spectrum(spec, pad)
     frames = jnp.real(ifft(spec))[..., :nfft].astype(fdt)  # windowed frames
     n_frames = frames.shape[-2]
 
@@ -141,10 +207,7 @@ def _istft_jit(spec, w, nfft: int, hop: int, length: int, onesided: bool,
     idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
     flat = jnp.zeros(spec.shape[:-2] + (length,), dtype=fdt)
     y = flat.at[..., idx].add(frames)
-    norm = jnp.zeros(length, dtype=fdt).at[idx].add(
-        jnp.broadcast_to(w * w, (n_frames, nfft))
-    )
-    return y / jnp.maximum(norm, jnp.finfo(fdt).tiny)
+    return y / _nola_norm(w, n_frames, hop, length, fdt)
 
 
 def istft(
@@ -190,6 +253,8 @@ def istft(
     n_frames = spec.shape[-2]
     length = length or (n_frames - 1) * hop + nfft
     w = _resolve_window(window, nfft, default_float())
+    if n_frames > 0 and _istft_fused_eligible(nfft, pad, hop):
+        return _istft_fused_jit(spec, w, nfft, hop, length, onesided, pad)
     return _istft_jit(spec, w, nfft, hop, length, onesided, pad)
 
 

@@ -644,3 +644,115 @@ class TestPallasCSD:
                                interpret=True)
         with pytest.raises(ValueError, match="unsupported"):
             csd_power_partials(x, x, m, w, 100, 100, interpret=True)
+
+
+class TestPallasISTFT:
+    """Fused ISTFT (IFFT + window + matmul overlap-add) vs oracles."""
+
+    @staticmethod
+    def _oracle(spec, w, nfft, hop):
+        """float64 windowed overlap-add of inverse FFTs (un-normalized)."""
+        F = spec.shape[0]
+        frames = np.fft.ifft(spec, axis=-1).real[:, :nfft]
+        y = np.zeros((F - 1) * hop + nfft)
+        for f in range(F):
+            y[f * hop : f * hop + nfft] += w * frames[f]
+        return y
+
+    @staticmethod
+    def _to_digit(p, pad):
+        n1 = pad // 128
+        lead = p.shape[:-1]
+        return np.ascontiguousarray(
+            p.reshape(*lead, 128, n1).swapaxes(-1, -2).reshape(*lead, pad)
+        )
+
+    # geometries: 50% overlap, m=1 (hop==pad==2*nfft), pad>nfft with m=3,
+    # deep zero-extension, and a ragged final tile (F=9 < bt rounding)
+    @pytest.mark.parametrize(
+        "nfft,pad,hop,F",
+        [(256, 256, 128, 40), (256, 512, 256, 17), (384, 512, 128, 10),
+         (128, 1024, 128, 9)],
+    )
+    def test_kernel_vs_numpy(self, nfft, pad, hop, F):
+        from godsp_tpu.ops.pallas_istft import (
+            istft_fused_supported,
+            istft_overlap_add,
+        )
+
+        assert istft_fused_supported(nfft, pad, hop)
+        rng = np.random.default_rng(nfft + hop)
+        spec = rng.normal(size=(F, pad)) + 1j * rng.normal(size=(F, pad))
+        spec = np.fft.fft(np.fft.ifft(spec).real)  # conjugate-symmetric
+        w = rng.normal(size=nfft) ** 2
+        sr = jnp.asarray(self._to_digit(spec.real, pad).astype(np.float32))
+        si = jnp.asarray(self._to_digit(spec.imag, pad).astype(np.float32))
+        y = istft_overlap_add(
+            sr, si, jnp.asarray(w, jnp.float32), nfft, hop, interpret=True
+        )
+        ref = self._oracle(spec, w, nfft, hop)
+        assert y.shape == ref.shape
+        assert snr_db(np.asarray(y), ref) >= 120.0
+
+    def test_batched_lead_dims(self):
+        from godsp_tpu.ops.pallas_istft import istft_overlap_add
+
+        nfft = pad = 256
+        hop, F = 128, 12
+        rng = np.random.default_rng(7)
+        spec = rng.normal(size=(2, 3, F, pad)) + 1j * rng.normal(
+            size=(2, 3, F, pad)
+        )
+        spec = np.fft.fft(np.fft.ifft(spec).real)
+        w = np.hanning(nfft)
+        sr = jnp.asarray(self._to_digit(spec.real, pad).astype(np.float32))
+        si = jnp.asarray(self._to_digit(spec.imag, pad).astype(np.float32))
+        y = np.asarray(
+            istft_overlap_add(
+                sr, si, jnp.asarray(w, jnp.float32), nfft, hop, interpret=True
+            )
+        )
+        assert y.shape == (2, 3, (F - 1) * hop + nfft)
+        for b in range(2):
+            for c in range(3):
+                ref = self._oracle(spec[b, c], w, nfft, hop)
+                assert snr_db(y[b, c], ref) >= 120.0
+
+    def test_istft_fused_end_to_end(self, monkeypatch):
+        """models.istft via the fused kernel == the XLA _istft_jit path,
+        and both reconstruct the input (NOLA round-trip)."""
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        mstft = importlib.import_module("godsp_tpu.models.stft")
+        rng = np.random.default_rng(70)
+        nfft, hop = 256, 128
+        x = rng.normal(size=hop * 40 + nfft).astype(np.float32)
+        s = mstft.stft(x, nfft, hop=hop, window="hann")
+        ref = np.asarray(mstft.istft(s, nfft, hop=hop, window="hann"))
+        monkeypatch.setattr(
+            mstft, "_istft_fused_eligible", lambda nf, pd, st: True
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(mstft.istft(s, nfft, hop=hop, window="hann"))
+        assert got.shape == ref.shape
+        # Edge samples divide by a near-zero NOLA denominator (hann
+        # starts at 0), amplifying the kernel's f32 noise; compare the
+        # interior tightly and the full signal at the amplified bound.
+        assert snr_db(got[nfft:-nfft], ref[nfft:-nfft]) >= 100.0
+        assert snr_db(got, ref) >= 90.0
+        # Hann is zero at its endpoints: the first/last covered sample
+        # has zero synthesis weight and is unrecoverable (same exclusion
+        # as tests/test_models.py roundtrips).
+        assert snr_db(got[1:-1], np.asarray(x, got.dtype)[1:-1]) >= 90.0
+
+    def test_errors(self):
+        from godsp_tpu.ops.pallas_istft import istft_overlap_add
+
+        sr = jnp.zeros((4, 256), jnp.float32)
+        w = jnp.ones(256, jnp.float32)
+        with pytest.raises(ValueError, match="identical shapes"):
+            istft_overlap_add(sr, jnp.zeros((4, 512), jnp.float32), w, 256, 128)
+        with pytest.raises(ValueError, match="unsupported"):
+            istft_overlap_add(sr, sr, w, 256, 100)
