@@ -293,6 +293,53 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         log("mel section failed:", e)
 
+    # --- fused ISTFT (IFFT + window + matmul overlap-add in VMEM) -------
+    try:
+        import godsp_tpu.models.stft as mstft
+
+        nfft_i, hop_i, F_i = 1024, 512, 4096
+        L_i = (F_i - 1) * hop_i + nfft_i
+        xw = put(rng.normal(size=L_i).astype(np.float32))
+        w_i = mstft._resolve_window("hann", nfft_i, jnp.float32)
+        spec_i = mstft.stft(xw, nfft_i, hop=hop_i, window="hann")
+        spec_i.block_until_ready()
+        out_len = (F_i - 1) * hop_i + nfft_i
+
+        def make_istft(K, fused=True):
+            fn = mstft._istft_fused_jit if fused else mstft._istft_jit
+
+            @jax.jit
+            def chain(s):
+                acc = 0.0
+                for k in range(K):
+                    acc = acc + fn(
+                        s * (1.0 + 1e-6 * k), w_i, nfft_i, hop_i, out_len,
+                        True, nfft_i,
+                    )[0]
+                return acc
+
+            return chain
+
+        per_f = time_chain_diff(
+            lambda K: make_istft(K, True), spec_i, k_lo=4, k_hi=12, iters=8
+        )
+        per_x = time_chain_diff(
+            lambda K: make_istft(K, False), spec_i, k_lo=4, k_hi=12, iters=6
+        )
+        results["istft_fused_1024"] = {
+            "wall_s": per_f,
+            "msamples_per_s": out_len / per_f / 1e6,
+            "xla_wall_s": per_x,
+            "speedup_vs_xla": per_x / per_f,
+        }
+        log(
+            f"fused istft 1024/512: {per_f*1e3:.3f} ms "
+            f"({out_len/per_f/1e6:.0f} Msamples/s), XLA path {per_x*1e3:.3f} ms "
+            f"-> {per_x/per_f:.2f}x"
+        )
+    except Exception as e:  # pragma: no cover
+        log("istft section failed:", e)
+
     # --- fused-halo sharded Pwelch (RDMA inside the kernel) -------------
     # Single chip = a 1-device "sp" ring (self-send): validates and times
     # the compiled remote-DMA kernel; multi-chip overlap needs a pod.

@@ -1,6 +1,7 @@
 """End-to-end pipelines ("model families") built on the framework stack.
 
   stft     — short-time Fourier transform / inverse / spectrogram
+  griffin  — Griffin-Lim phase reconstruction (fast GLA momentum)
   filter   — linear convolution / FIR filtering (overlap-save)
   mel      — mel filterbank / log-mel spectrogram / MFCC front end
   resample — Fourier-method resampling (scipy.signal.resample)
@@ -12,6 +13,7 @@ batched, TPU-sharded equivalents as first-class API.
 """
 
 from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
+from godsp_tpu.models.griffin import griffin_lim
 from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc
 from godsp_tpu.models.resample import resample
 from godsp_tpu.models.pipeline import (
@@ -25,6 +27,7 @@ __all__ = [
     "WavPsdResult",
     "fftconvolve",
     "fir_filter",
+    "griffin_lim",
     "overlap_save",
     "istft",
     "mel_filterbank",
