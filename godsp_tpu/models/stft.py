@@ -150,12 +150,11 @@ def _istft_fused_eligible(nfft: int, pad: int, hop: int) -> bool:
     )
 
 
-@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
-def _istft_fused_jit(spec, w, nfft: int, hop: int, length: int,
-                     onesided: bool, pad: int):
-    """Fused-kernel ISTFT: IFFT + window + overlap-add in VMEM
-    (ops.pallas_istft); spectrum mirroring, the natural -> digit bin
-    permutation, and NOLA normalization stay in XLA."""
+def _ola_unnorm_fused(spec, w, nfft: int, hop: int, pad: int,
+                      onesided: bool):
+    """Un-normalized windowed overlap-add over the covered span via the
+    fused kernel (ops.pallas_istft); spectrum mirroring, the natural ->
+    digit bin permutation stay in XLA, plane-wise."""
     from godsp_tpu.ops.pallas_istft import istft_overlap_add
 
     fdt = default_float()
@@ -180,9 +179,31 @@ def _istft_fused_jit(spec, w, nfft: int, hop: int, length: int,
             p.reshape(*lead, 128, n1).swapaxes(-1, -2).reshape(*lead, pad)
         )
 
-    y = istft_overlap_add(
+    return istft_overlap_add(
         to_digit(sr), to_digit(si), w.astype(jnp.float32), nfft, hop,
     ).astype(fdt)
+
+
+def _ola_unnorm_xla(spec, w, nfft: int, hop: int, pad: int, onesided: bool):
+    """Un-normalized windowed overlap-add over the covered span (XLA)."""
+    fdt = default_float()
+    if onesided:
+        spec = _mirror_full_spectrum(spec, pad)
+    frames = jnp.real(ifft(spec))[..., :nfft].astype(fdt) * w
+    n_frames = frames.shape[-2]
+    span = (n_frames - 1) * hop + nfft
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
+    flat = jnp.zeros(spec.shape[:-2] + (span,), dtype=fdt)
+    return flat.at[..., idx].add(frames)
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
+def _istft_fused_jit(spec, w, nfft: int, hop: int, length: int,
+                     onesided: bool, pad: int):
+    """Fused-kernel ISTFT: IFFT + window + overlap-add in VMEM
+    (ops.pallas_istft); NOLA normalization stays in XLA."""
+    fdt = default_float()
+    y = _ola_unnorm_fused(spec, w, nfft, hop, pad, onesided)
     n_frames = spec.shape[-2]
     span = (n_frames - 1) * hop + nfft
     if length > span:
@@ -195,18 +216,16 @@ def _istft_fused_jit(spec, w, nfft: int, hop: int, length: int,
 @partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
 def _istft_jit(spec, w, nfft: int, hop: int, length: int, onesided: bool,
                pad: int):
-    fdt = default_float()
-    if onesided:
-        spec = _mirror_full_spectrum(spec, pad)
-    frames = jnp.real(ifft(spec))[..., :nfft].astype(fdt)  # windowed frames
-    n_frames = frames.shape[-2]
-
     # Weighted overlap-add with least-squares (NOLA) normalization:
     # y[t] = sum_f w*frames_f[t - f*hop] / sum_f w^2[t - f*hop].
-    frames = frames * w
-    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(nfft)[None, :]
-    flat = jnp.zeros(spec.shape[:-2] + (length,), dtype=fdt)
-    y = flat.at[..., idx].add(frames)
+    fdt = default_float()
+    y = _ola_unnorm_xla(spec, w, nfft, hop, pad, onesided)
+    n_frames = spec.shape[-2]
+    span = (n_frames - 1) * hop + nfft
+    if length > span:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - span)])
+    else:
+        y = y[..., :length]
     return y / _nola_norm(w, n_frames, hop, length, fdt)
 
 

@@ -14,7 +14,7 @@ from godsp_tpu.parallel.pwelch_sharded import (
     pwelch_sharded,
     sharded_partial_step,
 )
-from godsp_tpu.parallel.stft_sharded import spectrogram_sharded
+from godsp_tpu.parallel.stft_sharded import istft_sharded, spectrogram_sharded
 from godsp_tpu.parallel.streaming import StreamingPwelch, stream_pwelch
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "make_mesh",
     "partial_periodogram",
     "init_distributed",
+    "istft_sharded",
     "pwelch_sharded",
     "ring_halo_pallas",
     "sharded_partial_step",

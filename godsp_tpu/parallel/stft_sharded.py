@@ -22,10 +22,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from godsp_tpu import window as win
-from godsp_tpu._dtypes import as_real_array
-from godsp_tpu.models.stft import WindowSpec, _fused_window, _resolve_window
+from godsp_tpu._dtypes import as_real_array, default_float, put
+from godsp_tpu.models.stft import (
+    WindowSpec,
+    _fused_window,
+    _istft_fused_eligible,
+    _nola_norm,
+    _ola_unnorm_fused,
+    _ola_unnorm_xla,
+    _resolve_window,
+)
 
-__all__ = ["spectrogram_sharded"]
+__all__ = ["istft_sharded", "spectrogram_sharded"]
 
 
 @partial(
@@ -132,3 +140,109 @@ def spectrogram_sharded(
         x, w_pad, mesh, nfft, hop, pad, frames_per_shard, total_frames
     )
     return p[..., :total_frames, :]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "nfft", "hop", "pad", "onesided", "fps"),
+)
+def _sharded_ola(spec, w, mesh: Mesh, nfft: int, hop: int, pad: int,
+                 onesided: bool, fps: int):
+    """Frame-sharded weighted overlap-add: (..., n_sp*fps, bins) spectra
+    sharded over the frame axis -> (..., n_sp*fps*hop) time samples
+    sharded over the time axis.
+
+    Each shard overlap-adds its own frames (the fused ISTFT kernel when
+    the geometry qualifies), then sends the (nfft - hop)-sample tail
+    that spills past its time block to the RIGHT neighbor with one
+    ppermute — the synthesis twin of the analysis halo in
+    _sharded_power_frames.  The NOLA denominator is assembled the same
+    way (it is shard-invariant, so its "exchange" is a masked local
+    add).  Shard 0's head receives nothing: there are no frames before
+    the first, exactly as in the unsharded normalization.
+    """
+    n_sp = mesh.shape["sp"]
+    H = nfft - hop
+    fdt = default_float()
+    tiny = jnp.finfo(fdt).tiny
+    own_len = fps * hop
+    fused = _istft_fused_eligible(nfft, pad, hop)
+
+    def shard_fn(spec_local):
+        ola = _ola_unnorm_fused if fused else _ola_unnorm_xla
+        y = ola(spec_local, w, nfft, hop, pad, onesided)  # (..., span_loc)
+        own = y[..., :own_len]
+        sp_idx = jax.lax.axis_index("sp")
+        if H > 0:
+            recv = jax.lax.ppermute(
+                y[..., own_len:], "sp",
+                perm=[(i, (i + 1) % n_sp) for i in range(n_sp)],
+            )
+            recv = jnp.where(sp_idx == 0, jnp.zeros_like(recv), recv)
+            own = own.at[..., :H].add(recv)
+        norm_loc = _nola_norm(w, fps, hop, (fps - 1) * hop + nfft, fdt)
+        norm = norm_loc[:own_len]
+        if H > 0:
+            gate = jnp.where(sp_idx == 0, 0.0, 1.0).astype(fdt)
+            norm = norm.at[:H].add(gate * norm_loc[own_len:])
+        return own / jnp.maximum(norm, tiny)
+
+    lead = spec.ndim - 2
+    in_spec = P(*([None] * lead), "sp", None)
+    out_spec = P(*([None] * lead), "sp")
+    return jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_spec, out_specs=out_spec
+    )(spec)
+
+
+def istft_sharded(
+    spec,
+    mesh: Mesh,
+    nfft: int,
+    hop: Optional[int] = None,
+    window: WindowSpec = None,
+    pad: Optional[int] = None,
+    onesided: bool = True,
+) -> jax.Array:
+    """Inverse STFT of frame-sharded spectra; output time-sharded.
+
+    spec: (..., n_frames, bins) complex with the frame axis laid out
+    over the mesh's "sp" axis.  Returns (..., n_frames * hop) real —
+    models.istft(spec, ...)[..., :n_frames*hop] with the time axis
+    sharded over "sp"; the final (nfft - hop)-sample coda past
+    n_frames*hop stays truncated so every shard owns an equal block
+    (gather-free, as spectrogram_sharded).  Requires n_frames divisible
+    by n_sp, hop <= nfft, and each shard's time block >= the
+    (nfft - hop) spill: (n_frames/n_sp)*hop >= nfft - hop.
+    """
+    spec = put(spec)
+    hop = nfft // 2 if hop is None else hop
+    if hop <= 0:
+        raise ValueError("hop must be positive")
+    if hop > nfft:
+        raise ValueError("istft_sharded requires hop <= nfft")
+    bins = spec.shape[-1]
+    if onesided:
+        pad = pad if pad is not None else 2 * (bins - 1)
+        if pad // 2 + 1 != bins:
+            raise ValueError(
+                f"pad={pad} inconsistent with {bins} one-sided bins"
+            )
+    else:
+        if pad is not None and pad != bins:
+            raise ValueError(f"pad={pad} != two-sided bin count {bins}")
+        pad = bins
+    n_sp = mesh.shape["sp"]
+    n_frames = spec.shape[-2]
+    if n_frames == 0 or n_frames % n_sp != 0:
+        raise ValueError(
+            f"n_frames={n_frames} must be a positive multiple of n_sp={n_sp}"
+        )
+    fps = n_frames // n_sp
+    if nfft - hop > fps * hop:
+        raise ValueError(
+            "per-shard time block must hold the nfft-hop spill; "
+            "use fewer shards"
+        )
+    w = _resolve_window(window, nfft, default_float())
+    return _sharded_ola(spec, w, mesh, nfft, hop, pad, onesided, fps)

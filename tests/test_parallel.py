@@ -419,6 +419,72 @@ class TestShardedSpectrogram:
             spectrogram_sharded(jnp.ones(1000), mesh, 256)
 
 
+class TestShardedISTFT:
+    """Frame-sharded synthesis == unsharded istft on the covered block."""
+
+    def test_matches_single_device(self):
+        from godsp_tpu.models import istft, stft
+        from godsp_tpu.parallel import istft_sharded
+
+        nfft, hop = 256, 128
+        F = 8 * 16  # frames, multiple of n_sp
+        L = (F - 1) * hop + nfft
+        x = jnp.asarray(_signal(L))
+        s = stft(x, nfft, hop=hop)[:F]
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        got = np.asarray(istft_sharded(s, mesh, nfft, hop))
+        ref = np.asarray(istft(s, nfft, hop))[: F * hop]
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_window_hop_eq_nfft_and_batched(self):
+        from godsp_tpu.models import istft, stft
+        from godsp_tpu.parallel import istft_sharded
+
+        nfft = hop = 128  # H == 0: no exchange
+        F = 8 * 4
+        L = (F - 1) * hop + nfft
+        rng = np.random.default_rng(7)
+        xb = jnp.asarray(rng.normal(size=(2, L)))
+        s = stft(xb, nfft, hop=hop, window="hamming")[..., :F, :]
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        got = np.asarray(istft_sharded(s, mesh, nfft, hop, window="hamming"))
+        ref = np.asarray(istft(s, nfft, hop, window="hamming"))[..., : F * hop]
+        assert got.shape == (2, F * hop)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_roundtrip_interior(self):
+        """Analysis -> sharded synthesis reconstructs the interior."""
+        from godsp_tpu.models import stft
+        from godsp_tpu.parallel import istft_sharded
+        from godsp_tpu.dsputils import snr_db
+
+        nfft, hop = 256, 64  # 75% overlap: H = 192 > hop
+        F = 8 * 8
+        L = (F - 1) * hop + nfft
+        x = np.asarray(_signal(L))
+        s = stft(jnp.asarray(x), nfft, hop=hop)[:F]
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        y = np.asarray(istft_sharded(s, mesh, nfft, hop))
+        assert snr_db(y[1:], x[1 : F * hop]) >= 200.0
+
+    def test_errors(self):
+        from godsp_tpu.parallel import istft_sharded
+
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+        s = jnp.ones((20, 129), jnp.complex128)  # 20 not divisible by 8
+        with pytest.raises(ValueError, match="multiple of n_sp"):
+            istft_sharded(s, mesh, 256, 128)
+        with pytest.raises(ValueError, match="hop <= nfft"):
+            istft_sharded(jnp.ones((8, 129), jnp.complex128), mesh, 256, 512)
+        with pytest.raises(ValueError, match="spill"):
+            # fps*hop = 1*16 < nfft - hop = 240
+            istft_sharded(jnp.ones((8, 129), jnp.complex128), mesh, 256, 16)
+        with pytest.raises(ValueError, match="inconsistent"):
+            istft_sharded(jnp.ones((8, 100), jnp.complex128), mesh, 256, 128,
+                          pad=256)
+
+
 class TestFusedHalo:
     """parallel/fused_halo.py: halo RDMA fused into the Pwelch kernel.
 
