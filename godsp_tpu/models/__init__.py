@@ -21,9 +21,17 @@ from godsp_tpu.models.pipeline import (
     spectrogram_from_wav,
     wav_psd,
 )
-from godsp_tpu.models.stft import istft, spectrogram, stft, stft_frames
+from godsp_tpu.models.stft import (
+    StreamingISTFT,
+    istft,
+    spectrogram,
+    stft,
+    stft_frames,
+    stream_istft,
+)
 
 __all__ = [
+    "StreamingISTFT",
     "WavPsdResult",
     "fftconvolve",
     "fir_filter",
@@ -35,6 +43,7 @@ __all__ = [
     "mfcc",
     "resample",
     "spectrogram",
+    "stream_istft",
     "spectrogram_from_wav",
     "stft",
     "stft_frames",

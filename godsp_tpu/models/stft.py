@@ -26,7 +26,14 @@ from godsp_tpu._dtypes import as_real_array, default_float, put
 from godsp_tpu.dsputils.utils import zero_pad
 from godsp_tpu.fft.core import fft, fft_real, ifft
 
-__all__ = ["stft", "istft", "spectrogram", "stft_frames"]
+__all__ = [
+    "StreamingISTFT",
+    "istft",
+    "spectrogram",
+    "stft",
+    "stft_frames",
+    "stream_istft",
+]
 
 WindowSpec = Union[str, Callable[[int], jax.Array], None]
 
@@ -327,3 +334,140 @@ def spectrogram(
     if scale == "db":
         return 10.0 * jnp.log10(jnp.maximum(p, 1e-20))
     return p
+
+
+@partial(jax.jit, static_argnames=("nfft", "hop", "pad", "onesided"))
+def _istft_chunk_jit(spec, carry, gate, w, nfft: int, hop: int, pad: int,
+                     onesided: bool):
+    """ONE device program per spectra chunk (streaming synthesis).
+
+    Un-normalized OLA of the chunk's frames, inject the carried
+    (nfft - hop)-sample spill from the previous chunk, NOLA-normalize
+    the owned F*hop block, and emit the new spill.  gate is a traced
+    0/1 scalar (0 on the first chunk, whose head has no predecessor
+    frames) so chunk count never forces a recompile — same discipline
+    as parallel.streaming._chunk_accumulate.
+    """
+    fdt = default_float()
+    ola = (
+        _ola_unnorm_fused
+        if _istft_fused_eligible(nfft, pad, hop)
+        else _ola_unnorm_xla
+    )
+    y = ola(spec, w, nfft, hop, pad, onesided)
+    F = spec.shape[-2]
+    own_len = F * hop
+    H = nfft - hop
+    own = y[..., :own_len]
+    norm_loc = _nola_norm(w, F, hop, (F - 1) * hop + nfft, fdt)
+    norm = norm_loc[:own_len]
+    if H > 0:
+        own = own.at[..., :H].add(carry)
+        norm = norm.at[:H].add(gate * norm_loc[own_len:])
+        new_carry = y[..., own_len:]
+    else:
+        new_carry = y[..., own_len:own_len]  # (..., 0)
+    return own / jnp.maximum(norm, jnp.finfo(fdt).tiny), new_carry
+
+
+@partial(jax.jit, static_argnames=("F", "hop"))
+def _coda_finalize(carry, w, F: int, hop: int):
+    """Normalize the final spill: only the last chunk's frames cover it."""
+    fdt = default_float()
+    nfft = w.shape[0]
+    norm = _nola_norm(w, F, hop, (F - 1) * hop + nfft, fdt)[F * hop :]
+    return carry / jnp.maximum(norm, jnp.finfo(fdt).tiny)
+
+
+class StreamingISTFT:
+    """Chunked inverse STFT: synthesis twin of parallel.stream_pwelch.
+
+    Push spectra chunks (..., F_k, bins) in frame order; each push runs
+    one device program and returns the (..., F_k*hop) time block it
+    fully determines.  flush() returns the final (nfft - hop)-sample
+    coda.  The concatenation of all pushed blocks plus the coda equals
+    models.istft of the concatenated spectra, exactly — the overlap
+    spill crossing each chunk boundary is carried on-device, never
+    re-normalized twice.  Every chunk needs F_k*hop >= nfft - hop so a
+    spill reaches only its immediate successor.
+
+    The reference has no synthesis streaming (its streaming surface is
+    wav.ReadSamples, wav/wav.go:113-134); this mirrors that contract on
+    the synthesis side for hours-long outputs that never fit in HBM.
+    """
+
+    def __init__(
+        self,
+        nfft: int,
+        hop: Optional[int] = None,
+        window: WindowSpec = None,
+        pad: Optional[int] = None,
+        onesided: bool = True,
+    ):
+        self.nfft = nfft
+        self.hop = nfft // 2 if hop is None else hop
+        if self.hop <= 0:
+            raise ValueError("hop must be positive")
+        if self.hop > nfft:
+            raise ValueError("streaming synthesis requires hop <= nfft")
+        self.pad = pad or nfft
+        if self.pad < nfft:
+            raise ValueError("pad must be >= nfft")
+        self.onesided = onesided
+        self.w = _resolve_window(window, nfft, default_float())
+        self._carry = None
+        self._first = True
+        self._last_frames = 0
+        self._flushed = False
+
+    def push(self, spec) -> jax.Array:
+        """Consume one spectra chunk, return its settled time block."""
+        if self._flushed:
+            raise RuntimeError("push() after flush()")
+        spec = put(spec)
+        bins = self.pad // 2 + 1 if self.onesided else self.pad
+        if spec.ndim < 2 or spec.shape[-1] != bins:
+            raise ValueError(
+                f"chunk must be (..., F, {bins}), got {spec.shape}"
+            )
+        F = spec.shape[-2]
+        H = self.nfft - self.hop
+        if F * self.hop < H:
+            raise ValueError(
+                f"chunk too short: F*hop = {F * self.hop} < nfft-hop = {H}"
+            )
+        if self._carry is None:
+            fdt = default_float()
+            self._carry = jnp.zeros(spec.shape[:-2] + (H,), fdt)
+        gate = jnp.asarray(0.0 if self._first else 1.0, default_float())
+        out, self._carry = _istft_chunk_jit(
+            spec, self._carry, gate, self.w, self.nfft, self.hop, self.pad,
+            self.onesided,
+        )
+        self._first = False
+        self._last_frames = F
+        return out
+
+    def flush(self) -> jax.Array:
+        """Return the final coda (the spill past the last owned block)."""
+        if self._flushed:
+            raise RuntimeError("flush() called twice")
+        self._flushed = True
+        if self._carry is None or self.nfft == self.hop:
+            return jnp.zeros(
+                (0,) if self._carry is None else self._carry.shape,
+                default_float(),
+            )
+        return _coda_finalize(self._carry, self.w, self._last_frames, self.hop)
+
+
+def stream_istft(chunks, nfft: int, hop: Optional[int] = None,
+                 window: WindowSpec = None, pad: Optional[int] = None,
+                 onesided: bool = True):
+    """Generator over StreamingISTFT: yields each chunk's time block,
+    then the final coda.  np.concatenate(list(...)) == models.istft of
+    the concatenated spectra."""
+    s = StreamingISTFT(nfft, hop, window, pad, onesided)
+    for spec in chunks:
+        yield s.push(spec)
+    yield s.flush()

@@ -436,3 +436,95 @@ class TestGriffinLim:
             griffin_lim(np.ones((0, 65)), 128)
         with pytest.raises(ValueError, match="pad must be >="):
             griffin_lim(mag, 128, pad=64)
+
+
+class TestStreamingISTFT:
+    """Chunked synthesis: concatenated blocks + coda == one-shot istft."""
+
+    @staticmethod
+    def _spec(L, nfft, hop, seed=0, batch=()):
+        from godsp_tpu.models import stft
+
+        rng = np.random.default_rng(seed)
+        x = rng.normal(size=batch + (L,))
+        return stft(x, nfft, hop=hop), x
+
+    def _assert_stream_equal(self, s, nfft, hop, splits, **kw):
+        from godsp_tpu.models import istft, stream_istft
+
+        chunks = [s[..., a:b, :] for a, b in zip([0] + splits, splits + [s.shape[-2]])]
+        got = np.concatenate(
+            [np.asarray(b) for b in stream_istft(chunks, nfft, hop=hop, **kw)],
+            axis=-1,
+        )
+        ref = np.asarray(istft(s, nfft, hop=hop, **kw))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_equal_chunks(self):
+        nfft, hop = 256, 128
+        s, _ = self._spec(128 * 40 + 256, nfft, hop)
+        self._assert_stream_equal(s, nfft, hop, [10, 20, 30])
+
+    def test_ragged_chunks_75_overlap(self):
+        nfft, hop = 256, 64  # H = 192: spill spans 3 hops
+        s, _ = self._spec(64 * 60 + 256, nfft, hop)
+        # ragged: 7, 13, 24, remainder (all satisfy F*hop >= 192)
+        self._assert_stream_equal(s, nfft, hop, [7, 20, 44], window="hamming")
+
+    def test_hop_eq_nfft_no_carry(self):
+        nfft = hop = 128
+        s, _ = self._spec(128 * 30, nfft, hop)
+        self._assert_stream_equal(s, nfft, hop, [10])
+
+    def test_batched(self):
+        nfft, hop = 128, 64
+        s, _ = self._spec(64 * 32 + 128, nfft, hop, batch=(3,))
+        self._assert_stream_equal(s, nfft, hop, [16])
+
+    def test_push_api_and_errors(self):
+        from godsp_tpu.models import StreamingISTFT
+
+        st = StreamingISTFT(256, 128)
+        with pytest.raises(ValueError, match="chunk must be"):
+            st.push(np.ones((4, 100), np.complex128))
+        with pytest.raises(ValueError, match="too short"):
+            st.push(np.ones((0, 129), np.complex128))
+        st.push(np.ones((4, 129), np.complex128))
+        st.flush()
+        with pytest.raises(RuntimeError, match="after flush"):
+            st.push(np.ones((4, 129), np.complex128))
+        with pytest.raises(RuntimeError, match="twice"):
+            st.flush()
+        with pytest.raises(ValueError, match="hop <= nfft"):
+            StreamingISTFT(256, 512)
+
+    def test_fused_chunk_interpret(self, monkeypatch):
+        """Streaming via the fused kernel matches the XLA stream."""
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        mstft = importlib.import_module("godsp_tpu.models.stft")
+        from godsp_tpu.models import stream_istft
+
+        nfft, hop = 256, 128
+        s, _ = self._spec(128 * 24 + 256, nfft, hop)
+        s = jnp.asarray(np.asarray(s), jnp.complex64)
+        ref = np.concatenate(
+            [np.asarray(b) for b in stream_istft([s[:12], s[12:]], nfft, hop=hop)],
+            axis=-1,
+        )
+        monkeypatch.setattr(
+            mstft, "_istft_fused_eligible", lambda nf, pd, st: True
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got = np.concatenate(
+                [np.asarray(b) for b in stream_istft([s[:12], s[12:]], nfft, hop=hop)],
+                axis=-1,
+            )
+        assert got.shape == ref.shape
+        # Edge samples divide by a near-zero NOLA denominator (hann ends),
+        # amplifying f32 kernel noise; interior tight, full looser.
+        assert snr_db(got[nfft:-nfft], ref[nfft:-nfft]) >= 100.0
+        assert snr_db(got, ref) >= 90.0
