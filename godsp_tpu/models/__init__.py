@@ -18,6 +18,7 @@ from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc
 from godsp_tpu.models.resample import resample
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
+    spectra_to_wav,
     spectrogram_from_wav,
     wav_psd,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "mel_spectrogram",
     "mfcc",
     "resample",
+    "spectra_to_wav",
     "spectrogram",
     "stream_istft",
     "spectrogram_from_wav",

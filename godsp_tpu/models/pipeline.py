@@ -24,7 +24,7 @@ from godsp_tpu import wav as wavmod
 from godsp_tpu.parallel.streaming import StreamingPwelch
 from godsp_tpu.spectral.pwelch import PwelchOptions
 
-__all__ = ["WavPsdResult", "wav_psd", "spectrogram_from_wav"]
+__all__ = ["WavPsdResult", "spectra_to_wav", "spectrogram_from_wav", "wav_psd"]
 
 
 @dataclass
@@ -98,3 +98,52 @@ def spectrogram_from_wav(
     n_frames = (n - nfft) // hop + 1
     times = (np.arange(n_frames) * hop + nfft / 2) / w.sample_rate
     return s, freqs, times
+
+
+def spectra_to_wav(
+    chunks,
+    dest,
+    sample_rate: int,
+    nfft: int,
+    hop: Optional[int] = None,
+    window=None,
+    pad: Optional[int] = None,
+    float32: bool = True,
+) -> int:
+    """Streaming synthesis pipeline: spectra chunks -> WAV on disk.
+
+    The synthesis mirror of wav_psd: chunks of (..., F, bins) STFT
+    spectra (an iterable — e.g. frames produced by a vocoder or a
+    spectral-edit loop) run through models.stream_istft (fused
+    ISTFT kernel, carried overlap spill) and each settled time block is
+    appended to `dest` via wav.WavWriter, so neither the spectra nor
+    the signal ever materialize fully.  Mono blocks (..., = ()) write a
+    mono file; a single leading channel axis writes multichannel.
+    Returns the number of samples (per channel) written.
+    """
+    from godsp_tpu.models.stft import stream_istft
+
+    writer = None
+    written = 0
+    try:
+        for block in stream_istft(chunks, nfft, hop=hop, window=window,
+                                  pad=pad):
+            b = np.asarray(block)
+            if b.ndim > 2:
+                raise ValueError(
+                    "spectra chunks must be (F, bins) or (channels, F, bins)"
+                )
+            if b.shape[-1] == 0:
+                continue
+            if writer is None:
+                writer = wavmod.WavWriter(
+                    dest, sample_rate,
+                    channels=b.shape[0] if b.ndim == 2 else 1,
+                    float32=float32,
+                )
+            writer.write(b)
+            written += b.shape[-1]
+    finally:
+        if writer is not None:
+            writer.close()
+    return written

@@ -28,7 +28,15 @@ from typing import BinaryIO, Iterator, Union
 
 import numpy as np
 
-__all__ = ["Header", "Wav", "new", "read_wav", "write_wav", "WavFormatError"]
+__all__ = [
+    "Header",
+    "Wav",
+    "WavFormatError",
+    "WavWriter",
+    "new",
+    "read_wav",
+    "write_wav",
+]
 
 WAV_FORMAT_PCM = 1
 WAV_FORMAT_IEEE_FLOAT = 3
@@ -288,3 +296,82 @@ def write_wav(path_or_stream, samples: np.ndarray, sample_rate: int) -> None:
     else:
         with open(path_or_stream, "wb") as f:
             f.write(hdr + data)
+
+
+class WavWriter:
+    """Incremental WAV writer: append sample blocks, patch sizes on close.
+
+    The streaming twin of write_wav for synthesis pipelines whose output
+    never fits in memory (e.g. models.stream_istft blocks): RIFF/data
+    sizes are written as placeholders and patched on close(), so the
+    target must be seekable (a path or a binary file opened r+b/w+b).
+    float=True writes IEEE float32, else PCM16.  samples per write():
+    (n,) mono or (channels, n) with the writer's channel count.
+
+    The reference has no writer at all; header layout mirrors the fields
+    its reader validates (wav.go:78-103).
+    """
+
+    def __init__(self, path_or_stream, sample_rate: int, channels: int = 1,
+                 float32: bool = True):
+        if channels < 1:
+            raise ValueError("channels must be >= 1")
+        self.sample_rate = int(sample_rate)
+        self.channels = channels
+        self.float32 = float32
+        self._owns = isinstance(path_or_stream, str)
+        self._f = (
+            open(path_or_stream, "wb") if self._owns else path_or_stream
+        )
+        if not (self._f.seekable() and self._f.writable()):
+            raise ValueError("WavWriter target must be seekable + writable")
+        self._data_bytes = 0
+        self._closed = False
+        bits = 32 if float32 else 16
+        fmt = WAV_FORMAT_IEEE_FLOAT if float32 else WAV_FORMAT_PCM
+        self._f.write(
+            struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 0, b"WAVE", b"fmt ", 16, fmt, channels,
+                self.sample_rate, self.sample_rate * channels * bits // 8,
+                channels * bits // 8, bits, b"data", 0,
+            )
+        )
+
+    def write(self, samples) -> None:
+        """Append one block of samples."""
+        if self._closed:
+            raise RuntimeError("write() after close()")
+        s = np.asarray(samples)
+        if self.channels > 1:
+            if s.ndim != 2 or s.shape[0] != self.channels:
+                raise ValueError(
+                    f"expected ({self.channels}, n) block, got {s.shape}"
+                )
+            s = s.T.reshape(-1)  # interleave frames
+        elif s.ndim != 1:
+            raise ValueError(f"expected (n,) mono block, got {s.shape}")
+        data = s.astype("<f4" if self.float32 else "<i2").tobytes()
+        self._f.write(data)
+        self._data_bytes += len(data)
+
+    def close(self) -> None:
+        """Patch the RIFF/data sizes and close (idempotent)."""
+        if self._closed:
+            return
+        self._closed = True
+        self._f.seek(4)
+        self._f.write(struct.pack("<I", 36 + self._data_bytes))
+        self._f.seek(40)
+        self._f.write(struct.pack("<I", self._data_bytes))
+        self._f.flush()
+        if self._owns:
+            self._f.close()
+        else:
+            self._f.seek(0, 2)  # leave external streams at EOF
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
