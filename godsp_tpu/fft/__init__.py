@@ -6,6 +6,7 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 """
 
 from godsp_tpu.fft.bluestein import bluestein_fft
+from godsp_tpu.fft.czt import czt, zoom_fft
 from godsp_tpu.fft.dct import dct, idct
 from godsp_tpu.fft.core import (
     convolve,
@@ -30,6 +31,7 @@ from godsp_tpu.fft.stockham import stockham_fft, twiddles
 __all__ = [
     "bluestein_fft",
     "convolve",
+    "czt",
     "dct",
     "idct",
     "ensure_radix2_factors",
@@ -56,4 +58,5 @@ __all__ = [
     "set_pallas_enabled",
     "stockham_fft",
     "twiddles",
+    "zoom_fft",
 ]

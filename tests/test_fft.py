@@ -480,3 +480,87 @@ class TestSplitAPI:
     def test_shape_errors(self):
         with pytest.raises(ValueError, match="identical shapes"):
             fft.fft_split(jnp.zeros(8), jnp.zeros(9))
+
+
+class TestCZT:
+    """Chirp-z / zoom FFT vs scipy.signal and the framework's own fft."""
+
+    def test_default_is_dft(self):
+        from godsp_tpu.fft import czt, fft
+
+        rng = np.random.default_rng(0)
+        for n in (16, 37, 100):
+            x = rng.normal(size=n) + 1j * rng.normal(size=n)
+            got = np.asarray(czt(x))
+            ref = np.asarray(fft(x))
+            assert snr_db(got, ref) >= 200.0
+
+    @pytest.mark.parametrize(
+        "n,m,wa",
+        [
+            (100, 60, None),  # default contour, m < n
+            (37, 37, None),
+            (64, 33, "mild_spiral"),
+            (128, 65, "band"),
+        ],
+    )
+    def test_vs_scipy(self, n, m, wa):
+        ss = pytest.importorskip("scipy.signal")
+        from godsp_tpu.fft import czt
+
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))
+        if wa == "mild_spiral":
+            w, a = np.exp(-0.001 - 2j * np.pi / m), 1.1 + 0.1j
+        elif wa == "band":
+            w, a = np.exp(-2j * np.pi * 0.3 / m), np.exp(2j * np.pi * 0.05)
+        else:
+            w, a = None, 1 + 0j
+        got = np.asarray(czt(x, m, w, a))
+        ref = ss.czt(x, m, w, a)
+        assert got.shape == ref.shape
+        assert snr_db(got, ref) >= 200.0
+
+    @pytest.mark.parametrize(
+        "n,fn,m,fs,ep",
+        [
+            (100, (0.1, 0.4), 50, 2.0, False),
+            (77, 0.5, None, 2.0, False),
+            (64, (100.0, 200.0), 40, 1000.0, True),
+        ],
+    )
+    def test_zoom_vs_scipy(self, n, fn, m, fs, ep):
+        ss = pytest.importorskip("scipy.signal")
+        from godsp_tpu.fft import zoom_fft
+
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=n)
+        got = np.asarray(zoom_fft(x, fn, m, fs=fs, endpoint=ep))
+        ref = ss.zoom_fft(x, np.atleast_1d(fn), m, fs=fs, endpoint=ep)
+        assert snr_db(got, ref) >= 200.0
+
+    def test_zoom_band_matches_fft_bins(self):
+        """Zooming [0, fs/2] at m=n/2... picks exact FFT bins."""
+        from godsp_tpu.fft import fft, zoom_fft
+
+        rng = np.random.default_rng(9)
+        n = 128
+        x = rng.normal(size=n)
+        # fs=n: frequencies are integer bins; [16, 48) at 32 points.
+        got = np.asarray(zoom_fft(x, (16.0, 48.0), 32, fs=float(n)))
+        ref = np.asarray(fft(x.astype(np.complex128)))[16:48]
+        assert snr_db(got, ref) >= 200.0
+
+    def test_errors(self):
+        from godsp_tpu.fft import czt, zoom_fft
+
+        with pytest.raises(ValueError, match="at least one"):
+            czt(np.zeros(0, np.complex128))
+        with pytest.raises(ValueError, match="m must be"):
+            czt(np.ones(4, np.complex128), m=0)
+        with pytest.raises(ValueError, match="nonzero"):
+            czt(np.ones(4, np.complex128), w=0.0)
+        with pytest.raises(ValueError, match="fn must be"):
+            zoom_fft(np.ones(8), (0.1, 0.2, 0.3))
+        with pytest.raises(ValueError, match="m must be"):
+            zoom_fft(np.ones(8), 0.5, m=1, endpoint=True)
