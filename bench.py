@@ -306,25 +306,25 @@ def main() -> None:
         out_len = (F_i - 1) * hop_i + nfft_i
 
         def make_istft(K, fused=True):
-            fn = mstft._istft_fused_jit if fused else mstft._istft_jit
-
             @jax.jit
             def chain(s):
                 acc = 0.0
                 for k in range(K):
-                    acc = acc + fn(
+                    acc = acc + mstft._istft_jit(
                         s * (1.0 + 1e-6 * k), w_i, nfft_i, hop_i, out_len,
-                        True, nfft_i,
+                        True, nfft_i, fused=fused,
                     )[0]
                 return acc
 
             return chain
 
+        # Heavy depths per the repo's timing discipline (CLAUDE.md:
+        # shallow chains are flattered by tunnel-RTT jitter).
         per_f = time_chain_diff(
-            lambda K: make_istft(K, True), spec_i, k_lo=4, k_hi=12, iters=8
+            lambda K: make_istft(K, True), spec_i, k_lo=8, k_hi=24, iters=6
         )
         per_x = time_chain_diff(
-            lambda K: make_istft(K, False), spec_i, k_lo=4, k_hi=12, iters=6
+            lambda K: make_istft(K, False), spec_i, k_lo=8, k_hi=24, iters=4
         )
         results["istft_fused_1024"] = {
             "wall_s": per_f,

@@ -31,8 +31,8 @@ from godsp_tpu.models.stft import (
     _fused_stft_eligible,
     _fused_window,
     _istft_fused_eligible,
-    _istft_fused_jit,
-    _istft_jit,
+    _nola_norm,
+    _ola_unnorm,
     _resolve_window,
     _stft_jit,
 )
@@ -70,7 +70,12 @@ def _gl_jit(mag, w, nfft: int, hop: int, pad: int, length: int, n_iter: int,
         def fwd(y):
             return _stft_jit(y, w.astype(fdt), nfft, hop, pad, True)
 
-    inv = _istft_fused_jit if fused_inv else _istft_jit
+    # The NOLA denominator is loop-invariant (only w/n_frames/hop):
+    # hoist the scatter-add out of the fori_loop and divide in the body.
+    norm = _nola_norm(w, n_frames, hop, span, fdt)
+
+    def inv(s):
+        return _ola_unnorm(s, w, nfft, hop, pad, True, fused_inv) / norm
 
     def project(c):
         """Replace c's magnitude with the target, keep its phase."""
@@ -79,8 +84,7 @@ def _gl_jit(mag, w, nfft: int, hop: int, pad: int, length: int, n_iter: int,
 
     def body(_, carry):
         s, prev = carry
-        y = inv(s, w, nfft, hop, span, True, pad)
-        r = fwd(y).astype(cdt)
+        r = fwd(inv(s)).astype(cdt)
         # Fast GLA: extrapolate along the consistency step before the
         # magnitude projection (momentum = 0 recovers classic GL).
         c = r + momentum * (r - prev) if momentum else r
@@ -90,7 +94,7 @@ def _gl_jit(mag, w, nfft: int, hop: int, pad: int, length: int, n_iter: int,
     s, _ = jax.lax.fori_loop(
         0, n_iter, body, (s0, jnp.zeros_like(s0)), unroll=False
     )
-    y = inv(s, w, nfft, hop, span, True, pad)
+    y = inv(s)
     if length > span:
         y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - span)])
     return y[..., :length]

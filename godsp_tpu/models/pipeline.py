@@ -144,6 +144,9 @@ def spectra_to_wav(
             writer.write(b)
             written += b.shape[-1]
     finally:
-        if writer is not None:
-            writer.close()
+        if writer is None:
+            # Empty chunk stream: still leave a valid (zero-sample) WAV
+            # at dest so downstream read_wav sees a file, not ENOENT.
+            writer = wavmod.WavWriter(dest, sample_rate, float32=float32)
+        writer.close()
     return written

@@ -204,29 +204,25 @@ def _ola_unnorm_xla(spec, w, nfft: int, hop: int, pad: int, onesided: bool):
     return flat.at[..., idx].add(frames)
 
 
-@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
-def _istft_fused_jit(spec, w, nfft: int, hop: int, length: int,
-                     onesided: bool, pad: int):
-    """Fused-kernel ISTFT: IFFT + window + overlap-add in VMEM
-    (ops.pallas_istft); NOLA normalization stays in XLA."""
-    fdt = default_float()
-    y = _ola_unnorm_fused(spec, w, nfft, hop, pad, onesided)
-    n_frames = spec.shape[-2]
-    span = (n_frames - 1) * hop + nfft
-    if length > span:
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - span)])
-    else:
-        y = y[..., :length]
-    return y / _nola_norm(w, n_frames, hop, length, fdt)
+def _ola_unnorm(spec, w, nfft: int, hop: int, pad: int, onesided: bool,
+                fused: bool):
+    """Un-normalized windowed OLA: fused kernel or XLA scatter-add."""
+    ola = _ola_unnorm_fused if fused else _ola_unnorm_xla
+    return ola(spec, w, nfft, hop, pad, onesided)
 
 
-@partial(jax.jit, static_argnames=("nfft", "hop", "length", "onesided", "pad"))
+@partial(
+    jax.jit,
+    static_argnames=("nfft", "hop", "length", "onesided", "pad", "fused"),
+)
 def _istft_jit(spec, w, nfft: int, hop: int, length: int, onesided: bool,
-               pad: int):
+               pad: int, fused: bool = False):
     # Weighted overlap-add with least-squares (NOLA) normalization:
     # y[t] = sum_f w*frames_f[t - f*hop] / sum_f w^2[t - f*hop].
+    # fused=True runs the OLA through the VMEM kernel (ops.pallas_istft);
+    # everything around it is shared so the two paths cannot diverge.
     fdt = default_float()
-    y = _ola_unnorm_xla(spec, w, nfft, hop, pad, onesided)
+    y = _ola_unnorm(spec, w, nfft, hop, pad, onesided, fused)
     n_frames = spec.shape[-2]
     span = (n_frames - 1) * hop + nfft
     if length > span:
@@ -279,9 +275,8 @@ def istft(
     n_frames = spec.shape[-2]
     length = length or (n_frames - 1) * hop + nfft
     w = _resolve_window(window, nfft, default_float())
-    if n_frames > 0 and _istft_fused_eligible(nfft, pad, hop):
-        return _istft_fused_jit(spec, w, nfft, hop, length, onesided, pad)
-    return _istft_jit(spec, w, nfft, hop, length, onesided, pad)
+    fused = n_frames > 0 and _istft_fused_eligible(nfft, pad, hop)
+    return _istft_jit(spec, w, nfft, hop, length, onesided, pad, fused=fused)
 
 
 def spectrogram(
@@ -336,6 +331,30 @@ def spectrogram(
     return p
 
 
+def _settle_ola_block(own, spill_in, gate, w, nfft: int, hop: int, F: int):
+    """NOLA-normalize a block of F frames' un-normalized OLA whose head
+    may receive a predecessor's spill.
+
+    own: (..., F*hop) un-normalized OLA of the block's own frames;
+    spill_in: (..., nfft-hop) the predecessor's overlap spill (ignored
+    when nfft == hop); gate: traced 0/1 — 0 when no predecessor frames
+    exist, masking BOTH the spill and its norm-tail contribution so
+    boundary normalization is exactly the unsharded pattern.  The norm
+    tail is block-size-invariant given F*hop >= nfft-hop (the caller's
+    validation), which is what lets streaming chunks and mesh shards
+    share this arithmetic (parallel/stft_sharded.py).
+    """
+    fdt = default_float()
+    H = nfft - hop
+    own_len = F * hop
+    norm_loc = _nola_norm(w, F, hop, (F - 1) * hop + nfft, fdt)
+    norm = norm_loc[:own_len]
+    if H > 0:
+        own = own.at[..., :H].add(gate * spill_in)
+        norm = norm.at[:H].add(gate * norm_loc[own_len:])
+    return own / jnp.maximum(norm, jnp.finfo(fdt).tiny)
+
+
 @partial(jax.jit, static_argnames=("nfft", "hop", "pad", "onesided"))
 def _istft_chunk_jit(spec, carry, gate, w, nfft: int, hop: int, pad: int,
                      onesided: bool):
@@ -348,26 +367,14 @@ def _istft_chunk_jit(spec, carry, gate, w, nfft: int, hop: int, pad: int,
     frames) so chunk count never forces a recompile — same discipline
     as parallel.streaming._chunk_accumulate.
     """
-    fdt = default_float()
-    ola = (
-        _ola_unnorm_fused
-        if _istft_fused_eligible(nfft, pad, hop)
-        else _ola_unnorm_xla
+    y = _ola_unnorm(
+        spec, w, nfft, hop, pad, onesided,
+        _istft_fused_eligible(nfft, pad, hop),
     )
-    y = ola(spec, w, nfft, hop, pad, onesided)
     F = spec.shape[-2]
     own_len = F * hop
-    H = nfft - hop
-    own = y[..., :own_len]
-    norm_loc = _nola_norm(w, F, hop, (F - 1) * hop + nfft, fdt)
-    norm = norm_loc[:own_len]
-    if H > 0:
-        own = own.at[..., :H].add(carry)
-        norm = norm.at[:H].add(gate * norm_loc[own_len:])
-        new_carry = y[..., own_len:]
-    else:
-        new_carry = y[..., own_len:own_len]  # (..., 0)
-    return own / jnp.maximum(norm, jnp.finfo(fdt).tiny), new_carry
+    out = _settle_ola_block(y[..., :own_len], carry, gate, w, nfft, hop, F)
+    return out, y[..., own_len:]
 
 
 @partial(jax.jit, static_argnames=("F", "hop"))

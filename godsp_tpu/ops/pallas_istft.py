@@ -158,6 +158,11 @@ def istft_overlap_add(
     bt = frames_per_tile or max(8, min(128, (1 << 21) // (4 * pad)))
     bt = min(bt, max(8, F))
     bt = max(8, 1 << (bt.bit_length() - 1))
+    # The stitch scatters a tile's m-1 tail rows into its successor's
+    # bt-row slot, so bt must cover them (deep overlaps: m-1 can exceed
+    # the F-clamped tile size, e.g. nfft=2048 hop=128 with few frames).
+    while bt < m - 1:
+        bt *= 2
     n_tiles = pl.cdiv(F, bt)
     # Zero-pad ragged frames: zero spectra synthesize zero samples.
     r2 = sr.reshape(-1, F, pad).astype(_F32)

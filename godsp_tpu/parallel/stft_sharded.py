@@ -27,10 +27,9 @@ from godsp_tpu.models.stft import (
     WindowSpec,
     _fused_window,
     _istft_fused_eligible,
-    _nola_norm,
-    _ola_unnorm_fused,
-    _ola_unnorm_xla,
+    _ola_unnorm,
     _resolve_window,
+    _settle_ola_block,
 )
 
 __all__ = ["istft_sharded", "spectrogram_sharded"]
@@ -164,28 +163,26 @@ def _sharded_ola(spec, w, mesh: Mesh, nfft: int, hop: int, pad: int,
     n_sp = mesh.shape["sp"]
     H = nfft - hop
     fdt = default_float()
-    tiny = jnp.finfo(fdt).tiny
     own_len = fps * hop
     fused = _istft_fused_eligible(nfft, pad, hop)
 
     def shard_fn(spec_local):
-        ola = _ola_unnorm_fused if fused else _ola_unnorm_xla
-        y = ola(spec_local, w, nfft, hop, pad, onesided)  # (..., span_loc)
-        own = y[..., :own_len]
+        y = _ola_unnorm(spec_local, w, nfft, hop, pad, onesided, fused)
         sp_idx = jax.lax.axis_index("sp")
         if H > 0:
             recv = jax.lax.ppermute(
                 y[..., own_len:], "sp",
                 perm=[(i, (i + 1) % n_sp) for i in range(n_sp)],
             )
-            recv = jnp.where(sp_idx == 0, jnp.zeros_like(recv), recv)
-            own = own.at[..., :H].add(recv)
-        norm_loc = _nola_norm(w, fps, hop, (fps - 1) * hop + nfft, fdt)
-        norm = norm_loc[:own_len]
-        if H > 0:
-            gate = jnp.where(sp_idx == 0, 0.0, 1.0).astype(fdt)
-            norm = norm.at[:H].add(gate * norm_loc[own_len:])
-        return own / jnp.maximum(norm, tiny)
+        else:
+            recv = y[..., own_len:]
+        # gate=0 on shard 0: its head has no predecessor frames, so both
+        # the (ring-wrapped) spill and the norm tail are masked — the
+        # same boundary arithmetic as the streaming chunk driver.
+        gate = jnp.where(sp_idx == 0, 0.0, 1.0).astype(fdt)
+        return _settle_ola_block(
+            y[..., :own_len], recv, gate, w, nfft, hop, fps
+        )
 
     lead = spec.ndim - 2
     in_spec = P(*([None] * lead), "sp", None)

@@ -327,6 +327,9 @@ class WavWriter:
             raise ValueError("WavWriter target must be seekable + writable")
         self._data_bytes = 0
         self._closed = False
+        # Header may land anywhere in an external stream: size patches
+        # in close() are relative to this start offset.
+        self._start = self._f.tell()
         bits = 32 if float32 else 16
         fmt = WAV_FORMAT_IEEE_FLOAT if float32 else WAV_FORMAT_PCM
         self._f.write(
@@ -351,7 +354,16 @@ class WavWriter:
             s = s.T.reshape(-1)  # interleave frames
         elif s.ndim != 1:
             raise ValueError(f"expected (n,) mono block, got {s.shape}")
-        data = s.astype("<f4" if self.float32 else "<i2").tobytes()
+        if self.float32:
+            data = s.astype("<f4").tobytes()
+        elif s.dtype.kind == "f":
+            # Float samples scale to full-range PCM16 (write_wav takes
+            # PCM16 only from integer input; here synthesis pipelines
+            # hand float blocks in [-1, 1]).
+            q = np.clip(np.round(s * 32767.0), -32768, 32767)
+            data = q.astype("<i2").tobytes()
+        else:
+            data = s.astype("<i2").tobytes()
         self._f.write(data)
         self._data_bytes += len(data)
 
@@ -360,9 +372,9 @@ class WavWriter:
         if self._closed:
             return
         self._closed = True
-        self._f.seek(4)
+        self._f.seek(self._start + 4)
         self._f.write(struct.pack("<I", 36 + self._data_bytes))
-        self._f.seek(40)
+        self._f.seek(self._start + 40)
         self._f.write(struct.pack("<I", self._data_bytes))
         self._f.flush()
         if self._owns:

@@ -669,10 +669,12 @@ class TestPallasISTFT:
 
     # geometries: 50% overlap, m=1 (hop==pad==2*nfft), pad>nfft with m=3,
     # deep zero-extension, and a ragged final tile (F=9 < bt rounding)
+    # final case: deep overlap where m-1 = nfft/hop - 1 exceeds the
+    # F-clamped tile size (the bt >= m-1 stitch floor regression)
     @pytest.mark.parametrize(
         "nfft,pad,hop,F",
         [(256, 256, 128, 40), (256, 512, 256, 17), (384, 512, 128, 10),
-         (128, 1024, 128, 9)],
+         (128, 1024, 128, 9), (2048, 2048, 128, 8)],
     )
     def test_kernel_vs_numpy(self, nfft, pad, hop, F):
         from godsp_tpu.ops.pallas_istft import (

@@ -354,6 +354,38 @@ class TestWavWriter:
         np.testing.assert_allclose(np.asarray(got[0]), exp[0].astype(np.float32))
         np.testing.assert_allclose(np.asarray(got[1]), exp[1].astype(np.float32))
 
+    def test_pcm16_float_scaling(self, tmp_path):
+        """Float blocks scale to full-range PCM16 (not truncate-to-0)."""
+        from godsp_tpu import wav
+
+        x = np.array([0.0, 0.5, -0.5, 1.0, -1.0], np.float32)
+        p = str(tmp_path / "f2i.wav")
+        with wav.WavWriter(p, 8000, float32=False) as wr:
+            wr.write(x)
+        raw = np.frombuffer(open(p, "rb").read()[44:], "<i2")
+        np.testing.assert_array_equal(
+            raw, [0, 16384, -16384, 32767, -32767]
+        )
+
+    def test_header_at_stream_offset(self):
+        """Size patches are relative to where the header was written."""
+        import io
+
+        from godsp_tpu import wav
+
+        buf = io.BytesIO()
+        prefix = b"PREFIX99"
+        buf.write(prefix)
+        wr = wav.WavWriter(buf, 8000)
+        # 128 samples: data size divides bits so the reference's
+        # Samples = (sz / bits) * 8 quirk (wav.go:101) is neutral.
+        wr.write(np.zeros(128, np.float32))
+        wr.close()
+        data = buf.getvalue()
+        assert data[:8] == prefix  # prefix untouched
+        w = wav.read_wav(io.BytesIO(data[8:]))
+        assert w.samples == 128
+
     def test_errors(self, tmp_path):
         import io
 
@@ -373,6 +405,16 @@ class TestWavWriter:
 
 
 class TestSpectraToWav:
+    def test_empty_stream_writes_valid_wav(self, tmp_path):
+        from godsp_tpu import wav
+        from godsp_tpu.models import spectra_to_wav
+
+        p = str(tmp_path / "empty.wav")
+        n = spectra_to_wav([], p, 8000, 256)
+        assert n == 0
+        w = wav.read_wav(p)  # file exists and parses
+        assert w.samples == 0
+
     def test_synthesis_pipeline(self, tmp_path):
         from godsp_tpu import wav
         from godsp_tpu.models import istft, spectra_to_wav, stft
