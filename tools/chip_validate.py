@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Real-chip validation drive for the round-2 synthesis stack.
+
+Runs every new surface on the axon TPU with SNR checks against float64
+hosts oracles, printing one line per section (all guarded — a failing
+section never hides the rest).  Companion to .claude/skills/verify.
+
+  python tools/chip_validate.py [--n1-probe]
+
+--n1-probe additionally times the experimental n1=128 lane-slice
+structure at n=16384 against the batched-3D default (slow remote
+compile expected; see BASELINE.md round-2 notes).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def section(name):
+    def deco(fn):
+        def run(*a, **k):
+            t0 = time.time()
+            try:
+                msg = fn(*a, **k)
+                print(f"[ok] {name}: {msg}  ({time.time()-t0:.1f}s)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[FAIL] {name}: {e!r}  ({time.time()-t0:.1f}s)", flush=True)
+        return run
+    return deco
+
+
+@section("istft kernel")
+def drive_istft_kernel():
+    import jax.numpy as jnp
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.ops.pallas_istft import istft_overlap_add
+
+    nfft = pad = 1024
+    hop, F = 512, 64
+    rng = np.random.default_rng(0)
+    spec = rng.normal(size=(F, pad)) + 1j * rng.normal(size=(F, pad))
+    spec = np.fft.fft(np.fft.ifft(spec).real)
+    w = np.hanning(nfft)
+    n1 = pad // 128
+
+    def td(p):
+        return np.ascontiguousarray(
+            p.reshape(F, 128, n1).swapaxes(-1, -2).reshape(F, pad)
+        )
+
+    y = np.asarray(
+        istft_overlap_add(
+            jnp.asarray(td(spec.real), jnp.float32),
+            jnp.asarray(td(spec.imag), jnp.float32),
+            jnp.asarray(w, jnp.float32), nfft, hop,
+        )
+    )
+    frames = np.fft.ifft(spec).real[:, :nfft]
+    ref = np.zeros((F - 1) * hop + nfft)
+    for f in range(F):
+        ref[f * hop : f * hop + nfft] += w * frames[f]
+    return f"snr {snr_db(y, ref):.1f} dB vs f64 OLA oracle"
+
+
+@section("istft round-trip")
+def drive_istft_roundtrip():
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import istft, stft
+
+    rng = np.random.default_rng(1)
+    nfft, hop = 1024, 512
+    x = rng.normal(size=hop * 100 + nfft).astype(np.float32)
+    s = stft(x, nfft, hop=hop)
+    y = np.asarray(istft(s, nfft, hop=hop))
+    return (
+        f"interior snr {snr_db(y[nfft:-nfft], x[nfft:len(y)-nfft]):.1f} dB "
+        f"(fused path)"
+    )
+
+
+@section("streaming istft")
+def drive_streaming():
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import istft, stft, stream_istft
+
+    rng = np.random.default_rng(2)
+    nfft, hop = 1024, 512
+    x = rng.normal(size=hop * 64 + nfft).astype(np.float32)
+    s = stft(x, nfft, hop=hop)
+    got = np.concatenate(
+        [np.asarray(b) for b in stream_istft([s[:20], s[20:40], s[40:]],
+                                             nfft, hop=hop)]
+    )
+    ref = np.asarray(istft(s, nfft, hop=hop))
+    return f"3-chunk vs one-shot snr {snr_db(got, ref):.1f} dB"
+
+
+@section("griffin-lim")
+def drive_griffin():
+    from godsp_tpu.models import griffin_lim, stft
+
+    rng = np.random.default_rng(3)
+    nfft, hop = 1024, 512
+    t = np.arange(hop * 40 + nfft) / 16000
+    x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    mag = np.abs(np.asarray(stft(x, nfft, hop=hop))).astype(np.float32)
+    y = np.asarray(griffin_lim(mag, nfft, hop=hop, n_iter=16))
+    m2 = np.abs(np.asarray(stft(y, nfft, hop=hop)))
+    rel = np.linalg.norm(m2 - mag) / np.linalg.norm(mag)
+    return f"fused-loop spectral mismatch {rel:.3%} after 16 iters"
+
+
+@section("istft_sharded (1-dev)")
+def drive_sharded():
+    import jax
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import istft, stft
+    from godsp_tpu.parallel import MeshConfig, istft_sharded, make_mesh
+
+    rng = np.random.default_rng(4)
+    nfft, hop, F = 1024, 512, 32
+    x = rng.normal(size=(F - 1) * hop + nfft).astype(np.float32)
+    s = stft(x, nfft, hop=hop)[:F]
+    mesh = make_mesh(MeshConfig(dp=1, sp=1), jax.devices()[:1])
+    got = np.asarray(istft_sharded(s, mesh, nfft, hop))
+    ref = np.asarray(istft(s, nfft, hop=hop))[: F * hop]
+    return f"vs unsharded snr {snr_db(got, ref):.1f} dB"
+
+
+@section("czt/zoom")
+def drive_czt():
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.fft import czt, zoom_fft
+    from godsp_tpu.utils import to_host
+
+    rng = np.random.default_rng(5)
+    n, m = 1000, 400
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+    k = np.arange(m)
+    ref = np.array(
+        [np.sum(x.astype(np.complex128) * np.exp(-2j * np.pi * kk * np.arange(n) / m))
+         for kk in k]
+    )
+    got = to_host(czt(x, m))
+    zf = to_host(zoom_fft(rng.normal(size=512).astype(np.float32), 0.5))
+    return f"czt snr {snr_db(got, ref):.1f} dB, zoom shape {zf.shape}"
+
+
+@section("n1=128 probe")
+def drive_n1_128():
+    import jax.numpy as jnp
+
+    import godsp_tpu.ops.pallas_fft as pf
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.utils.metrics import time_chain_diff
+
+    n = 16384
+    rng = np.random.default_rng(6)
+    batch = 1024
+    x = (rng.normal(size=(batch, n)) * 0.01).astype(np.float32)
+    y = (rng.normal(size=(batch, n)) * 0.01).astype(np.float32)
+    xr, xi = jnp.asarray(x), jnp.asarray(y)
+
+    out = {}
+    for name, maxn1 in (("3d", 64), ("ls128", 128)):
+        pf._LS_MAX_N1 = maxn1
+        t0 = time.time()
+        yr, yi = pf.fft_pow2_split(xr, xi)
+        compile_s = time.time() - t0
+        small = np.asarray(yr[:2]) + 1j * np.asarray(yi[:2])
+        snr = snr_db(small, np.fft.fft(x[:2] + 1j * y[:2]))
+
+        def make(K):
+            import jax
+
+            @jax.jit
+            def chain(r):
+                acc_r, acc_i = r, xi
+                for _ in range(K):
+                    acc_r, acc_i = pf.fft_pow2_split(acc_r * 1e-3, acc_i * 1e-3)
+                return acc_r
+
+            return chain
+
+        per = time_chain_diff(make, xr, k_lo=8, k_hi=24, iters=4)
+        out[name] = (compile_s, snr, per)
+    pf._LS_MAX_N1 = 64
+    a, b = out["3d"], out["ls128"]
+    return (
+        f"3d: compile {a[0]:.0f}s snr {a[1]:.0f}dB {a[2]*1e3:.2f}ms | "
+        f"ls128: compile {b[0]:.0f}s snr {b[1]:.0f}dB {b[2]*1e3:.2f}ms"
+    )
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_platforms", "axon")
+    print("devices:", jax.devices(), flush=True)
+    drive_istft_kernel()
+    drive_istft_roundtrip()
+    drive_streaming()
+    drive_griffin()
+    drive_sharded()
+    drive_czt()
+    if "--n1-probe" in sys.argv:
+        drive_n1_128()
+
+
+if __name__ == "__main__":
+    main()
