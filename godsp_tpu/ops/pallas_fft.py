@@ -164,6 +164,20 @@ def _use_laneslice(n1: int) -> bool:
     return _ls_enabled and n1 <= _LS_MAX_N1
 
 
+# Natural-order emission inside the lane-slice kernel (the MXU permute,
+# see _permute_lanes_mxu).  Toggleable so the chip benchmark can compare
+# against the XLA digit->natural transpose it replaces.
+_natural_fused = True
+
+
+def set_natural_fused(on: bool) -> None:
+    """Select how order="natural" is produced on the lane-slice path:
+    True = in-kernel MXU permutation (no XLA transpose pass), False =
+    digit-order kernel + XLA transpose."""
+    global _natural_fused
+    _natural_fused = bool(on)
+
+
 @lru_cache(maxsize=None)
 def _ls_tables(n: int, inverse: bool, digit_in: bool, scale: float = 1.0):
     """Per-k1 fused twiddle+DFT tables, float32.
@@ -282,10 +296,51 @@ def _karatsuba_g(ar, ai, k1: int, tabs):
     return m1 - m2, m3 - m1 - m2
 
 
+@lru_cache(maxsize=None)
+def _natural_perm_np(n1: int) -> np.ndarray:
+    """(128, 128) one-hot P with P[k1*m + j, k1 + n1*j] = 1, m = 128/n1.
+
+    Right-multiplying the per-output-slice window concat
+    W_g = [C[0][:, g*m:(g+1)*m] | ... | C[n1-1][:, g*m:(g+1)*m]] by P
+    places bin k1 + n1*(g*m + j) at lane k1 + n1*j — i.e. output slice g
+    of the NATURAL bin order, computed entirely in-kernel."""
+    m = LANES // n1
+    p = np.zeros((LANES, LANES), np.float32)
+    for k1 in range(n1):
+        for j in range(m):
+            p[k1 * m + j, k1 + n1 * j] = 1.0
+    return p
+
+
+def _permute_lanes_mxu(w, p):
+    """Exact f32 lane permutation w @ P on the MXU.
+
+    Static lane gathers relayout poorly on Mosaic (probed: +0.34 ms
+    repeat+select at n=1024), but the kernel is slice store/feed-bound,
+    NOT MAC-bound (BASELINE.md round-2 probes: DEFAULT ≈ HIGHEST, matmul
+    count barely moves it) — so spending MXU passes on the permutation
+    is nearly free.  Exactness: split w into its 3 bf16 limbs (8+8+8
+    mantissa bits = f32's 24); each limb and the one-hot P are
+    bf16-representable, so three DEFAULT-precision matmuls accumulate
+    the permutation bit-exactly."""
+    hi = w.astype(_BF16).astype(_F32)
+    r = w - hi
+    mid = r.astype(_BF16).astype(_F32)
+    lo = r - mid
+    dn = (((1,), (0,)), ((), ()))
+    mm = partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=_F32,
+    )
+    return mm(hi, p) + mm(mid, p) + mm(lo, p)
+
+
 def _fft_kernel_ls(
     *refs, n1: int, inverse: bool, real_input: bool = False,
+    natural_out: bool = False,
 ):
-    """Lane-slice forward (or natural-in inverse) kernel; digit output.
+    """Lane-slice forward (or natural-in inverse) kernel; digit output,
+    or NATURAL output via the in-kernel MXU permutation (natural_out).
 
     Inputs are read as ONE whole-block load and sliced as VALUES —
     measurably cheaper than per-slice ref reads (0.31 vs 0.36 ms for a
@@ -297,6 +352,8 @@ def _fft_kernel_ls(
     else:
         xr_ref, xi_ref, *rest = refs
     *tabs, yr_ref, yi_ref = rest
+    if natural_out:
+        *tabs, p_ref = tabs
 
     xr = xr_ref[:]
     xi = None if real_input else xi_ref[:]
@@ -308,11 +365,23 @@ def _fft_kernel_ls(
         for k in range(n1)
     ]
     A = _dft_slices(pairs, inverse)
-    for k1 in range(n1):
-        ar, ai = A[k1]
-        cr, ci = _karatsuba_g(ar, ai, k1, tabs)
-        yr_ref[:, k1 * LANES : (k1 + 1) * LANES] = cr
-        yi_ref[:, k1 * LANES : (k1 + 1) * LANES] = ci
+    C = [_karatsuba_g(A[k1][0], A[k1][1], k1, tabs) for k1 in range(n1)]
+    if not natural_out:
+        for k1 in range(n1):
+            yr_ref[:, k1 * LANES : (k1 + 1) * LANES] = C[k1][0]
+            yi_ref[:, k1 * LANES : (k1 + 1) * LANES] = C[k1][1]
+        return
+    m = LANES // n1
+    p = p_ref[:]
+    for g in range(n1):
+        wr = jnp.concatenate(
+            [C[k1][0][:, g * m : (g + 1) * m] for k1 in range(n1)], axis=1
+        )
+        wi = jnp.concatenate(
+            [C[k1][1][:, g * m : (g + 1) * m] for k1 in range(n1)], axis=1
+        )
+        yr_ref[:, g * LANES : (g + 1) * LANES] = _permute_lanes_mxu(wr, p)
+        yi_ref[:, g * LANES : (g + 1) * LANES] = _permute_lanes_mxu(wi, p)
 
 
 def _ifft_digit_in_kernel_ls(*refs, n1: int):
@@ -620,11 +689,16 @@ def fft_pow2_split(
         data.append(xi2)
     grid = (xr2.shape[0] // bt,)
 
+    natural_fused = False
     if _use_laneslice(n1):
         tabs = _ls_tables(n, inverse, False, scale)
         tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
+        natural_fused = order == "natural" and _natural_fused
+        if natural_fused:
+            tables.append(jnp.asarray(_natural_perm_np(n1)))
         kern = partial(
             _fft_kernel_ls, n1=n1, inverse=inverse, real_input=real_input,
+            natural_out=natural_fused,
         )
     else:
         tabs = _tables(n, inverse, scale)
@@ -635,7 +709,9 @@ def fft_pow2_split(
 
     data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [
-        pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
         for t in tables
     ]
 
@@ -664,7 +740,7 @@ def fft_pow2_split(
         interpret=interpret,
     )(*data, *tables)
 
-    if order == "natural":
+    if order == "natural" and not natural_fused:
         yr = _digit_to_natural(yr, n1)
         yi = _digit_to_natural(yi, n1)
     if pad:

@@ -92,6 +92,26 @@ class TestPallasFFT:
         with pytest.raises(ValueError, match="unknown order"):
             fft_pow2_split(x2, x2, order="weird")
 
+    def test_natural_fused_bit_exact(self):
+        """In-kernel MXU natural-order permute == digit kernel + XLA
+        transpose, bit for bit (3-limb bf16 split is exact)."""
+        import godsp_tpu.ops.pallas_fft as pf
+
+        rng = np.random.default_rng(11)
+        for n in (256, 1024):
+            x = (rng.normal(size=(5, n)) + 1j * rng.normal(size=(5, n))).astype(
+                np.complex64
+            )
+            a, b = _split(x)
+            yr1, yi1 = fft_pow2_split(a, b, interpret=True)
+            pf.set_natural_fused(False)
+            try:
+                yr0, yi0 = fft_pow2_split(a, b, interpret=True)
+            finally:
+                pf.set_natural_fused(True)
+            np.testing.assert_array_equal(np.asarray(yr1), np.asarray(yr0))
+            np.testing.assert_array_equal(np.asarray(yi1), np.asarray(yi0))
+
     def test_supported_size(self):
         assert supported_size(256) and supported_size(16384)
         assert not supported_size(128)
