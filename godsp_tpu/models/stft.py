@@ -176,6 +176,16 @@ def _ola_unnorm_fused(spec, w, nfft: int, hop: int, pad: int,
         ti = -jnp.flip(si[..., mid], axis=-1)
         sr = jnp.concatenate([sr, tr], axis=-1)
         si = jnp.concatenate([si, ti], axis=-1)
+    from godsp_tpu.ops import pallas_fft as _pf
+
+    if _pf._natural_fused:
+        # The kernel permutes natural -> digit on the MXU in-VMEM; no
+        # XLA transpose pass (the input twin of the forward kernel's
+        # natural-order emission).
+        return istft_overlap_add(
+            sr, si, w.astype(jnp.float32), nfft, hop, natural_in=True,
+        ).astype(fdt)
+
     n1 = pad // 128
     lead = sr.shape[:-1]
 

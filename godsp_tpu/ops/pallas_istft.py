@@ -63,6 +63,8 @@ from godsp_tpu.ops.pallas_fft import (
     _dft_slices,
     _karatsuba_g,
     _ls_tables,
+    _natural_perm_np,
+    _permute_lanes_mxu,
 )
 
 __all__ = ["istft_fused_supported", "istft_overlap_add"]
@@ -85,21 +87,60 @@ def istft_fused_supported(nfft: int, pad: int, hop: int) -> bool:
 
 
 def _istft_kernel(
-    *refs, bt: int, hop: int, nfft: int, pad: int,
+    *refs, bt: int, hop: int, nfft: int, pad: int, natural_in: bool = False,
 ):
-    """One tile: digit-in inverse FFT -> window -> matmul overlap-add."""
+    """One tile: (natural ->) digit-in inverse FFT -> window -> matmul
+    overlap-add.  natural_in consumes NATURAL bin order directly via the
+    in-kernel MXU permutation (the input twin of the forward kernel's
+    natural_out — see ops.pallas_fft._permute_lanes_mxu)."""
     xr_ref, xi_ref, w_ref, s_ref, *rest = refs
     *tabs, out_ref = rest
+    if natural_in:
+        *tabs, p_ref = tabs
     n1 = pad // LANES
     n1f = nfft // LANES
     m = nfft // hop
 
     xr = xr_ref[:]
     xi = xi_ref[:]
+    if natural_in:
+        # V_g = natural_g @ P^T: chunk k1 of V_g holds digit slice k1's
+        # column window [g*mw, (g+1)*mw) — the exact transpose of the
+        # forward kernel's natural emission.
+        mw = LANES // n1
+        p = p_ref[:]
+        Vr = [
+            _permute_lanes_mxu(xr[:, g * LANES : (g + 1) * LANES], p)
+            for g in range(n1)
+        ]
+        Vi = [
+            _permute_lanes_mxu(xi[:, g * LANES : (g + 1) * LANES], p)
+            for g in range(n1)
+        ]
+        slices = [
+            (
+                jnp.concatenate(
+                    [Vr[g][:, k1 * mw : (k1 + 1) * mw] for g in range(n1)],
+                    axis=1,
+                ),
+                jnp.concatenate(
+                    [Vi[g][:, k1 * mw : (k1 + 1) * mw] for g in range(n1)],
+                    axis=1,
+                ),
+            )
+            for k1 in range(n1)
+        ]
+    else:
+        slices = [
+            (
+                xr[:, k1 * LANES : (k1 + 1) * LANES],
+                xi[:, k1 * LANES : (k1 + 1) * LANES],
+            )
+            for k1 in range(n1)
+        ]
     C = []
     for k1 in range(n1):
-        ar = xr[:, k1 * LANES : (k1 + 1) * LANES]
-        ai = xi[:, k1 * LANES : (k1 + 1) * LANES]
+        ar, ai = slices[k1]
         C.append(_karatsuba_g(ar, ai, k1, tabs))
     Y = _dft_slices(C, inverse=True)
     # Natural-order time samples; frames were zero-extended to pad on
@@ -131,13 +172,15 @@ def istft_overlap_add(
     hop: int,
     frames_per_tile: int | None = None,
     interpret: bool = False,
+    natural_in: bool = False,
 ) -> jax.Array:
     """Windowed overlap-add of inverse FFTs, un-normalized.
 
     sr, si: (..., F, pad) float32 full-spectrum planes in the FFT
-    kernel's DIGIT bin order (natural -> digit is one XLA transpose,
-    see models.stft).  w: (nfft,) synthesis window.  Returns
-    (..., (F-1)*hop + nfft) with
+    kernel's DIGIT bin order — or NATURAL order with natural_in=True,
+    which permutes in-kernel on the MXU instead of paying the XLA
+    natural -> digit transpose (see models.stft).  w: (nfft,) synthesis
+    window.  Returns (..., (F-1)*hop + nfft) with
     y[t] = sum_f w[t - f*hop] * real(ifft(spec_f))[t - f*hop];
     the caller divides by the NOLA window-energy denominator.
     """
@@ -185,6 +228,8 @@ def istft_overlap_add(
 
     tabs = _ls_tables(pad, True, True, 1.0 / pad)
     tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
+    if natural_in:
+        tables.append(jnp.asarray(_natural_perm_np(pad // LANES).T.copy()))
 
     spec_in = pl.BlockSpec((bt, pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
     inputs = [r2, i2, jnp.asarray(w, _F32).reshape(1, nfft), smat]
@@ -203,7 +248,8 @@ def istft_overlap_add(
     n1 = pad // LANES
     vma = getattr(jax.typeof(r2), "vma", None) or frozenset()
     out = pl.pallas_call(
-        partial(_istft_kernel, bt=bt, hop=hop, nfft=nfft, pad=pad),
+        partial(_istft_kernel, bt=bt, hop=hop, nfft=nfft, pad=pad,
+                natural_in=natural_in),
         grid=(R * n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(

@@ -740,6 +740,28 @@ class TestPallasISTFT:
                 ref = self._oracle(spec[b, c], w, nfft, hop)
                 assert snr_db(y[b, c], ref) >= 120.0
 
+    def test_natural_in_bit_exact(self):
+        """natural_in (in-kernel MXU permute) == digit input path."""
+        from godsp_tpu.ops.pallas_istft import istft_overlap_add
+
+        nfft, pad, hop, F = 384, 512, 128, 10
+        rng = np.random.default_rng(31)
+        spec = rng.normal(size=(F, pad)) + 1j * rng.normal(size=(F, pad))
+        spec = np.fft.fft(np.fft.ifft(spec).real)
+        w = rng.normal(size=nfft) ** 2
+        wj = jnp.asarray(w, jnp.float32)
+        y_dig = istft_overlap_add(
+            jnp.asarray(self._to_digit(spec.real, pad).astype(np.float32)),
+            jnp.asarray(self._to_digit(spec.imag, pad).astype(np.float32)),
+            wj, nfft, hop, interpret=True,
+        )
+        y_nat = istft_overlap_add(
+            jnp.asarray(spec.real.astype(np.float32)),
+            jnp.asarray(spec.imag.astype(np.float32)),
+            wj, nfft, hop, interpret=True, natural_in=True,
+        )
+        np.testing.assert_array_equal(np.asarray(y_dig), np.asarray(y_nat))
+
     def test_istft_fused_end_to_end(self, monkeypatch):
         """models.istft via the fused kernel == the XLA _istft_jit path,
         and both reconstruct the input (NOLA round-trip)."""
