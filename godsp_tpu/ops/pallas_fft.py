@@ -335,6 +335,22 @@ def _permute_lanes_mxu(w, p):
     return mm(hi, p) + mm(mid, p) + mm(lo, p)
 
 
+def _natural_slices_mxu(C, p, n1: int):
+    """Digit slices C[k1] (bt, 128) -> list of NATURAL output slices.
+
+    Natural slice g gathers column window [g*m, (g+1)*m) of every digit
+    slice and lane-interleaves them via one P multiply (exact, see
+    _permute_lanes_mxu)."""
+    m = LANES // n1
+    out = []
+    for g in range(n1):
+        w = jnp.concatenate(
+            [C[k1][:, g * m : (g + 1) * m] for k1 in range(n1)], axis=1
+        )
+        out.append(_permute_lanes_mxu(w, p))
+    return out
+
+
 def _fft_kernel_ls(
     *refs, n1: int, inverse: bool, real_input: bool = False,
     natural_out: bool = False,
@@ -371,17 +387,15 @@ def _fft_kernel_ls(
             yr_ref[:, k1 * LANES : (k1 + 1) * LANES] = C[k1][0]
             yi_ref[:, k1 * LANES : (k1 + 1) * LANES] = C[k1][1]
         return
-    m = LANES // n1
     p = p_ref[:]
-    for g in range(n1):
-        wr = jnp.concatenate(
-            [C[k1][0][:, g * m : (g + 1) * m] for k1 in range(n1)], axis=1
+    for g, (gr, gi) in enumerate(
+        zip(
+            _natural_slices_mxu([c[0] for c in C], p, n1),
+            _natural_slices_mxu([c[1] for c in C], p, n1),
         )
-        wi = jnp.concatenate(
-            [C[k1][1][:, g * m : (g + 1) * m] for k1 in range(n1)], axis=1
-        )
-        yr_ref[:, g * LANES : (g + 1) * LANES] = _permute_lanes_mxu(wr, p)
-        yi_ref[:, g * LANES : (g + 1) * LANES] = _permute_lanes_mxu(wi, p)
+    ):
+        yr_ref[:, g * LANES : (g + 1) * LANES] = gr
+        yi_ref[:, g * LANES : (g + 1) * LANES] = gi
 
 
 def _ifft_digit_in_kernel_ls(*refs, n1: int):

@@ -29,6 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from godsp_tpu.ops.pallas_fft import (
     LANES,
     _fft_steps_real,
+    _natural_perm_np,
+    _natural_slices_mxu,
     fft_real_tables,
 )
 from godsp_tpu.ops.pallas_pwelch import (
@@ -53,8 +55,13 @@ def _stft_kernel(
     pad: int,
     halo: int,
     out: str,
+    natural_out: bool = False,
 ):
-    """One tile: frame -> window -> FFT -> per-segment outputs."""
+    """One tile: frame -> window -> FFT -> per-segment outputs.
+
+    natural_out (power/complex only): emit NATURAL bin order via the
+    in-kernel MXU permutation — the wrapper then skips its XLA
+    digit -> natural transpose over the (segments, pad) output."""
     if halo:
         block_ref, halo_ref, w_ref, *rest = refs
     else:
@@ -67,7 +74,10 @@ def _stft_kernel(
         *tabs, p_ref = rest
     else:
         *tabs, yr_ref, yi_ref = rest
+    if natural_out:
+        *tabs, perm_ref = tabs
 
+    n1 = pad // LANES
     xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
     cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES)
     if out == "mel":
@@ -82,7 +92,22 @@ def _stft_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )
     elif out == "power":
-        p_ref[:] = cr * cr + ci * ci
+        p = cr * cr + ci * ci
+        if natural_out:
+            # One permute on the power value (vs two on the planes).
+            slc = [p[:, k * LANES : (k + 1) * LANES] for k in range(n1)]
+            for g, pg in enumerate(_natural_slices_mxu(slc, perm_ref[:], n1)):
+                p_ref[:, g * LANES : (g + 1) * LANES] = pg
+        else:
+            p_ref[:] = p
+    elif natural_out:
+        perm = perm_ref[:]
+        cs = [cr[:, k * LANES : (k + 1) * LANES] for k in range(n1)]
+        for g, vg in enumerate(_natural_slices_mxu(cs, perm, n1)):
+            yr_ref[:, g * LANES : (g + 1) * LANES] = vg
+        cs = [ci[:, k * LANES : (k + 1) * LANES] for k in range(n1)]
+        for g, vg in enumerate(_natural_slices_mxu(cs, perm, n1)):
+            yi_ref[:, g * LANES : (g + 1) * LANES] = vg
     else:
         yr_ref[:] = cr
         yi_ref[:] = ci
@@ -190,6 +215,13 @@ def stft_pallas(
             pl.BlockSpec(fb_digit.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
     order, tabs = fft_real_tables(pad)
+    from godsp_tpu.ops import pallas_fft as _pf
+
+    # Natural-order emission in-kernel (MXU permute): lane-slice tables
+    # only (the batched-3D structure keeps the XLA transpose).
+    natural_kernel = (
+        out in ("power", "complex") and _pf._natural_fused and len(order) == 3
+    )
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
@@ -197,6 +229,12 @@ def stft_pallas(
             pl.BlockSpec(
                 t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
             )
+        )
+    if natural_kernel:
+        t = jnp.asarray(_natural_perm_np(pad // LANES))
+        inputs.append(t)
+        in_specs.append(
+            pl.BlockSpec(t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
 
     # Per-segment outputs: (bt, pad) blocks (bt is a pow2 >= 8, so the
@@ -214,7 +252,7 @@ def stft_pallas(
     kern = partial(
         _stft_kernel,
         bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-        out=out,
+        out=out, natural_out=natural_kernel,
     )
     call = partial(
         pl.pallas_call,
@@ -237,9 +275,12 @@ def stft_pallas(
         return rows.reshape(R, n_tiles * bt, width)[:, :total_segs]
 
     def finish(rows):
-        # (R*n_tiles*bt, pad) digit -> (..., total_segs, lp) natural.
+        # (R*n_tiles*bt, pad) -> (..., total_segs, lp) natural; the
+        # digit -> natural pass only when the kernel emitted digit.
         rows = unpermute(rows, pad)
-        rows = _digit_to_natural_rows(rows, pad)[..., :lp]
+        if not natural_kernel:
+            rows = _digit_to_natural_rows(rows, pad)
+        rows = rows[..., :lp]
         return rows.reshape(*lead, total_segs, lp)
 
     if out == "mel":

@@ -344,6 +344,29 @@ class TestPallasSTFT:
             ref = np.abs(np.fft.fft(fr * w64)[:129]) ** 2
             assert snr_db(p[s], ref) >= 95.0
 
+    def test_natural_kernel_bit_exact(self):
+        """In-kernel natural emission == digit kernel + XLA transpose."""
+        import godsp_tpu.ops.pallas_fft as pf
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+        from godsp_tpu import window as win
+
+        rng = np.random.default_rng(41)
+        nfft, hop = 256, 128
+        x = jnp.asarray(rng.normal(size=hop * 20 + nfft).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
+        n_frames = 20 + 1
+        kw = dict(interpret=True)
+        s1 = stft_pallas(x, w, nfft, hop, n_frames, **kw)
+        p1 = stft_pallas(x, w, nfft, hop, n_frames, out="power", **kw)
+        pf.set_natural_fused(False)
+        try:
+            s0 = stft_pallas(x, w, nfft, hop, n_frames, **kw)
+            p0 = stft_pallas(x, w, nfft, hop, n_frames, out="power", **kw)
+        finally:
+            pf.set_natural_fused(True)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s0))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+
     def test_pad_gt_nfft_window_semantics(self):
         """models.stft pads AFTER windowing: the fused path must match
         the XLA path exactly (nfft window zero-extended to pad)."""
