@@ -62,9 +62,25 @@ def _split(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
+# Smallest size routed through this module.  16384 sits in both worlds:
+# the per-size kernel covers it, but only in the ~2x slower batched-3D
+# structure (_LS_MAX_N1 stops at 8192), while this split runs it as two
+# lane-slice 8192-rows + a direct N1=2 butterfly.  set_large_min(16384)
+# selects the split (chip A/B toggle; see BASELINE.md).
+_MIN_N = _KERNEL_MAX * 2
+
+
+def set_large_min(n: int) -> None:
+    """Lowest FFT size dispatched through the two-level four-step
+    (default 32768; 16384 routes n=16384 here instead of the kernel's
+    batched-3D form)."""
+    global _MIN_N
+    _MIN_N = int(n)
+
+
 def large_supported(n: int) -> bool:
     """Power-of-2 sizes above the single-kernel limit, through 2^28."""
-    if n & (n - 1) or n <= _KERNEL_MAX:
+    if n & (n - 1) or n < _MIN_N:
         return False
     n1, n2 = _split(n)
     return n2 <= _KERNEL_MAX and (n1 <= _DIRECT_MAX or 256 <= n1 <= _KERNEL_MAX)

@@ -65,15 +65,18 @@ def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
     n = x.shape[-1]
     if n <= 1:
         return x
+    # Large-split first: disjoint from the kernel by default
+    # (_MIN_N > kernel max), but set_large_min(16384) reroutes the
+    # kernel's slowest size through lane-slice rows (chip A/B).
+    if _large_eligible(x.dtype, n):
+        from godsp_tpu.fft.large import fft_large
+
+        return fft_large(x, inverse)
     if _pallas_eligible(x.dtype, n):
         from godsp_tpu.ops.pallas_fft import fft_pow2_split
 
         yr, yi = fft_pow2_split(jnp.real(x), jnp.imag(x), inverse=inverse)
         return jax.lax.complex(yr, yi)
-    if _large_eligible(x.dtype, n):
-        from godsp_tpu.fft.large import fft_large
-
-        return fft_large(x, inverse)
     return four_step_fft(x, inverse)
 
 

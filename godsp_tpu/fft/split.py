@@ -35,7 +35,9 @@ def _dispatch(xr, xi, inverse: bool, scale: float):
     # mode) must keep their precision through the complex fallback, not
     # be silently downcast.
     f32 = jnp.dtype(xr.dtype) == jnp.float32
-    if f32 and _pallas_eligible(jnp.complex64, n):
+    if f32 and _pallas_eligible(jnp.complex64, n) and not _large_eligible(
+        jnp.complex64, n
+    ):
         return fft_pow2_split(xr, xi, inverse=inverse, scale=scale)
     if xi is None:
         xi = jnp.zeros_like(xr)
