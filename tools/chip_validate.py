@@ -196,6 +196,101 @@ def drive_n1_128():
     )
 
 
+@section("natural-fused A/B")
+def drive_natural_ab():
+    """Public fft() with the in-kernel MXU natural emission vs the XLA
+    digit->natural transpose it replaces (the round-1 0.26-roofline gap)."""
+    import jax
+    import jax.numpy as jnp
+
+    import godsp_tpu.ops.pallas_fft as pf
+    from godsp_tpu._dtypes import put
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.fft import fft_split
+    from godsp_tpu.utils.metrics import time_chain_diff
+
+    n, batch = 1024, 16384
+    rng = np.random.default_rng(7)
+    xr = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
+    xi = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
+
+    def make(K):
+        @jax.jit
+        def chain(r):
+            ar, ai = r, xi
+            for _ in range(K):
+                ar, ai = fft_split(ar * 1e-2, ai * 1e-2)
+            return ar
+
+        return chain
+
+    out = {}
+    for name, on in (("fused", True), ("xla", False)):
+        pf.set_natural_fused(on)
+        try:
+            yr, yi = fft_split(xr[:4], xi[:4])
+            snr = snr_db(
+                np.asarray(yr) + 1j * np.asarray(yi),
+                np.fft.fft(
+                    np.asarray(xr[:4]) + 1j * np.asarray(xi[:4])
+                ),
+            )
+            per = time_chain_diff(make, xr, k_lo=8, k_hi=24, iters=4)
+            out[name] = (snr, per)
+        finally:
+            pf.set_natural_fused(True)
+    f, x_ = out["fused"], out["xla"]
+    return (
+        f"fused {f[1]*1e3:.3f} ms ({f[0]:.0f} dB) vs xla-transpose "
+        f"{x_[1]*1e3:.3f} ms ({x_[0]:.0f} dB) -> {x_[1]/f[1]:.2f}x"
+    )
+
+
+@section("16384 routing A/B")
+def drive_16k_ab():
+    import jax
+    import jax.numpy as jnp
+
+    from godsp_tpu._dtypes import put
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.fft import fft_split, large
+    from godsp_tpu.utils.metrics import time_chain_diff
+
+    n, batch = 16384, 1024
+    rng = np.random.default_rng(8)
+    xr = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
+    xi = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
+
+    def make(K):
+        @jax.jit
+        def chain(r):
+            ar, ai = r, xi
+            for _ in range(K):
+                ar, ai = fft_split(ar * 1e-2, ai * 1e-2)
+            return ar
+
+        return chain
+
+    out = {}
+    for name, mn in (("kernel3d", 32768), ("split", 16384)):
+        large.set_large_min(mn)
+        try:
+            yr, yi = fft_split(xr[:2], xi[:2])
+            snr = snr_db(
+                np.asarray(yr) + 1j * np.asarray(yi),
+                np.fft.fft(np.asarray(xr[:2]) + 1j * np.asarray(xi[:2])),
+            )
+            per = time_chain_diff(make, xr, k_lo=8, k_hi=24, iters=4)
+            out[name] = (snr, per)
+        finally:
+            large.set_large_min(32768)
+    a, b = out["kernel3d"], out["split"]
+    return (
+        f"batched-3D {a[1]*1e3:.3f} ms ({a[0]:.0f} dB) vs lane-slice split "
+        f"{b[1]*1e3:.3f} ms ({b[0]:.0f} dB) -> {a[1]/b[1]:.2f}x"
+    )
+
+
 def main():
     import jax
 
@@ -207,6 +302,8 @@ def main():
     drive_griffin()
     drive_sharded()
     drive_czt()
+    drive_natural_ab()
+    drive_16k_ab()
     if "--n1-probe" in sys.argv:
         drive_n1_128()
 
