@@ -24,8 +24,10 @@ from godsp_tpu.fft.core import (
 )
 from godsp_tpu.fft.four_step import four_step_fft
 from godsp_tpu.fft.helpers import fftfreq, fftshift, hilbert, ifftshift, rfftfreq
+from godsp_tpu.fft.large import set_large_min
 from godsp_tpu.fft.pow2 import pallas_enabled, pow2_fft, set_pallas_enabled
 from godsp_tpu.fft.split import fft_split, ifft_split
+from godsp_tpu.ops.pallas_fft import set_natural_fused
 from godsp_tpu.fft.stockham import stockham_fft, twiddles
 
 __all__ = [
@@ -55,6 +57,8 @@ __all__ = [
     "ifftn",
     "pallas_enabled",
     "pow2_fft",
+    "set_large_min",
+    "set_natural_fused",
     "set_pallas_enabled",
     "stockham_fft",
     "twiddles",
