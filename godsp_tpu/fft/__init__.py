@@ -27,8 +27,20 @@ from godsp_tpu.fft.helpers import fftfreq, fftshift, hilbert, ifftshift, rfftfre
 from godsp_tpu.fft.large import set_large_min
 from godsp_tpu.fft.pow2 import pallas_enabled, pow2_fft, set_pallas_enabled
 from godsp_tpu.fft.split import fft_split, ifft_split
-from godsp_tpu.ops.pallas_fft import set_natural_fused
 from godsp_tpu.fft.stockham import stockham_fft, twiddles
+
+
+def set_natural_fused(on: bool) -> None:
+    """Toggle in-kernel natural-order emission (ops.pallas_fft).
+
+    Re-exported lazily: the rest of this package imports the pallas stack
+    inside function bodies, and an eager module-level import here would
+    pull jax.experimental.pallas (and godsp_tpu.ops) in while this module
+    is mid-initialization.
+    """
+    from godsp_tpu.ops.pallas_fft import set_natural_fused as _impl
+
+    _impl(on)
 
 __all__ = [
     "bluestein_fft",

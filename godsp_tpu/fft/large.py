@@ -83,6 +83,8 @@ def large_supported(n: int) -> bool:
     if n & (n - 1) or n < _MIN_N:
         return False
     n1, n2 = _split(n)
+    if n1 < 2:  # n < 2*_ROW_N has no valid two-level factoring here
+        return False
     return n2 <= _KERNEL_MAX and (n1 <= _DIRECT_MAX or 256 <= n1 <= _KERNEL_MAX)
 
 

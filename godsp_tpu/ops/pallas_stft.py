@@ -79,7 +79,7 @@ def _stft_kernel(
 
     n1 = pad // LANES
     xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
-    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES)
+    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, n1)
     if out == "mel":
         # |X|^2 then the mel filterbank contraction — the full power
         # spectrum never leaves VMEM.  fb rows arrive in the kernel's

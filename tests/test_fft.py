@@ -396,6 +396,20 @@ class TestLargeFFT:
         assert large_supported(1 << 28)
         assert not large_supported(1 << 29)
 
+    def test_set_large_min_below_rows_stays_unsupported(self):
+        # Lowering _MIN_N under the row length must not admit sizes with
+        # no valid two-level factoring (n1 would be 0 and reshape crash).
+        from godsp_tpu.fft import large
+
+        prev = large._MIN_N
+        large.set_large_min(4096)
+        try:
+            assert not large.large_supported(4096)
+            assert not large.large_supported(8192)
+            assert large.large_supported(16384)
+        finally:
+            large.set_large_min(prev)
+
 
 class TestHelpers:
     """fft/helpers.py: frequency grids, shifts, analytic signal."""

@@ -196,21 +196,20 @@ def drive_n1_128():
     )
 
 
-@section("natural-fused A/B")
-def drive_natural_ab():
-    """Public fft() with the in-kernel MXU natural emission vs the XLA
-    digit->natural transpose it replaces (the round-1 0.26-roofline gap)."""
+def _ab_fft_split(n, batch, seed, variants, set_toggle, check_rows=4):
+    """Shared A/B scaffold: time chained public fft_split at (n, batch)
+    under each (name, toggle_value) variant, with SNR vs numpy on the
+    first rows.  Returns {name: (snr, per_s, rows_np)}; the toggle is
+    restored to its pre-call value afterwards.
+    """
     import jax
-    import jax.numpy as jnp
 
-    import godsp_tpu.ops.pallas_fft as pf
     from godsp_tpu._dtypes import put
     from godsp_tpu.dsputils import snr_db
     from godsp_tpu.fft import fft_split
     from godsp_tpu.utils.metrics import time_chain_diff
 
-    n, batch = 1024, 16384
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
     xr = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
     xi = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
 
@@ -225,65 +224,62 @@ def drive_natural_ab():
         return chain
 
     out = {}
-    for name, on in (("fused", True), ("xla", False)):
-        pf.set_natural_fused(on)
+    for name, toggle in variants:
+        prev = set_toggle(toggle)
         try:
-            yr, yi = fft_split(xr[:4], xi[:4])
+            yr, yi = fft_split(xr[:check_rows], xi[:check_rows])
+            rows = np.asarray(yr) + 1j * np.asarray(yi)
             snr = snr_db(
-                np.asarray(yr) + 1j * np.asarray(yi),
+                rows,
                 np.fft.fft(
-                    np.asarray(xr[:4]) + 1j * np.asarray(xi[:4])
+                    np.asarray(xr[:check_rows]) + 1j * np.asarray(xi[:check_rows])
                 ),
             )
             per = time_chain_diff(make, xr, k_lo=8, k_hi=24, iters=4)
-            out[name] = (snr, per)
+            out[name] = (snr, per, rows)
         finally:
-            pf.set_natural_fused(True)
+            set_toggle(prev)
+    return out
+
+
+@section("natural-fused A/B")
+def drive_natural_ab():
+    """Public fft() with the in-kernel MXU natural emission vs the XLA
+    digit->natural transpose it replaces (the round-1 0.26-roofline gap).
+    Also checks the two paths agree elementwise ON CHIP (the interpret-
+    mode equality test never exercises the real MXU bf16-limb path)."""
+    import godsp_tpu.ops.pallas_fft as pf
+
+    def toggle(on):
+        prev = pf._natural_fused
+        pf.set_natural_fused(on)
+        return prev
+
+    out = _ab_fft_split(
+        1024, 16384, 7, (("fused", True), ("xla", False)), toggle
+    )
     f, x_ = out["fused"], out["xla"]
+    nbad = int(np.sum(f[2] != x_[2]))
     return (
         f"fused {f[1]*1e3:.3f} ms ({f[0]:.0f} dB) vs xla-transpose "
-        f"{x_[1]*1e3:.3f} ms ({x_[0]:.0f} dB) -> {x_[1]/f[1]:.2f}x"
+        f"{x_[1]*1e3:.3f} ms ({x_[0]:.0f} dB) -> {x_[1]/f[1]:.2f}x; "
+        f"{nbad}/{f[2].size} bins differ on chip"
     )
 
 
 @section("16384 routing A/B")
 def drive_16k_ab():
-    import jax
-    import jax.numpy as jnp
+    from godsp_tpu.fft import large
 
-    from godsp_tpu._dtypes import put
-    from godsp_tpu.dsputils import snr_db
-    from godsp_tpu.fft import fft_split, large
-    from godsp_tpu.utils.metrics import time_chain_diff
-
-    n, batch = 16384, 1024
-    rng = np.random.default_rng(8)
-    xr = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
-    xi = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
-
-    def make(K):
-        @jax.jit
-        def chain(r):
-            ar, ai = r, xi
-            for _ in range(K):
-                ar, ai = fft_split(ar * 1e-2, ai * 1e-2)
-            return ar
-
-        return chain
-
-    out = {}
-    for name, mn in (("kernel3d", 32768), ("split", 16384)):
+    def toggle(mn):
+        prev = large._MIN_N
         large.set_large_min(mn)
-        try:
-            yr, yi = fft_split(xr[:2], xi[:2])
-            snr = snr_db(
-                np.asarray(yr) + 1j * np.asarray(yi),
-                np.fft.fft(np.asarray(xr[:2]) + 1j * np.asarray(xi[:2])),
-            )
-            per = time_chain_diff(make, xr, k_lo=8, k_hi=24, iters=4)
-            out[name] = (snr, per)
-        finally:
-            large.set_large_min(32768)
+        return prev
+
+    out = _ab_fft_split(
+        16384, 1024, 8, (("kernel3d", 32768), ("split", 16384)), toggle,
+        check_rows=2,
+    )
     a, b = out["kernel3d"], out["split"]
     return (
         f"batched-3D {a[1]*1e3:.3f} ms ({a[0]:.0f} dB) vs lane-slice split "
