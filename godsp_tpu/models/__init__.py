@@ -14,7 +14,7 @@ batched, TPU-sharded equivalents as first-class API.
 
 from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
 from godsp_tpu.models.griffin import griffin_lim
-from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc
+from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc, stream_mel
 from godsp_tpu.models.resample import resample
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
@@ -24,15 +24,18 @@ from godsp_tpu.models.pipeline import (
 )
 from godsp_tpu.models.stft import (
     StreamingISTFT,
+    StreamingSTFT,
     istft,
     spectrogram,
     stft,
     stft_frames,
     stream_istft,
+    stream_stft,
 )
 
 __all__ = [
     "StreamingISTFT",
+    "StreamingSTFT",
     "WavPsdResult",
     "fftconvolve",
     "fir_filter",
@@ -46,6 +49,8 @@ __all__ = [
     "spectra_to_wav",
     "spectrogram",
     "stream_istft",
+    "stream_mel",
+    "stream_stft",
     "spectrogram_from_wav",
     "stft",
     "stft_frames",

@@ -20,7 +20,7 @@ from godsp_tpu._dtypes import default_float, put
 from godsp_tpu.fft.dct import dct
 from godsp_tpu.models.stft import WindowSpec, spectrogram
 
-__all__ = ["mel_filterbank", "mel_spectrogram", "mfcc"]
+__all__ = ["mel_filterbank", "mel_spectrogram", "mfcc", "stream_mel"]
 
 
 def _hz_to_mel(f):
@@ -132,6 +132,44 @@ def mel_spectrogram(
         p = spectrogram(x, nfft, hop, window, scale="power")  # (..., frames, lp)
         m = p @ fb.astype(p.dtype).T
     return jnp.log(m + eps) if log else m
+
+
+def stream_mel(
+    chunks,
+    fs: float,
+    nfft: int = 1024,
+    hop: Optional[int] = None,
+    n_mels: int = 80,
+    window: WindowSpec = None,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
+    norm: Optional[str] = None,
+    log: bool = False,
+    eps: float = 1e-10,
+):
+    """Streaming mel front end: sample blocks in, (..., F_k, n_mels)
+    mel (or log-mel) blocks out, one fused device program per block.
+
+    The analysis mirror of models.stream_istft for hours-long audio: the
+    (< nfft)-sample tail behind each block's last frame start is carried
+    on the host (models.stft._StreamingFramer), so the concatenation of
+    the yielded blocks equals mel_spectrogram of the concatenated
+    signal exactly.  Block lengths that are a multiple of hop keep one
+    compiled program after the first chunk.
+    """
+    from godsp_tpu.models.stft import _StreamingFramer
+
+    hop_r = nfft // 2 if hop is None else hop
+    if hop_r <= 0:
+        raise ValueError("hop must be positive")
+    framer = _StreamingFramer(nfft, hop_r)
+    for block in chunks:
+        seg = framer.push(block)
+        if seg is not None:
+            yield mel_spectrogram(
+                seg, fs, nfft, hop_r, n_mels, window, fmin, fmax, norm,
+                log=log, eps=eps,
+            )
 
 
 def mfcc(

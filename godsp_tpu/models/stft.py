@@ -20,6 +20,7 @@ from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from godsp_tpu import window as win
 from godsp_tpu._dtypes import as_real_array, default_float, put
@@ -28,11 +29,13 @@ from godsp_tpu.fft.core import fft, fft_real, ifft
 
 __all__ = [
     "StreamingISTFT",
+    "StreamingSTFT",
     "istft",
     "spectrogram",
     "stft",
     "stft_frames",
     "stream_istft",
+    "stream_stft",
 ]
 
 WindowSpec = Union[str, Callable[[int], jax.Array], None]
@@ -488,3 +491,103 @@ def stream_istft(chunks, nfft: int, hop: Optional[int] = None,
     for spec in chunks:
         yield s.push(spec)
     yield s.flush()
+
+
+class _StreamingFramer:
+    """Host-side frame-boundary bookkeeping for chunked analysis.
+
+    Accumulates sample blocks (..., L_k) and hands back the longest
+    prefix covering whole frames (frame count (L - nfft)//hop + 1, the
+    spectral.Segment geometry, spectral.go:26-33); the tail past the
+    last consumed frame start (< nfft samples) is carried into the next
+    block on the host — the block itself then makes ONE device trip.
+    """
+
+    def __init__(self, nfft: int, hop: int):
+        self.nfft, self.hop = nfft, hop
+        self._carry = None
+
+    def push(self, block):
+        block = np.asarray(block)
+        buf = (
+            block
+            if self._carry is None
+            else np.concatenate([self._carry, block], axis=-1)
+        )
+        if buf.shape[-1] < self.nfft:
+            self._carry = buf
+            return None
+        k = (buf.shape[-1] - self.nfft) // self.hop + 1
+        self._carry = buf[..., k * self.hop :]
+        return buf[..., : (k - 1) * self.hop + self.nfft]
+
+    @property
+    def leftover(self) -> int:
+        """Samples carried (or buffered pre-first-frame) right now."""
+        return 0 if self._carry is None else self._carry.shape[-1]
+
+
+class StreamingSTFT:
+    """Chunked forward STFT: the analysis twin of StreamingISTFT.
+
+    Push sample blocks (..., L_k) in time order; each push returns the
+    (..., F_k, bins) spectra block it fully determines (or None while
+    fewer than nfft samples have arrived).  The concatenation of all
+    returned blocks equals models.stft of the concatenated signal,
+    exactly — per-frame kernel math is batch-independent, and the
+    (< nfft)-sample tail behind the last frame start is carried on the
+    host into the next block.  Like the one-shot stft (and
+    spectral.Segment, spectral.go:36-44), the final remainder that
+    never fills a frame is dropped.
+
+    Each push runs one device program; block lengths that are a
+    multiple of hop keep the carry length constant so every chunk after
+    the first reuses one compiled program (the tunnel-dispatch
+    discipline of parallel.streaming).
+    """
+
+    def __init__(
+        self,
+        nfft: int,
+        hop: Optional[int] = None,
+        window: WindowSpec = None,
+        pad: Optional[int] = None,
+        onesided: bool = True,
+    ):
+        self.nfft = nfft
+        self.hop = nfft // 2 if hop is None else hop
+        if self.hop <= 0:
+            raise ValueError("hop must be positive")
+        self.pad = pad or nfft
+        if self.pad < nfft:
+            raise ValueError("pad must be >= nfft")
+        self.window = window
+        self.onesided = onesided
+        self._framer = _StreamingFramer(nfft, self.hop)
+
+    def update(self, block) -> Optional[jax.Array]:
+        """Consume one sample block; return its spectra block (or None)."""
+        seg = self._framer.push(block)
+        if seg is None:
+            return None
+        return stft(
+            seg, self.nfft, self.hop, self.window, self.pad, self.onesided
+        )
+
+    @property
+    def leftover(self) -> int:
+        """Samples buffered toward the next frame."""
+        return self._framer.leftover
+
+
+def stream_stft(chunks, nfft: int, hop: Optional[int] = None,
+                window: WindowSpec = None, pad: Optional[int] = None,
+                onesided: bool = True):
+    """Generator over StreamingSTFT: yields one spectra block per input
+    block once frames are available.  np.concatenate(list(...), axis=-2)
+    == models.stft of the concatenated signal."""
+    s = StreamingSTFT(nfft, hop, window, pad, onesided)
+    for block in chunks:
+        spec = s.update(block)
+        if spec is not None:
+            yield spec

@@ -528,3 +528,71 @@ class TestStreamingISTFT:
         # amplifying f32 kernel noise; interior tight, full looser.
         assert snr_db(got[nfft:-nfft], ref[nfft:-nfft]) >= 100.0
         assert snr_db(got, ref) >= 90.0
+
+
+class TestStreamingSTFT:
+    """Chunked analysis: concatenated spectra blocks == one-shot stft."""
+
+    def _assert_stream_equal(self, L, nfft, hop, splits, batch=(), **kw):
+        from godsp_tpu.models import stft, stream_stft
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=batch + (L,))
+        chunks = [x[..., a:b] for a, b in zip([0] + splits, splits + [L])]
+        blocks = list(stream_stft(chunks, nfft, hop=hop, **kw))
+        got = np.concatenate([np.asarray(b) for b in blocks], axis=-2)
+        ref = np.asarray(stft(x, nfft, hop=hop, **kw))
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+    def test_aligned_blocks_exact(self):
+        # Block lengths a multiple of hop: stable carry, exact equality.
+        self._assert_stream_equal(128 * 64 + 128, 256, 128, [128 * 16, 128 * 40])
+
+    def test_ragged_blocks_and_short_first(self):
+        # First block shorter than nfft (no frames yet), ragged rest.
+        self._assert_stream_equal(10000, 256, 128, [100, 777, 5000])
+
+    def test_odd_hop_and_pad(self):
+        # hop=100 exercises the odd-hop framing; pad > nfft the zero-
+        # extension path.
+        self._assert_stream_equal(9000, 256, 100, [2048, 5000], pad=512)
+
+    def test_batched_channels(self):
+        self._assert_stream_equal(6000, 128, 64, [2000], batch=(2,))
+
+    def test_twosided(self):
+        self._assert_stream_equal(4000, 128, 64, [1500], onesided=False)
+
+    def test_update_api_and_leftover(self):
+        from godsp_tpu.models import StreamingSTFT
+
+        st = StreamingSTFT(256, 128)
+        assert st.update(np.zeros(100)) is None  # < nfft buffered
+        assert st.leftover == 100
+        spec = st.update(np.zeros(300))  # 400 total -> 2 frames
+        assert spec.shape[-2] == 2 and spec.shape[-1] == 129
+        assert st.leftover == 400 - 2 * 128
+        with pytest.raises(ValueError, match="hop must be positive"):
+            StreamingSTFT(256, 0)
+        with pytest.raises(ValueError, match="pad must be >= nfft"):
+            StreamingSTFT(256, 128, pad=128)
+
+    def test_stream_mel_matches_one_shot(self):
+        from godsp_tpu.models import mel_spectrogram, stream_mel
+
+        rng = np.random.default_rng(8)
+        L, nfft, hop = 12000, 512, 256
+        x = rng.normal(size=L).astype(np.float32)
+        blocks = list(
+            stream_mel(
+                [x[:4096], x[4096:8192], x[8192:]], 16000.0, nfft, hop,
+                n_mels=40, log=True,
+            )
+        )
+        got = np.concatenate([np.asarray(b) for b in blocks], axis=-2)
+        ref = np.asarray(
+            mel_spectrogram(x, 16000.0, nfft, hop, n_mels=40, log=True)
+        )
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
