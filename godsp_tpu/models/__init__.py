@@ -3,6 +3,7 @@
   stft     — short-time Fourier transform / inverse / spectrogram
   griffin  — Griffin-Lim phase reconstruction (fast GLA momentum)
   filter   — linear convolution / FIR filtering (overlap-save)
+  iir      — IIR filtering as a blocked parallel scan (lfilter/sosfilt/filtfilt)
   mel      — mel filterbank / log-mel spectrogram / MFCC front end
   resample — Fourier-method resampling (scipy.signal.resample)
   pipeline — WAV stream -> distributed streaming Welch PSD (flagship)
@@ -14,6 +15,7 @@ batched, TPU-sharded equivalents as first-class API.
 
 from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
 from godsp_tpu.models.griffin import griffin_lim
+from godsp_tpu.models.iir import filtfilt, lfilter, lfilter_zi, sosfilt
 from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc, stream_mel
 from godsp_tpu.models.resample import resample
 from godsp_tpu.models.pipeline import (
@@ -38,9 +40,13 @@ __all__ = [
     "StreamingSTFT",
     "WavPsdResult",
     "fftconvolve",
+    "filtfilt",
     "fir_filter",
     "griffin_lim",
+    "lfilter",
+    "lfilter_zi",
     "overlap_save",
+    "sosfilt",
     "istft",
     "mel_filterbank",
     "mel_spectrogram",

@@ -596,3 +596,145 @@ class TestStreamingSTFT:
         )
         assert got.shape == ref.shape
         np.testing.assert_array_equal(got, ref)
+
+
+class TestIIR:
+    """models/iir.py: blocked parallel-scan IIR vs scipy.signal float64."""
+
+    @staticmethod
+    def _butter(order=4, wn=0.2, **kw):
+        import scipy.signal as ss
+
+        return ss.butter(order, wn, **kw)
+
+    def test_lfilter_vs_scipy(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import lfilter
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=5000)
+        b, a = self._butter()
+        np.testing.assert_allclose(
+            np.asarray(lfilter(b, a, x)), ss.lfilter(b, a, x),
+            rtol=1e-10, atol=1e-12,
+        )
+
+    @pytest.mark.parametrize("block", [None, 32, 257])
+    def test_block_size_invariance(self, block):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import lfilter
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=1111)
+        b, a = self._butter(6, 0.3)
+        np.testing.assert_allclose(
+            np.asarray(lfilter(b, a, x, block_size=block)),
+            ss.lfilter(b, a, x), rtol=1e-9, atol=1e-12,
+        )
+
+    def test_zi_streaming_continuity(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import lfilter, lfilter_zi
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=4096)
+        b, a = self._butter()
+        zi = np.asarray(lfilter_zi(b, a))
+        np.testing.assert_allclose(zi, ss.lfilter_zi(b, a), rtol=1e-12)
+        y1, zf = lfilter(b, a, x[:1500], zi=zi * x[0])
+        y2, zf2 = lfilter(b, a, x[1500:], zi=zf)
+        got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+        ref, zfr = ss.lfilter(b, a, x, zi=ss.lfilter_zi(b, a) * x[0])
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(zf2), zfr, rtol=1e-9, atol=1e-12)
+
+    def test_batched_axis_complex(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import lfilter
+
+        rng = np.random.default_rng(3)
+        b, a = self._butter(3, 0.4)
+        xb = rng.normal(size=(3, 4, 777))
+        np.testing.assert_allclose(
+            np.asarray(lfilter(b, a, xb)), ss.lfilter(b, a, xb, axis=-1),
+            rtol=1e-9, atol=1e-12,
+        )
+        x0 = rng.normal(size=(400, 5))
+        np.testing.assert_allclose(
+            np.asarray(lfilter(b, a, x0, axis=0)),
+            ss.lfilter(b, a, x0, axis=0), rtol=1e-9, atol=1e-12,
+        )
+        xc = rng.normal(size=500) + 1j * rng.normal(size=500)
+        np.testing.assert_allclose(
+            np.asarray(lfilter(b, a, xc)), ss.lfilter(b, a, xc),
+            rtol=1e-9, atol=1e-12,
+        )
+
+    def test_fir_and_pure_gain(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import lfilter
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=300)
+        taps = np.hanning(9)
+        np.testing.assert_allclose(
+            np.asarray(lfilter(taps, [1.0], x)), ss.lfilter(taps, [1.0], x),
+            rtol=1e-10, atol=1e-14,
+        )
+        y, zf = lfilter([2.5], [1.0], x, zi=np.zeros((0,)))
+        np.testing.assert_allclose(np.asarray(y), 2.5 * x, rtol=1e-12)
+        assert zf.shape == (0,)
+
+    def test_sosfilt_vs_scipy(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import sosfilt
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=3000)
+        sos = ss.butter(8, [0.1, 0.3], btype="band", output="sos")
+        np.testing.assert_allclose(
+            np.asarray(sosfilt(sos, x)), ss.sosfilt(sos, x),
+            rtol=1e-9, atol=1e-12,
+        )
+        zi = ss.sosfilt_zi(sos) * x[0]
+        got, gzf = sosfilt(sos, x, zi=zi)
+        ref, rzf = ss.sosfilt(sos, x, zi=zi)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gzf), rzf, rtol=1e-9, atol=1e-12)
+
+    def test_filtfilt_vs_scipy(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import filtfilt
+
+        rng = np.random.default_rng(6)
+        x = rng.normal(size=2000)
+        b, a = self._butter()
+        np.testing.assert_allclose(
+            np.asarray(filtfilt(b, a, x)), ss.filtfilt(b, a, x),
+            rtol=1e-9, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(filtfilt(b, a, x, padlen=50)),
+            ss.filtfilt(b, a, x, padlen=50), rtol=1e-9, atol=1e-12,
+        )
+
+    def test_errors(self):
+        from godsp_tpu.models import filtfilt, lfilter, sosfilt
+
+        with pytest.raises(ValueError, match="nonzero"):
+            lfilter([1.0], [0.0, 1.0], np.ones(8))
+        with pytest.raises(ValueError, match="1-D"):
+            lfilter(np.ones((2, 2)), [1.0], np.ones(8))
+        with pytest.raises(ValueError, match="n_sections"):
+            sosfilt(np.ones((3, 5)), np.ones(8))
+        with pytest.raises(ValueError, match="padlen"):
+            filtfilt([1.0, 0.5], [1.0, -0.3], np.ones(5))
+        with pytest.raises(ValueError, match="at least one sample"):
+            lfilter([1.0, 0.5], [1.0, -0.3], np.zeros((3, 0)))
