@@ -17,7 +17,7 @@ from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
 from godsp_tpu.models.griffin import griffin_lim
 from godsp_tpu.models.iir import filtfilt, lfilter, lfilter_zi, sosfilt
 from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc, stream_mel
-from godsp_tpu.models.resample import resample
+from godsp_tpu.models.resample import firwin, resample, resample_poly, upfirdn
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
     spectra_to_wav,
@@ -42,11 +42,14 @@ __all__ = [
     "fftconvolve",
     "filtfilt",
     "fir_filter",
+    "firwin",
     "griffin_lim",
     "lfilter",
     "lfilter_zi",
     "overlap_save",
+    "resample_poly",
     "sosfilt",
+    "upfirdn",
     "istft",
     "mel_filterbank",
     "mel_spectrogram",

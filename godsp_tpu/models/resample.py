@@ -1,22 +1,29 @@
-"""Fourier-method resampling (scipy.signal.resample semantics).
+"""Resampling: Fourier method and polyphase (scipy.signal semantics).
 
-Resample x to `num` points along the trailing axis by transforming,
-truncating/zero-padding the spectrum (with the Nyquist bin split
-handled exactly as scipy does), and inverse transforming — all through
-the framework's FFT kernels, so power-of-2 lengths ride Pallas.
+`resample` transforms, truncates/zero-pads the spectrum (Nyquist bin
+split handled exactly as scipy does), and inverse transforms — all
+through the framework's FFT kernels, so power-of-2 lengths ride Pallas.
+
+`resample_poly`/`upfirdn` do rational-rate polyphase resampling: the
+anti-alias FIR is designed host-side in float64 at trace time
+(`firwin`, window method), and the filtering itself runs as ONE batched
+kernel-chain convolution (models.filter.fftconvolve) over the
+zero-stuffed signal — no per-phase loops on device.
 """
 
 from __future__ import annotations
 
 from functools import partial
+from math import gcd
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from godsp_tpu._dtypes import as_complex_array, put
 from godsp_tpu.fft.core import _fft_jit, _ifft_jit
 
-__all__ = ["resample"]
+__all__ = ["firwin", "resample", "resample_poly", "upfirdn"]
 
 
 @partial(jax.jit, static_argnames=("num", "real_out"))
@@ -49,3 +56,138 @@ def resample(x, num: int) -> jax.Array:
     x = put(x)
     real_out = x.dtype.kind != "c"
     return _resample_jit(x, int(num), real_out)
+
+
+def _window_vector_np(window, numtaps: int) -> np.ndarray:
+    """Resolve a firwin window spec to a float64 length-numtaps table:
+    a name from godsp_tpu.window, ("kaiser", beta), a callable, or an
+    explicit array."""
+    from godsp_tpu import window as win
+
+    if (
+        isinstance(window, tuple)
+        and len(window) == 2
+        and str(window[0]).lower() == "kaiser"
+    ):
+        return win._kaiser_table(float(window[1]), numtaps)
+    if isinstance(window, (str, bytes)) or callable(window):
+        return win.window_table_np(window, numtaps)
+    w = np.asarray(window, np.float64)
+    if w.shape != (numtaps,):
+        raise ValueError(f"window must have {numtaps} taps, got {w.shape}")
+    return w
+
+
+def firwin(
+    numtaps: int,
+    cutoff,
+    window=("kaiser", 5.0),
+    pass_zero: bool = True,
+    scale: bool = True,
+) -> np.ndarray:
+    """Window-method FIR design (scipy.signal.firwin; cutoff normalized
+    to Nyquist == 1).  Scalar cutoff: lowpass (pass_zero=True) or
+    highpass; two cutoffs: bandstop (pass_zero=True) or bandpass.
+    Returns float64 numpy taps — a trace-time constant for the device
+    filtering paths (upfirdn, fir_filter, overlap_save)."""
+    numtaps = int(numtaps)
+    if numtaps < 1:
+        raise ValueError("numtaps must be >= 1")
+    cut = np.atleast_1d(np.asarray(cutoff, np.float64))
+    if cut.ndim != 1 or cut.size == 0:
+        raise ValueError("cutoff must be a scalar or 1-D sequence")
+    if np.any(cut <= 0) or np.any(cut >= 1):
+        raise ValueError("cutoff must lie strictly inside (0, 1)")
+    if np.any(np.diff(cut) <= 0):
+        raise ValueError("cutoff frequencies must be strictly increasing")
+    pass_nyquist = bool(cut.size & 1) ^ bool(pass_zero)
+    if pass_nyquist and numtaps % 2 == 0:
+        raise ValueError(
+            "an even numtaps cannot pass the Nyquist frequency"
+        )
+    edges = np.hstack(
+        ([0.0] if pass_zero else []) + [cut] + ([1.0] if pass_nyquist else [])
+    ).reshape(-1, 2)
+    m = np.arange(numtaps, dtype=np.float64) - (numtaps - 1) / 2.0
+    h = np.zeros(numtaps, np.float64)
+    for left, right in edges:
+        h += right * np.sinc(right * m) - left * np.sinc(left * m)
+    h *= _window_vector_np(window, numtaps)
+    if scale:
+        left, right = edges[0]
+        f = 0.0 if left == 0 else (1.0 if right == 1 else (left + right) / 2)
+        h /= np.sum(h * np.cos(np.pi * m * f))
+    return h
+
+
+def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:
+    return ((n_in - 1) * up + len_h - 1) // down + 1
+
+
+def upfirdn(h, x, up: int = 1, down: int = 1) -> jax.Array:
+    """Upsample by `up` (zero stuffing), FIR filter with h, downsample
+    by `down` (scipy.signal.upfirdn semantics along the trailing axis;
+    leading axes batch).  The filtering is one batched kernel-chain
+    convolution — the polyphase decomposition is implicit in the
+    zero-stuffed operand, which XLA streams without materializing
+    per-phase copies."""
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    x = put(x)
+    hh = np.asarray(h, np.float64)
+    if hh.ndim != 1 or hh.size == 0:
+        raise ValueError("h must be a nonempty 1-D tap vector")
+    n_in = x.shape[-1]
+    if up > 1:
+        xs = jnp.zeros(x.shape[:-1] + (n_in, up), x.dtype)
+        xs = xs.at[..., 0].set(x).reshape(*x.shape[:-1], n_in * up)
+    else:
+        xs = x
+    from godsp_tpu.models.filter import fftconvolve
+
+    full = fftconvolve(xs, hh, mode="full")
+    n_out = _upfirdn_len(hh.size, n_in, up, down)
+    return full[..., ::down][..., :n_out]
+
+
+def resample_poly(x, up: int, down: int, window=("kaiser", 5.0)) -> jax.Array:
+    """Polyphase rational-rate resampling (scipy.signal.resample_poly
+    with its default zero-padded edges).  window: a firwin window spec
+    for the anti-alias lowpass, or an explicit FIR tap array to use
+    directly (scipy's array semantics)."""
+    up, down = int(up), int(down)
+    if up < 1 or down < 1:
+        raise ValueError("up and down must be >= 1")
+    g = gcd(up, down)
+    up //= g
+    down //= g
+    x = put(x)
+    if up == 1 and down == 1:
+        return x
+    n_in = x.shape[-1]
+    if n_in == 0:
+        raise ValueError("x must have at least one sample")
+    n_out = n_in * up
+    n_out = n_out // down + bool(n_out % down)
+    if isinstance(window, (np.ndarray, jnp.ndarray, list)):
+        h = np.asarray(window, np.float64)
+        if h.ndim != 1:
+            raise ValueError("an explicit window must be 1-D FIR taps")
+        half_len = (h.size - 1) // 2
+    else:
+        max_rate = max(up, down)
+        half_len = 10 * max_rate
+        h = firwin(2 * half_len + 1, 1.0 / max_rate, window=window)
+    h = h * up
+    n_pre_pad = down - half_len % down
+    n_pre_remove = (half_len + n_pre_pad) // down
+    n_post_pad = 0
+    while (
+        _upfirdn_len(h.size + n_pre_pad + n_post_pad, n_in, up, down)
+        < n_out + n_pre_remove
+    ):
+        n_post_pad += 1
+    hf = np.concatenate([np.zeros(n_pre_pad), h, np.zeros(n_post_pad)])
+    y = upfirdn(hf, x, up, down)
+    return y[..., n_pre_remove : n_pre_remove + n_out]

@@ -738,3 +738,94 @@ class TestIIR:
             filtfilt([1.0, 0.5], [1.0, -0.3], np.ones(5))
         with pytest.raises(ValueError, match="at least one sample"):
             lfilter([1.0, 0.5], [1.0, -0.3], np.zeros((3, 0)))
+
+
+class TestPolyphaseResample:
+    """firwin/upfirdn/resample_poly vs scipy.signal float64."""
+
+    def test_firwin_vs_scipy(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import firwin
+
+        cases = [
+            dict(numtaps=31, cutoff=0.3, window=("kaiser", 5.0)),
+            dict(numtaps=64, cutoff=0.25, window="hamming"),
+            dict(numtaps=31, cutoff=0.4, window="hamming", pass_zero=False),
+            dict(numtaps=32, cutoff=[0.2, 0.5], window="hamming",
+                 pass_zero=False),
+            dict(numtaps=33, cutoff=[0.2, 0.5], window="blackman"),
+        ]
+        for kw in cases:
+            got = firwin(**kw)
+            ref = ss.firwin(**kw)
+            np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+    def test_firwin_errors(self):
+        from godsp_tpu.models import firwin
+
+        with pytest.raises(ValueError, match="inside"):
+            firwin(31, 1.5)
+        with pytest.raises(ValueError, match="increasing"):
+            firwin(31, [0.5, 0.2])
+        with pytest.raises(ValueError, match="Nyquist"):
+            firwin(30, 0.4, pass_zero=False)
+
+    @pytest.mark.parametrize("up,down", [(1, 1), (3, 1), (1, 4), (3, 2), (7, 5)])
+    def test_upfirdn_vs_scipy(self, up, down):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import upfirdn
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=777)
+        h = ss.firwin(41, 0.3)
+        got = np.asarray(upfirdn(h, x, up, down))
+        ref = ss.upfirdn(h, x, up, down)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    @pytest.mark.parametrize("up,down", [(2, 1), (1, 2), (3, 2), (160, 441), (5, 5)])
+    def test_resample_poly_vs_scipy(self, up, down):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import resample_poly
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=1000)
+        got = np.asarray(resample_poly(x, up, down))
+        ref = ss.resample_poly(x, up, down)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+    def test_batched_complex_and_explicit_window(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import resample_poly
+
+        rng = np.random.default_rng(2)
+        xb = rng.normal(size=(2, 3, 500))
+        np.testing.assert_allclose(
+            np.asarray(resample_poly(xb, 3, 2)),
+            ss.resample_poly(xb, 3, 2, axis=-1), rtol=1e-9, atol=1e-12,
+        )
+        xc = rng.normal(size=400) + 1j * rng.normal(size=400)
+        np.testing.assert_allclose(
+            np.asarray(resample_poly(xc, 2, 3)), ss.resample_poly(xc, 2, 3),
+            rtol=1e-9, atol=1e-12,
+        )
+        h = ss.firwin(41, 0.3)
+        np.testing.assert_allclose(
+            np.asarray(resample_poly(xc.real, 3, 2, window=h)),
+            ss.resample_poly(xc.real, 3, 2, window=h), rtol=1e-9, atol=1e-12,
+        )
+
+    def test_errors(self):
+        from godsp_tpu.models import resample_poly, upfirdn
+
+        with pytest.raises(ValueError, match=">= 1"):
+            resample_poly(np.ones(10), 0, 2)
+        with pytest.raises(ValueError, match="1-D"):
+            upfirdn(np.ones((2, 2)), np.ones(10))
+        with pytest.raises(ValueError, match="at least one"):
+            resample_poly(np.zeros(0), 2, 1)
