@@ -7,6 +7,16 @@ XLA oracle paths).  Usage: python examples/large_fft_and_hilbert.py
 
 from __future__ import annotations
 
+import os as _os
+
+# Honor JAX_PLATFORMS even where sitecustomize pre-registers a TPU plugin.
+_p = _os.environ.get("JAX_PLATFORMS")
+if _p:
+    import jax as _jax
+
+    if _jax.config.jax_platforms != _p:
+        _jax.config.update("jax_platforms", _p)
+
 import numpy as np
 
 from godsp_tpu import fft, spectral

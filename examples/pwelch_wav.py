@@ -10,6 +10,14 @@ import sys as _sys
 
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 
+# Honor JAX_PLATFORMS even where sitecustomize pre-registers a TPU plugin.
+_p = _os.environ.get("JAX_PLATFORMS")
+if _p:
+    import jax as _jax
+
+    if _jax.config.jax_platforms != _p:
+        _jax.config.update("jax_platforms", _p)
+
 
 import io
 import sys

@@ -21,6 +21,7 @@ from godsp_tpu.dsputils.matrix import (
     make_matrix_2,
 )
 from godsp_tpu.dsputils.utils import (
+    detrend,
     is_power_of_2,
     next_power_of_2,
     segment,
@@ -34,6 +35,7 @@ from godsp_tpu.dsputils.utils import (
 
 __all__ = [
     "CLOSE_FACTOR",
+    "detrend",
     "Matrix",
     "complex_equal",
     "float_equal",

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from godsp_tpu._dtypes import as_complex_array
 
 __all__ = [
+    "detrend",
     "to_complex",
     "to_complex_2",
     "is_power_of_2",
@@ -124,3 +125,29 @@ def segment(x, segs: int, noverlap: float) -> jax.Array:
     starts = jnp.arange(segs) * step
     idx = starts[:, None] + jnp.arange(length)[None, :]
     return jnp.take(x, idx, axis=-1)
+
+
+def detrend(x, type: str = "linear", axis: int = -1) -> jax.Array:
+    """Remove the mean ('constant') or least-squares line ('linear')
+    along `axis` (scipy.signal.detrend with its default single segment).
+
+    The linear fit uses the closed-form centered-time solution
+    slope = sum((t - t̄) x) / sum((t - t̄)²), identical to the lstsq fit
+    scipy runs; everything stays on device and batches over the other
+    axes."""
+    if type not in ("linear", "l", "constant", "c"):
+        raise ValueError("type must be 'linear' or 'constant'")
+    from godsp_tpu._dtypes import default_float, put
+
+    x = put(x)
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(default_float())
+    if type in ("constant", "c"):
+        return x - jnp.mean(x, axis=axis, keepdims=True)
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    t = jnp.arange(n, dtype=x.real.dtype) - (n - 1) / 2.0
+    denom = jnp.sum(t * t)
+    xm = jnp.mean(x, axis=-1, keepdims=True)
+    slope = jnp.sum(t * x, axis=-1, keepdims=True) / denom
+    return jnp.moveaxis(x - xm - slope * t, -1, axis)

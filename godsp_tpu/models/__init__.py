@@ -4,6 +4,7 @@
   griffin  — Griffin-Lim phase reconstruction (fast GLA momentum)
   filter   — linear convolution / FIR filtering (overlap-save)
   iir      — IIR filtering as a blocked parallel scan (lfilter/sosfilt/filtfilt)
+  design   — IIR filter design (butter/cheby1/cheby2/bessel) + freqz analysis
   mel      — mel filterbank / log-mel spectrogram / MFCC front end
   resample — Fourier-method resampling (scipy.signal.resample)
   pipeline — WAV stream -> distributed streaming Welch PSD (flagship)
@@ -13,16 +14,57 @@ spectral happens in user code (SURVEY.md §1); these modules provide the
 batched, TPU-sharded equivalents as first-class API.
 """
 
-from godsp_tpu.models.filter import fftconvolve, fir_filter, overlap_save
+from godsp_tpu.models.design import (
+    bessel,
+    bilinear_zpk,
+    butter,
+    cheby1,
+    cheby2,
+    freqz,
+    group_delay,
+    iirfilter,
+    sosfreqz,
+    tf2zpk,
+    zpk2sos,
+    zpk2tf,
+)
+from godsp_tpu.models.filter import (
+    correlate,
+    correlation_lags,
+    fftconvolve,
+    fir_filter,
+    overlap_save,
+)
 from godsp_tpu.models.griffin import griffin_lim
-from godsp_tpu.models.iir import filtfilt, lfilter, lfilter_zi, sosfilt
+from godsp_tpu.models.iir import (
+    filtfilt,
+    lfilter,
+    lfilter_zi,
+    sosfilt,
+    sosfilt_zi,
+    sosfiltfilt,
+)
 from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc, stream_mel
-from godsp_tpu.models.resample import firwin, resample, resample_poly, upfirdn
+from godsp_tpu.models.resample import (
+    decimate,
+    firwin,
+    resample,
+    resample_poly,
+    upfirdn,
+)
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
     spectra_to_wav,
     spectrogram_from_wav,
     wav_psd,
+)
+from godsp_tpu.models.waveforms import (
+    chirp,
+    gausspulse,
+    sawtooth,
+    square,
+    sweep_poly,
+    unit_impulse,
 )
 from godsp_tpu.models.stft import (
     StreamingISTFT,
@@ -39,17 +81,40 @@ __all__ = [
     "StreamingISTFT",
     "StreamingSTFT",
     "WavPsdResult",
+    "bessel",
+    "bilinear_zpk",
+    "butter",
+    "cheby1",
+    "cheby2",
+    "chirp",
+    "correlate",
+    "correlation_lags",
+    "decimate",
     "fftconvolve",
     "filtfilt",
     "fir_filter",
     "firwin",
+    "freqz",
+    "gausspulse",
     "griffin_lim",
+    "group_delay",
+    "iirfilter",
     "lfilter",
     "lfilter_zi",
     "overlap_save",
     "resample_poly",
+    "sawtooth",
     "sosfilt",
+    "sosfilt_zi",
+    "sosfiltfilt",
+    "sosfreqz",
+    "square",
+    "sweep_poly",
+    "tf2zpk",
+    "unit_impulse",
     "upfirdn",
+    "zpk2sos",
+    "zpk2tf",
     "istft",
     "mel_filterbank",
     "mel_spectrogram",

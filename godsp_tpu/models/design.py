@@ -1,0 +1,543 @@
+"""Classical IIR filter design (butter/cheby1/cheby2/bessel) + analysis.
+
+The reference library has no filter-design surface (go-dsp's spectral
+stack consumes externally designed windows only, window.go:25-152);
+production DSP needs to design the filters that models.iir runs.  All
+design math is trace-time float64 numpy — the same discipline as the
+FFT twiddle caches (fft/stockham.py) — producing (b, a) / zpk / sos
+coefficient constants for the device-side parallel-scan filters.
+
+Design pipeline (the standard analog-prototype route, same semantics as
+scipy.signal but implemented from the textbook formulas):
+
+  analog lowpass prototype (buttap/cheb1ap/cheb2ap/besselap)
+    -> frequency transform (lp2lp/lp2hp/lp2bp/lp2bs on zpk)
+    -> bilinear transform (analog s -> digital z)
+    -> output form (zpk2tf / zpk2sos)
+
+Analysis helpers (freqz, sosfreqz, group_delay) evaluate responses in
+float64 on host — they are diagnostics, not compute paths.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "bessel",
+    "besselap",
+    "bilinear_zpk",
+    "buttap",
+    "butter",
+    "cheb1ap",
+    "cheb2ap",
+    "cheby1",
+    "cheby2",
+    "freqz",
+    "group_delay",
+    "iirfilter",
+    "lp2bp_zpk",
+    "lp2bs_zpk",
+    "lp2hp_zpk",
+    "lp2lp_zpk",
+    "sosfreqz",
+    "tf2zpk",
+    "zpk2sos",
+    "zpk2tf",
+]
+
+
+# ---------------------------------------------------------------------------
+# Analog lowpass prototypes (unit cutoff, zpk form)
+# ---------------------------------------------------------------------------
+
+
+def _check_order(N: int) -> int:
+    N = int(N)
+    if N < 1:
+        raise ValueError("filter order must be >= 1")
+    return N
+
+
+def buttap(N: int):
+    """Butterworth analog lowpass prototype: N poles equally spaced on
+    the left-half unit circle, no zeros, unit DC gain."""
+    N = _check_order(N)
+    theta = np.pi * (2 * np.arange(1, N + 1) + N - 1) / (2 * N)
+    p = np.exp(1j * theta)
+    return np.array([], complex), p, 1.0
+
+
+def cheb1ap(N: int, rp: float):
+    """Chebyshev type-I prototype: rp dB passband ripple, poles on an
+    ellipse (sinh/cosh-scaled Butterworth angles), no zeros."""
+    N = _check_order(N)
+    if rp <= 0:
+        raise ValueError("rp must be > 0 dB")
+    eps = math.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    mu = math.asinh(1.0 / eps) / N
+    theta = np.pi * np.arange(-N + 1, N, 2) / (2 * N)
+    p = -np.sinh(mu + 1j * theta)
+    k = np.prod(-p).real
+    if N % 2 == 0:
+        k /= math.sqrt(1.0 + eps * eps)
+    return np.array([], complex), p, float(k)
+
+
+def cheb2ap(N: int, rs: float):
+    """Chebyshev type-II (inverse Chebyshev) prototype: rs dB stopband
+    attenuation, zeros on the imaginary axis at the inverted Chebyshev
+    nodes, poles the inverted type-I poles."""
+    N = _check_order(N)
+    if rs <= 0:
+        raise ValueError("rs must be > 0 dB")
+    de = 1.0 / math.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    mu = math.asinh(1.0 / de) / N
+    if N % 2:
+        m = np.concatenate([np.arange(-N + 1, 0, 2), np.arange(2, N, 2)])
+    else:
+        m = np.arange(-N + 1, N, 2)
+    z = -np.conjugate(1j / np.sin(m * np.pi / (2 * N)))
+    p = -np.exp(1j * np.pi * np.arange(-N + 1, N, 2) / (2 * N))
+    p = np.sinh(mu) * p.real + 1j * np.cosh(mu) * p.imag
+    p = 1.0 / p
+    k = (np.prod(-p) / np.prod(-z)).real
+    return z, p, float(k)
+
+
+def _reverse_bessel_coeffs(N: int) -> np.ndarray:
+    """Coefficients (highest power first) of the degree-N reverse Bessel
+    polynomial theta_N(s): a_k = (2N-k)! / (2^(N-k) k! (N-k)!)."""
+    k = np.arange(N + 1)
+    c = [
+        math.factorial(2 * N - i)
+        // (2 ** (N - i) * math.factorial(i) * math.factorial(N - i))
+        for i in k
+    ]
+    return np.array(c[::-1], float)  # highest power of s first
+
+
+def besselap(N: int, norm: str = "phase"):
+    """Bessel/Thomson analog prototype (maximally flat group delay).
+
+    norm='phase' (default): poles scaled so the asymptotic magnitude
+    matches a Butterworth of the same order (phase crosses -N*pi/4 near
+    w=1); norm='delay': unit group delay at DC (raw polynomial roots).
+    Root-finding is np.roots — accurate to f64 parity for N <= ~25.
+    """
+    N = _check_order(N)
+    if norm not in ("phase", "delay"):
+        raise ValueError("norm must be 'phase' or 'delay'")
+    coeffs = _reverse_bessel_coeffs(N)
+    p = np.roots(coeffs)
+    a0 = coeffs[-1]  # constant term = theta_N(0)
+    if norm == "phase":
+        p = p * a0 ** (-1.0 / N)
+        k = 1.0
+    else:
+        k = float(a0)
+    return np.array([], complex), p, k
+
+
+# ---------------------------------------------------------------------------
+# zpk frequency transforms + bilinear (all trace-time float64)
+# ---------------------------------------------------------------------------
+
+
+def _relative_degree(z, p) -> int:
+    d = len(p) - len(z)
+    if d < 0:
+        raise ValueError("improper transfer function (more zeros than poles)")
+    return d
+
+
+def lp2lp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass prototype -> lowpass at cutoff wo (rad/s)."""
+    z, p = np.asarray(z, complex), np.asarray(p, complex)
+    d = _relative_degree(z, p)
+    return z * wo, p * wo, k * wo**d
+
+
+def lp2hp_zpk(z, p, k, wo: float = 1.0):
+    """Lowpass prototype -> highpass with cutoff wo: s -> wo/s."""
+    z, p = np.asarray(z, complex), np.asarray(p, complex)
+    d = _relative_degree(z, p)
+    zh = wo / z if len(z) else np.array([], complex)
+    ph = wo / p
+    zh = np.append(zh, np.zeros(d))
+    k_hp = k * np.real(np.prod(-z) / np.prod(-p))
+    return zh, ph, float(k_hp)
+
+
+def _bp_pair(roots, wo, bw):
+    """s -> (s^2 + wo^2)/(bw*s) root images: each lowpass root r maps to
+    the quadratic pair r*bw/2 +/- sqrt((r*bw/2)^2 - wo^2)."""
+    s = roots * bw / 2.0
+    disc = np.sqrt(s * s - wo * wo + 0j)
+    return np.concatenate([s + disc, s - disc])
+
+
+def lp2bp_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandpass centered at wo with bandwidth bw."""
+    z, p = np.asarray(z, complex), np.asarray(p, complex)
+    d = _relative_degree(z, p)
+    zb = _bp_pair(z, wo, bw) if len(z) else np.array([], complex)
+    pb = _bp_pair(p, wo, bw)
+    zb = np.append(zb, np.zeros(d))
+    return zb, pb, k * bw**d
+
+
+def lp2bs_zpk(z, p, k, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandstop: s -> bw*s/(s^2 + wo^2)."""
+    z, p = np.asarray(z, complex), np.asarray(p, complex)
+    d = _relative_degree(z, p)
+    zi = bw / 2.0 / z if len(z) else np.array([], complex)
+    pi_ = bw / 2.0 / p
+    zb = (
+        np.concatenate(
+            [zi + np.sqrt(zi * zi - wo * wo + 0j), zi - np.sqrt(zi * zi - wo * wo + 0j)]
+        )
+        if len(z)
+        else np.array([], complex)
+    )
+    pb = np.concatenate(
+        [pi_ + np.sqrt(pi_ * pi_ - wo * wo + 0j), pi_ - np.sqrt(pi_ * pi_ - wo * wo + 0j)]
+    )
+    zb = np.append(zb, np.full(d, 1j * wo))
+    zb = np.append(zb, np.full(d, -1j * wo))
+    k_bs = k * np.real(np.prod(-z) / np.prod(-p))
+    return zb, pb, float(k_bs)
+
+
+def bilinear_zpk(z, p, k, fs: float):
+    """Bilinear transform s -> 2*fs*(z-1)/(z+1) on zpk (analog -> digital;
+    pre-warp cutoffs with 2*fs*tan(w/(2*fs)) before calling)."""
+    z, p = np.asarray(z, complex), np.asarray(p, complex)
+    d = _relative_degree(z, p)
+    fs2 = 2.0 * fs
+    zd = (fs2 + z) / (fs2 - z)
+    pd = (fs2 + p) / (fs2 - p)
+    zd = np.append(zd, -np.ones(d))
+    kd = k * np.real(np.prod(fs2 - z) / np.prod(fs2 - p))
+    return zd, pd, float(kd)
+
+
+# ---------------------------------------------------------------------------
+# Output forms
+# ---------------------------------------------------------------------------
+
+
+def zpk2tf(z, p, k):
+    """(zeros, poles, gain) -> (b, a) polynomial coefficients (float64;
+    imaginary residue of conjugate-pair products is dropped)."""
+    b = k * np.atleast_1d(np.poly(np.asarray(z, complex)))
+    a = np.atleast_1d(np.poly(np.asarray(p, complex)))
+    return np.real(b).astype(np.float64), np.real(a).astype(np.float64)
+
+
+def tf2zpk(b, a):
+    """(b, a) -> (zeros, poles, gain) via np.roots."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    k = b[0] / a[0] if len(b) else 0.0
+    # strip leading zeros of b so roots() sees the true degree
+    nz = np.flatnonzero(b)
+    if nz.size == 0:
+        return np.array([], complex), np.roots(a), 0.0
+    b = b[nz[0] :]
+    return np.roots(b / b[0]), np.roots(a / a[0]), float(b[0] / a[0])
+
+
+def _cplx_real_split(r, tol: float = 1e-12):
+    """Split roots into (conjugate-pair representatives, reals).
+
+    Pairs are matched by sorted position of the positive-imag members
+    against the negative-imag members; raises if conjugates don't pair
+    up (inputs here always come from real-coefficient designs).
+    """
+    r = np.asarray(r, complex)
+    scale = np.abs(r).max() if r.size else 1.0
+    real_mask = np.abs(r.imag) <= tol * max(scale, 1.0)
+    reals = np.sort(r[real_mask].real)
+    cplx = r[~real_mask]
+    pos = np.sort_complex(cplx[cplx.imag > 0])
+    neg = np.sort_complex(np.conj(cplx[cplx.imag < 0]))
+    if len(pos) != len(neg) or not np.allclose(pos, neg, rtol=1e-8, atol=1e-10):
+        raise ValueError("roots do not come in conjugate pairs")
+    return pos, reals.astype(float)
+
+
+def _section(zs, ps) -> np.ndarray:
+    """One biquad row [b0 b1 b2 1 a1 a2] from <=2 zeros and <=2 poles."""
+    b = np.real(np.poly(np.asarray(zs, complex))) if len(zs) else np.array([1.0])
+    a = np.real(np.poly(np.asarray(ps, complex))) if len(ps) else np.array([1.0])
+    row = np.zeros(6)
+    row[: len(b)] = b
+    row[3 : 3 + len(a)] = a
+    return row
+
+
+def zpk2sos(z, p, k):
+    """(z, p, k) -> second-order sections (n_sections, 6).
+
+    Pairing: poles sorted by closeness to the unit circle (worst first
+    fills the LAST section, as scipy does); each complex pole takes its
+    conjugate, each real pole the nearest remaining real pole; each pole
+    pair takes the nearest remaining zero (plus its conjugate or the
+    nearest remaining real co-zero).  The overall cascade equals the zpk
+    transfer function to float64 round-off regardless of pairing; the
+    ordering minimizes intermediate peaking like scipy's 'nearest'.
+    """
+    z = np.asarray(z, complex)
+    p = np.asarray(p, complex)
+    if len(z) > len(p):
+        raise ValueError("improper system: more zeros than poles")
+    if len(p) == 0:
+        return np.array([[float(k), 0.0, 0.0, 1.0, 0.0, 0.0]])
+    n_sections = (len(p) + 1) // 2
+
+    zc, zr = _cplx_real_split(z)
+    pc, pr = _cplx_real_split(p)
+    zc, zr, pc, pr = list(zc), list(zr), list(pc), list(pr)
+
+    def take_nearest(pool, ref):
+        i = int(np.argmin(np.abs(np.asarray(pool) - ref)))
+        return pool.pop(i)
+
+    sections = []
+    for _ in range(n_sections):
+        # worst remaining pole = closest to the unit circle
+        cand = [(abs(1.0 - abs(x)), 0, j) for j, x in enumerate(pc)] + [
+            (abs(1.0 - abs(x)), 1, j) for j, x in enumerate(pr)
+        ]
+        _, kind, j = min(cand)
+        if kind == 0:
+            p1 = pc.pop(j)
+            ps = [p1, np.conj(p1)]
+        else:
+            p1 = pr.pop(j)
+            ps = [p1]
+            if pr and not pc:
+                ps.append(take_nearest(pr, p1))
+            elif pr and len(pr) + 2 * len(pc) + 1 > 2 * (n_sections - len(sections) - 1):
+                # pair two reals when the remaining slots demand it
+                ps.append(take_nearest(pr, p1))
+        # zeros: nearest to the section's first pole
+        zs = []
+        if zc or zr:
+            candz = [(abs(x - ps[0]), 0, j) for j, x in enumerate(zc)] + [
+                (abs(x - ps[0]), 1, j) for j, x in enumerate(zr)
+            ]
+            _, zkind, j = min(candz)
+            if zkind == 0:
+                z1 = zc.pop(j)
+                zs = [z1, np.conj(z1)]
+            else:
+                zs = [zr.pop(j)]
+                if zr and len(zr) + 2 * len(zc) > 2 * (n_sections - len(sections) - 1):
+                    zs.append(take_nearest(zr, zs[0]))
+        sections.append(_section(zs, ps))
+    # remaining zeros/poles must all be consumed
+    if zc or zr or pc or pr:
+        raise ValueError("pairing failed to consume all roots")
+    sos = np.stack(sections[::-1])  # worst pole last
+    sos[0, :3] *= k
+    return sos
+
+
+# ---------------------------------------------------------------------------
+# Top-level designers
+# ---------------------------------------------------------------------------
+
+_PROTOTYPES = {
+    "butter": lambda N, rp, rs: buttap(N),
+    "cheby1": lambda N, rp, rs: cheb1ap(N, rp),
+    "cheby2": lambda N, rp, rs: cheb2ap(N, rs),
+    "bessel": lambda N, rp, rs: besselap(N),
+}
+
+
+def iirfilter(
+    N: int,
+    Wn,
+    rp: float | None = None,
+    rs: float | None = None,
+    btype: str = "lowpass",
+    analog: bool = False,
+    ftype: str = "butter",
+    output: str = "ba",
+    fs: float | None = None,
+):
+    """Design an Nth-order IIR filter (scipy.signal.iirfilter semantics).
+
+    Wn: critical frequency/frequencies — normalized to Nyquist == 1 when
+    fs is None (digital), else in the same units as fs; rad/s if analog.
+    btype: lowpass/highpass/bandpass/bandstop.  ftype: butter/cheby1/
+    cheby2/bessel.  output: 'ba', 'zpk', or 'sos'.
+    """
+    N = _check_order(N)
+    btype = {
+        "low": "lowpass",
+        "lowpass": "lowpass",
+        "high": "highpass",
+        "highpass": "highpass",
+        "band": "bandpass",
+        "bandpass": "bandpass",
+        "stop": "bandstop",
+        "bandstop": "bandstop",
+    }.get(str(btype).lower())
+    if btype is None:
+        raise ValueError("btype must be lowpass/highpass/bandpass/bandstop")
+    if ftype not in _PROTOTYPES:
+        raise ValueError(f"ftype must be one of {sorted(_PROTOTYPES)}")
+    if ftype == "cheby1" and rp is None:
+        raise ValueError("cheby1 needs passband ripple rp (dB)")
+    if ftype == "cheby2" and rs is None:
+        raise ValueError("cheby2 needs stopband attenuation rs (dB)")
+    if output not in ("ba", "zpk", "sos"):
+        raise ValueError("output must be 'ba', 'zpk', or 'sos'")
+
+    Wn = np.atleast_1d(np.asarray(Wn, np.float64))
+    if btype in ("lowpass", "highpass"):
+        if Wn.shape != (1,):
+            raise ValueError(f"{btype} needs a single critical frequency")
+    else:
+        if Wn.shape != (2,) or not Wn[0] < Wn[1]:
+            raise ValueError(f"{btype} needs two increasing critical frequencies")
+
+    if not analog:
+        if fs is not None:
+            Wn = 2.0 * Wn / fs
+        if np.any(Wn <= 0) or np.any(Wn >= 1):
+            raise ValueError("digital critical frequencies must lie in (0, 1)")
+        fs_design = 2.0
+        warped = 2.0 * fs_design * np.tan(np.pi * Wn / fs_design)
+    else:
+        if np.any(Wn <= 0):
+            raise ValueError("analog critical frequencies must be > 0")
+        warped = Wn
+
+    z, p, k = _PROTOTYPES[ftype](N, rp, rs)
+    if btype == "lowpass":
+        z, p, k = lp2lp_zpk(z, p, k, wo=warped[0])
+    elif btype == "highpass":
+        z, p, k = lp2hp_zpk(z, p, k, wo=warped[0])
+    else:
+        bw = warped[1] - warped[0]
+        wo = math.sqrt(warped[0] * warped[1])
+        if btype == "bandpass":
+            z, p, k = lp2bp_zpk(z, p, k, wo=wo, bw=bw)
+        else:
+            z, p, k = lp2bs_zpk(z, p, k, wo=wo, bw=bw)
+    if not analog:
+        z, p, k = bilinear_zpk(z, p, k, fs=fs_design)
+
+    if output == "zpk":
+        return z, p, k
+    if output == "sos":
+        return zpk2sos(z, p, k)
+    return zpk2tf(z, p, k)
+
+
+def butter(N, Wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Butterworth design (scipy.signal.butter semantics)."""
+    return iirfilter(N, Wn, None, None, btype, analog, "butter", output, fs)
+
+
+def cheby1(N, rp, Wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Chebyshev type-I design (rp dB passband ripple)."""
+    return iirfilter(N, Wn, rp, None, btype, analog, "cheby1", output, fs)
+
+
+def cheby2(N, rs, Wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Chebyshev type-II design (rs dB stopband attenuation)."""
+    return iirfilter(N, Wn, None, rs, btype, analog, "cheby2", output, fs)
+
+
+def bessel(N, Wn, btype="lowpass", analog=False, output="ba", fs=None, norm="phase"):
+    """Bessel/Thomson design (maximally flat group delay)."""
+    if norm != "phase":
+        # delay-normed digital designs need the prototype swap only
+        z, p, k = besselap(_check_order(N), norm=norm)
+
+        def proto(n, rp, rs):
+            return z, p, k
+
+        saved = _PROTOTYPES["bessel"]
+        _PROTOTYPES["bessel"] = proto
+        try:
+            return iirfilter(N, Wn, None, None, btype, analog, "bessel", output, fs)
+        finally:
+            _PROTOTYPES["bessel"] = saved
+    return iirfilter(N, Wn, None, None, btype, analog, "bessel", output, fs)
+
+
+# ---------------------------------------------------------------------------
+# Response analysis (host float64 diagnostics)
+# ---------------------------------------------------------------------------
+
+
+def _freq_grid(worN, whole: bool, fs: float) -> np.ndarray:
+    if np.ndim(worN) == 0:
+        n = int(worN)
+        span = fs if whole else fs / 2.0
+        return np.linspace(0.0, span, n, endpoint=False)
+    return np.asarray(worN, np.float64)
+
+
+def freqz(b, a=1.0, worN: int = 512, whole: bool = False, fs: float = 2 * np.pi):
+    """Digital filter frequency response H(e^{jw}) (scipy.signal.freqz).
+
+    Returns (w, h): w in the units of fs (default rad/sample), h complex
+    float64.  worN may be a count (linspace over [0, fs/2) or [0, fs))
+    or an explicit frequency grid.
+    """
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    w = _freq_grid(worN, whole, fs)
+    zm1 = np.exp(-2j * np.pi * w / fs)
+    h = np.polynomial.polynomial.polyval(zm1, b) / np.polynomial.polynomial.polyval(
+        zm1, a
+    )
+    return w, h
+
+
+def sosfreqz(sos, worN: int = 512, whole: bool = False, fs: float = 2 * np.pi):
+    """Cascaded frequency response of second-order sections."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    w = _freq_grid(worN, whole, fs)
+    h = np.ones_like(w, complex)
+    for sec in sos:
+        _, hi = freqz(sec[:3], sec[3:], worN=w, fs=fs)
+        h *= hi
+    return w, h
+
+
+def group_delay(system, w: int = 512, whole: bool = False, fs: float = 2 * np.pi):
+    """Group delay -d(angle(H))/dw in samples (scipy.signal.group_delay).
+
+    system: (b, a).  Uses the exact derivative formula
+    gd = Re[(sum k b_k z^-k)/B] - Re[(sum k a_k z^-k)/A], which is
+    analytic (no phase unwrapping).
+    """
+    b, a = system
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    wgrid = _freq_grid(w, whole, fs)
+    zm1 = np.exp(-2j * np.pi * wgrid / fs)
+    pv = np.polynomial.polynomial.polyval
+    B = pv(zm1, b)
+    A = pv(zm1, a)
+    dB = pv(zm1, b * np.arange(len(b)))
+    dA = pv(zm1, a * np.arange(len(a)))
+    sing = (np.abs(B) < 1e-300) | (np.abs(A) < 1e-300)
+    gd = np.where(
+        sing, 0.0, np.real(dB / np.where(sing, 1.0, B)) - np.real(dA / np.where(sing, 1.0, A))
+    )
+    return wgrid, gd

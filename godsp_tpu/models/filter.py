@@ -28,7 +28,13 @@ from godsp_tpu.dsputils.utils import next_power_of_2
 from godsp_tpu.fft.core import fft
 from godsp_tpu.fft.pow2 import pow2_circular_filter, pow2_convolve
 
-__all__ = ["fftconvolve", "fir_filter", "overlap_save"]
+__all__ = [
+    "correlate",
+    "correlation_lags",
+    "fftconvolve",
+    "fir_filter",
+    "overlap_save",
+]
 
 
 def _out_slice(full: jax.Array, la: int, lb: int, mode: str) -> jax.Array:
@@ -72,6 +78,34 @@ def fftconvolve(a, b, mode: str = "full") -> jax.Array:
         raise ValueError("empty input")
     real_out = a.dtype.kind != "c" and b.dtype.kind != "c"
     return _fftconvolve_jit(a, b, mode, real_out)
+
+
+def correlate(a, b, mode: str = "full") -> jax.Array:
+    """Cross-correlation of a and b (scipy.signal.correlate, method='fft',
+    1-D trailing axes; leading axes broadcast as batch): correlate(a, b)
+    [k] = sum_n a[n + k - (lb - 1)] conj(b[n]).  Equivalent to linear
+    convolution with the reversed conjugate of b — one kernel-chain
+    launch via fftconvolve."""
+    b = put(b)
+    rev = jnp.conj(b[..., ::-1]) if b.dtype.kind == "c" else b[..., ::-1]
+    return fftconvolve(a, rev, mode=mode)
+
+
+def correlation_lags(in1_len: int, in2_len: int, mode: str = "full") -> jax.Array:
+    """Lag indices for correlate's output (scipy.signal.correlation_lags):
+    lags[k] such that correlate(a, b)[k] pairs a[n + lags[k]] with b[n]."""
+    in1_len, in2_len = int(in1_len), int(in2_len)
+    if mode == "full":
+        return jnp.arange(-in2_len + 1, in1_len)
+    if mode == "same":
+        lags = jnp.arange(-in2_len + 1, in1_len)
+        mid = lags.shape[0] // 2
+        start = mid - in1_len // 2
+        return lags[start : start + in1_len]
+    if mode == "valid":
+        bound = in1_len - in2_len
+        return jnp.arange(bound + 1) if bound >= 0 else jnp.arange(bound, 1)
+    raise ValueError(f"unknown mode: {mode}")
 
 
 def fir_filter(x, taps) -> jax.Array:

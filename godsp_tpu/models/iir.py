@@ -37,7 +37,14 @@ import numpy as np
 
 from godsp_tpu._dtypes import default_float
 
-__all__ = ["filtfilt", "lfilter", "lfilter_zi", "sosfilt"]
+__all__ = [
+    "filtfilt",
+    "lfilter",
+    "lfilter_zi",
+    "sosfilt",
+    "sosfilt_zi",
+    "sosfiltfilt",
+]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -245,6 +252,67 @@ def sosfilt(sos, x, zi=None, axis: int = -1, block_size: int | None = None):
     if zi is None:
         return y
     return y, jnp.stack(zfs, axis=0)
+
+
+def sosfilt_zi(sos):
+    """Steady-state initial conditions for sosfilt under a unit step
+    (scipy.signal.sosfilt_zi): per-section lfilter_zi scaled by the
+    cumulative DC gain of the preceding sections.  Shape
+    (n_sections, 2), float64 at trace time."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    zi = np.empty((sos.shape[0], 2))
+    scale = 1.0
+    for i, sec in enumerate(sos):
+        b, a = _norm_ba(sec[:3], sec[3:])
+        zi[i] = scale * np.asarray(lfilter_zi(b, a), np.float64)
+        scale *= b.sum() / a.sum()
+    return jnp.asarray(zi, default_float())
+
+
+def sosfiltfilt(sos, x, axis: int = -1, padlen: int | None = None,
+                block_size: int | None = None):
+    """Zero-phase forward-backward SOS filtering (scipy.signal.sosfiltfilt,
+    padtype='odd')."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    n_sections = sos.shape[0]
+    if padlen is None:
+        # scipy's default: 3 * (2*n_sections + 1 - min(trailing zero
+        # counts of the b and a sides))
+        ntaps = 2 * n_sections + 1
+        ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
+        edge = int(3 * ntaps)
+    else:
+        edge = int(padlen)
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(default_float())
+    x = jnp.moveaxis(x, axis, -1)
+    N = x.shape[-1]
+    if edge >= N:
+        raise ValueError(
+            f"padlen ({edge}) must be less than the signal length ({N})"
+        )
+    if edge > 0:
+        head = 2.0 * x[..., :1] - x[..., edge:0:-1]
+        tail = 2.0 * x[..., -1:] - x[..., -2 : -edge - 2 : -1]
+        ext = jnp.concatenate([head, x, tail], axis=-1)
+    else:
+        ext = x
+    zi = sosfilt_zi(sos).astype(ext.dtype)  # (S, 2)
+    zi_shaped = zi.reshape((n_sections,) + (1,) * (ext.ndim - 1) + (2,))
+    y, _ = sosfilt(sos, ext, zi=zi_shaped * ext[None, ..., :1],
+                   block_size=block_size)
+    y = y[..., ::-1]
+    y, _ = sosfilt(sos, y, zi=zi_shaped * y[None, ..., :1],
+                   block_size=block_size)
+    y = y[..., ::-1]
+    if edge > 0:
+        y = y[..., edge:-edge]
+    return jnp.moveaxis(y, -1, axis)
 
 
 def filtfilt(b, a, x, axis: int = -1, padlen: int | None = None,

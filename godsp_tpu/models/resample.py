@@ -23,7 +23,7 @@ import numpy as np
 from godsp_tpu._dtypes import as_complex_array, put
 from godsp_tpu.fft.core import _fft_jit, _ifft_jit
 
-__all__ = ["firwin", "resample", "resample_poly", "upfirdn"]
+__all__ = ["decimate", "firwin", "resample", "resample_poly", "upfirdn"]
 
 
 @partial(jax.jit, static_argnames=("num", "real_out"))
@@ -149,6 +149,41 @@ def upfirdn(h, x, up: int = 1, down: int = 1) -> jax.Array:
     full = fftconvolve(xs, hh, mode="full")
     n_out = _upfirdn_len(hh.size, n_in, up, down)
     return full[..., ::down][..., :n_out]
+
+
+def decimate(x, q: int, n: int | None = None, ftype: str = "iir",
+             zero_phase: bool = True) -> jax.Array:
+    """Downsample by integer factor q after anti-alias filtering
+    (scipy.signal.decimate semantics along the trailing axis).
+
+    ftype='iir': order-n (default 8) Chebyshev-I lowpass at 0.8/q,
+    designed by models.design.cheby1 and run as the parallel-scan SOS
+    cascade (sosfiltfilt when zero_phase, else sosfilt).  ftype='fir':
+    an n-tap (default 20*q) Hamming firwin lowpass via the polyphase
+    path (resample_poly when zero_phase, else upfirdn)."""
+    q = int(q)
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    x = put(x)
+    if q == 1:
+        return x
+    if ftype == "fir":
+        if n is None:
+            n = 20 * q
+        h = firwin(int(n) + 1, 1.0 / q, window="hamming")
+        if zero_phase:
+            return resample_poly(x, 1, q, window=h)
+        n_in = x.shape[-1]
+        n_out = n_in // q + bool(n_in % q)
+        return upfirdn(h, x, 1, q)[..., :n_out]
+    if ftype != "iir":
+        raise ValueError("ftype must be 'iir' or 'fir'")
+    from godsp_tpu.models.design import cheby1
+    from godsp_tpu.models.iir import sosfilt, sosfiltfilt
+
+    sos = cheby1(8 if n is None else int(n), 0.05, 0.8 / q, output="sos")
+    y = sosfiltfilt(sos, x) if zero_phase else sosfilt(sos, x)
+    return y[..., ::q]
 
 
 def resample_poly(x, up: int, down: int, window=("kaiser", 5.0)) -> jax.Array:

@@ -1,0 +1,163 @@
+"""Waveform generators (scipy.signal semantics, device-resident).
+
+The reference has no signal synthesis beyond test literals (its test
+vectors are hand-written tables, fft/fft_test.go:24-120); production
+pipelines need the standard sweep/pulse/periodic generators to exercise
+the analysis stack.  All generators are pure jnp elementwise math —
+jit-compatible, batched over any t shape, safe under vmap — and match
+scipy.signal to float32 round-off (float64 on the x64 CPU test rig).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from godsp_tpu._dtypes import default_float, put
+
+__all__ = ["chirp", "gausspulse", "sawtooth", "square", "sweep_poly", "unit_impulse"]
+
+
+def _as_float(t) -> jax.Array:
+    t = put(t)
+    if not jnp.issubdtype(t.dtype, jnp.floating):
+        t = t.astype(default_float())
+    return t
+
+
+def _chirp_phase(t, f0, t1, f1, method, vertex_zero):
+    two_pi = 2 * math.pi
+    if method in ("linear", "lin", "li"):
+        beta = (f1 - f0) / t1
+        return two_pi * (f0 * t + beta / 2 * t * t)
+    if method in ("quadratic", "quad", "q"):
+        beta = (f1 - f0) / (t1 * t1)
+        if vertex_zero:
+            return two_pi * (f0 * t + beta * t * t * t / 3)
+        return two_pi * (f1 * t + beta * ((t1 - t) ** 3 - t1**3) / 3)
+    if method in ("logarithmic", "log", "lo"):
+        if f0 <= 0 or f1 <= 0:
+            raise ValueError("logarithmic chirp needs f0, f1 > 0")
+        if f0 == f1:
+            return two_pi * f0 * t
+        beta = t1 / math.log(f1 / f0)
+        return two_pi * beta * f0 * (jnp.power(f1 / f0, t / t1) - 1.0)
+    if method in ("hyperbolic", "hyp"):
+        if f0 == 0 or f1 == 0:
+            raise ValueError("hyperbolic chirp needs f0, f1 != 0")
+        if f0 == f1:
+            return two_pi * f0 * t
+        sing = -f1 * t1 / (f0 - f1)
+        return -two_pi * f0 * sing * jnp.log(jnp.abs(1.0 - t / sing))
+    raise ValueError(
+        "method must be linear, quadratic, logarithmic, or hyperbolic"
+    )
+
+
+def chirp(
+    t,
+    f0: float,
+    t1: float,
+    f1: float,
+    method: str = "linear",
+    phi: float = 0.0,
+    vertex_zero: bool = True,
+) -> jax.Array:
+    """Frequency-swept cosine: instantaneous frequency f0 at t=0 and f1
+    at t=t1 (scipy.signal.chirp; phi in degrees)."""
+    t = _as_float(t)
+    phase = _chirp_phase(t, float(f0), float(t1), float(f1), method, vertex_zero)
+    return jnp.cos(phase + math.radians(float(phi)))
+
+
+def sweep_poly(t, poly, phi: float = 0.0) -> jax.Array:
+    """Cosine with instantaneous frequency given by the polynomial
+    `poly` (highest power first, np.poly1d convention; phi in degrees).
+    The phase polynomial is integrated in float64 at trace time."""
+    import numpy as np
+
+    t = _as_float(t)
+    p = np.atleast_1d(np.asarray(poly, np.float64))
+    # antiderivative, highest power first: coefficient c_k of t^(n-k)
+    n = p.shape[0]
+    intp = p / (n - np.arange(n, dtype=np.float64))
+    phase = jnp.zeros_like(t)
+    for c in intp:  # Horner over t * (...) keeps the +0 constant term
+        phase = (phase + c) * t
+    return jnp.cos(2 * math.pi * phase + math.radians(float(phi)))
+
+
+def gausspulse(
+    t,
+    fc: float = 1000.0,
+    bw: float = 0.5,
+    bwr: float = -6.0,
+    retquad: bool = False,
+    retenv: bool = False,
+):
+    """Gaussian-modulated sinusoid (scipy.signal.gausspulse): a cosine
+    at fc under a Gaussian envelope whose -|bwr| dB fractional bandwidth
+    is bw.  Returns yI, optionally with the quadrature (sine) component
+    and/or the envelope appended, exactly as scipy orders them."""
+    if fc < 0:
+        raise ValueError("fc must be >= 0")
+    if bw <= 0:
+        raise ValueError("bw must be > 0")
+    if bwr >= 0:
+        raise ValueError("bwr must be < 0 dB")
+    t = _as_float(t)
+    ref = math.pow(10.0, bwr / 20.0)
+    a = -((math.pi * fc * bw) ** 2) / (4.0 * math.log(ref))
+    yenv = jnp.exp(-a * t * t)
+    arg = 2 * math.pi * fc * t
+    yI = yenv * jnp.cos(arg)
+    out = [yI]
+    if retquad:
+        out.append(yenv * jnp.sin(arg))
+    if retenv:
+        out.append(yenv)
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def square(t, duty: float = 0.5) -> jax.Array:
+    """Square wave with period 2*pi: +1 for the first `duty` fraction of
+    each period, -1 for the rest (scipy.signal.square with scalar duty)."""
+    t = _as_float(t)
+    duty = float(duty)
+    tmod = jnp.mod(t, 2 * math.pi)
+    return jnp.where(tmod < duty * 2 * math.pi, 1.0, -1.0).astype(t.dtype)
+
+
+def sawtooth(t, width: float = 1.0) -> jax.Array:
+    """Sawtooth/triangle wave with period 2*pi rising over the first
+    `width` fraction of the period (scipy.signal.sawtooth with scalar
+    width; width=1 pure rising ramp, width=0.5 triangle)."""
+    t = _as_float(t)
+    width = float(width)
+    if not 0.0 <= width <= 1.0:
+        raise ValueError("width must be in [0, 1]")
+    tmod = jnp.mod(t, 2 * math.pi)
+    rise_den = math.pi * width if width > 0 else 1.0
+    fall_den = math.pi * (1.0 - width) if width < 1 else 1.0
+    rising = tmod / rise_den - 1.0
+    falling = (math.pi * (width + 1.0) - tmod) / fall_den
+    on_rise = tmod < width * 2 * math.pi
+    return jnp.where(on_rise, rising if width > 0 else -1.0, falling).astype(t.dtype)
+
+
+def unit_impulse(shape, idx=None, dtype=None) -> jax.Array:
+    """Unit impulse delta[n - idx] (scipy.signal.unit_impulse): 1 at idx
+    (default 0; 'mid' = centre), 0 elsewhere."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    dtype = default_float() if dtype is None else dtype
+    if idx is None:
+        idx = (0,) * len(shape)
+    elif idx == "mid":
+        idx = tuple(s // 2 for s in shape)
+    elif isinstance(idx, int):
+        idx = (idx,) * len(shape)
+    out = jnp.zeros(shape, dtype)
+    return out.at[tuple(idx)].set(1)

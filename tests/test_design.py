@@ -1,0 +1,337 @@
+"""Filter design, zero-phase SOS filtering, decimation, correlation,
+waveform generators, detrend — scipy.signal float64 parity.
+
+The reference has no design/synthesis surface (go-dsp consumes
+externally designed windows only, window.go:25-152); scipy.signal is
+the cross-oracle, at the same 1e-8 abs-or-rel discipline as the
+reference's PrettyClose (compare.go:94-96) — most cases sit at f64
+round-off.
+"""
+
+import numpy as np
+import pytest
+import scipy.signal as ss
+
+from godsp_tpu.dsputils import detrend
+from godsp_tpu.models import (
+    bessel,
+    butter,
+    cheby1,
+    cheby2,
+    chirp,
+    correlate,
+    correlation_lags,
+    decimate,
+    freqz,
+    gausspulse,
+    group_delay,
+    iirfilter,
+    sawtooth,
+    sosfilt_zi,
+    sosfiltfilt,
+    sosfreqz,
+    square,
+    sweep_poly,
+    tf2zpk,
+    unit_impulse,
+    zpk2sos,
+    zpk2tf,
+)
+
+
+def allc(a, b, rtol=1e-8, atol=1e-10):
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+
+
+class TestDesignBA:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(N=4, Wn=0.2),
+            dict(N=5, Wn=0.37, btype="highpass"),
+            dict(N=3, Wn=[0.2, 0.5], btype="bandpass"),
+            dict(N=2, Wn=[0.3, 0.6], btype="bandstop"),
+            dict(N=1, Wn=0.5),
+            dict(N=4, Wn=100.0, analog=True),
+            dict(N=4, Wn=1000.0, fs=8000.0),
+        ],
+    )
+    def test_butter(self, kw):
+        b, a = butter(**kw)
+        br, ar = ss.butter(**kw)
+        allc(b, br)
+        allc(a, ar)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(N=6, rp=0.5, Wn=0.25),
+            dict(N=5, rp=1.0, Wn=[0.2, 0.4], btype="bandpass"),
+            dict(N=3, rp=0.05, Wn=0.6, btype="highpass"),
+        ],
+    )
+    def test_cheby1(self, kw):
+        b, a = cheby1(**kw)
+        br, ar = ss.cheby1(**kw)
+        allc(b, br)
+        allc(a, ar)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(N=6, rs=40, Wn=0.25),
+            dict(N=4, rs=60, Wn=[0.3, 0.7], btype="bandstop"),
+            dict(N=5, rs=50, Wn=0.15, btype="highpass"),
+        ],
+    )
+    def test_cheby2(self, kw):
+        b, a = cheby2(**kw)
+        br, ar = ss.cheby2(**kw)
+        allc(b, br)
+        allc(a, ar)
+
+    @pytest.mark.parametrize("norm", ["phase", "delay"])
+    def test_bessel(self, norm):
+        b, a = bessel(5, 0.3, norm=norm)
+        br, ar = ss.bessel(5, 0.3, norm=norm)
+        allc(b, br)
+        allc(a, ar)
+
+    def test_iirfilter_validation(self):
+        with pytest.raises(ValueError):
+            iirfilter(0, 0.5)
+        with pytest.raises(ValueError):
+            iirfilter(4, 1.5)  # outside (0, 1)
+        with pytest.raises(ValueError):
+            iirfilter(4, [0.5, 0.2], btype="bandpass")  # not increasing
+        with pytest.raises(ValueError):
+            iirfilter(4, 0.5, ftype="cheby1")  # rp missing
+        with pytest.raises(ValueError):
+            iirfilter(4, 0.5, output="abc")
+
+
+class TestSOS:
+    @pytest.mark.parametrize(
+        "mk",
+        [
+            lambda o: butter(7, 0.3, output=o),
+            lambda o: cheby1(8, 0.05, 0.2, output=o),
+            lambda o: butter(6, [0.2, 0.5], btype="bandpass", output=o),
+            lambda o: cheby2(9, 60, 0.4, output=o),
+            lambda o: butter(5, [0.25, 0.6], btype="bandstop", output=o),
+            lambda o: bessel(4, 0.37, btype="highpass", output=o),
+        ],
+    )
+    def test_cascade_matches_zpk(self, mk):
+        """The SOS cascade must equal the zpk transfer function; section
+        pairing may differ from scipy, so compare responses."""
+        sos = mk("sos")
+        z, p, k = mk("zpk")
+        w = np.linspace(0, np.pi, 257)[1:-1]
+        _, h = sosfreqz(sos, worN=w)
+        zm = np.exp(1j * w)
+        href = k * np.prod(zm[:, None] - z[None], axis=1) / np.prod(
+            zm[:, None] - p[None], axis=1
+        )
+        allc(h, href, rtol=1e-7, atol=1e-9)
+        # structural checks: monic a0, correct section count
+        assert sos.shape[1] == 6
+        np.testing.assert_allclose(sos[:, 3], 1.0)
+        assert sos.shape[0] == (len(p) + 1) // 2
+
+    def test_zpk_tf_roundtrip(self):
+        b, a = butter(4, 0.3)
+        z, p, k = tf2zpk(b, a)
+        b2, a2 = zpk2tf(z, p, k)
+        allc(b2, b)
+        allc(a2, a)
+
+    def test_pure_gain(self):
+        sos = zpk2sos([], [], 3.5)
+        allc(sos, [[3.5, 0, 0, 1, 0, 0]])
+
+    def test_sosfilt_zi(self):
+        sos = ss.butter(7, 0.3, output="sos")
+        allc(np.asarray(sosfilt_zi(sos)), ss.sosfilt_zi(sos))
+
+    def test_sosfiltfilt(self):
+        rng = np.random.default_rng(0)
+        sos = ss.butter(7, 0.3, output="sos")
+        x = rng.normal(size=1024)
+        allc(np.asarray(sosfiltfilt(sos, x)), ss.sosfiltfilt(sos, x))
+        xb = rng.normal(size=(3, 700))
+        allc(np.asarray(sosfiltfilt(sos, xb)), ss.sosfiltfilt(sos, xb))
+        # explicit padlen + axis
+        allc(
+            np.asarray(sosfiltfilt(sos, xb.T, axis=0, padlen=37)),
+            ss.sosfiltfilt(sos, xb.T, axis=0, padlen=37),
+        )
+        with pytest.raises(ValueError):
+            sosfiltfilt(sos, np.zeros(10))  # padlen >= len
+
+
+class TestResponses:
+    def test_freqz(self):
+        b, a = ss.butter(4, 0.3)
+        w, h = freqz(b, a, 512)
+        wr, hr = ss.freqz(b, a, 512)
+        allc(w, wr)
+        allc(h, hr)
+
+    def test_freqz_fs_whole_and_grid(self):
+        b, a = ss.cheby1(3, 1.0, 0.4)
+        w, h = freqz(b, a, 128, whole=True, fs=16000.0)
+        wr, hr = ss.freqz(b, a, 128, whole=True, fs=16000.0)
+        allc(w, wr)
+        allc(h, hr)
+        grid = np.linspace(0.1, 3.0, 50)
+        _, h = freqz(b, a, worN=grid)
+        _, hr = ss.freqz(b, a, worN=grid)
+        allc(h, hr)
+
+    def test_sosfreqz(self):
+        sos = ss.butter(6, [0.2, 0.5], btype="bandpass", output="sos")
+        w, h = sosfreqz(sos, 256)
+        wr, hr = ss.sosfreqz(sos, 256)
+        allc(w, wr)
+        allc(h, hr)
+
+    def test_group_delay(self):
+        b, a = ss.butter(4, 0.3)
+        # avoid the B(z)=0 point at w=pi where both formulas blow up
+        grid = np.linspace(0.01, 2.9, 200)
+        _, gd = group_delay((b, a), w=grid)
+        _, gr = ss.group_delay((b, a), w=grid)
+        allc(gd, gr, rtol=1e-6, atol=1e-8)
+
+
+class TestDecimate:
+    @pytest.mark.parametrize("q", [2, 4, 7])
+    def test_iir(self, q):
+        rng = np.random.default_rng(q)
+        x = rng.normal(size=2048)
+        allc(np.asarray(decimate(x, q)), ss.decimate(x, q))
+        allc(
+            np.asarray(decimate(x, q, zero_phase=False)),
+            ss.decimate(x, q, zero_phase=False),
+        )
+
+    @pytest.mark.parametrize("q", [2, 5])
+    def test_fir(self, q):
+        rng = np.random.default_rng(10 + q)
+        x = rng.normal(size=2048)
+        allc(
+            np.asarray(decimate(x, q, ftype="fir")),
+            ss.decimate(x, q, ftype="fir"),
+            rtol=1e-7,
+            atol=1e-9,
+        )
+        allc(
+            np.asarray(decimate(x, q, ftype="fir", zero_phase=False)),
+            ss.decimate(x, q, ftype="fir", zero_phase=False),
+            rtol=1e-7,
+            atol=1e-9,
+        )
+
+    def test_q1_identity(self):
+        x = np.arange(16.0)
+        allc(np.asarray(decimate(x, 1)), x)
+
+
+class TestCorrelate:
+    @pytest.mark.parametrize("mode", ["full", "same", "valid"])
+    @pytest.mark.parametrize("la,lb", [(300, 121), (64, 200), (50, 50)])
+    def test_real(self, mode, la, lb):
+        rng = np.random.default_rng(la + lb)
+        a, b = rng.normal(size=la), rng.normal(size=lb)
+        allc(np.asarray(correlate(a, b, mode)), ss.correlate(a, b, mode))
+        assert (
+            np.asarray(correlation_lags(la, lb, mode))
+            == ss.correlation_lags(la, lb, mode)
+        ).all()
+
+    def test_complex_conjugation(self):
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=40) + 1j * rng.normal(size=40)
+        b = rng.normal(size=25) + 1j * rng.normal(size=25)
+        allc(np.asarray(correlate(a, b)), ss.correlate(a, b))
+
+    def test_autocorrelation_peak_at_zero_lag(self):
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=128)
+        c = np.asarray(correlate(a, a))
+        lags = np.asarray(correlation_lags(128, 128))
+        assert lags[np.argmax(c)] == 0
+
+
+class TestWaveforms:
+    @pytest.mark.parametrize(
+        "method", ["linear", "quadratic", "logarithmic", "hyperbolic"]
+    )
+    def test_chirp(self, method):
+        t = np.linspace(0, 10, 1501)
+        allc(
+            np.asarray(chirp(t, 6, 10, 1, method=method, phi=30)),
+            ss.chirp(t, 6, 10, 1, method=method, phi=30),
+            rtol=1e-7,
+            atol=1e-10,
+        )
+
+    def test_chirp_vertex_zero_false(self):
+        t = np.linspace(0, 10, 801)
+        allc(
+            np.asarray(chirp(t, 6, 10, 1, method="quadratic", vertex_zero=False)),
+            ss.chirp(t, 6, 10, 1, method="quadratic", vertex_zero=False),
+            rtol=1e-7,
+            atol=1e-10,
+        )
+
+    def test_sweep_poly(self):
+        t = np.linspace(0, 10, 1001)
+        p = np.array([0.025, -0.36, 1.25, 2.0])
+        allc(
+            np.asarray(sweep_poly(t, p, phi=12)),
+            ss.sweep_poly(t, p, phi=12),
+            rtol=1e-7,
+            atol=1e-10,
+        )
+
+    def test_gausspulse(self):
+        t = np.linspace(-0.01, 0.01, 1001)
+        yi, yq, ye = gausspulse(t, fc=1000, bw=0.5, retquad=True, retenv=True)
+        ri, rq, re = ss.gausspulse(t, fc=1000, bw=0.5, retquad=True, retenv=True)
+        allc(np.asarray(yi), ri)
+        allc(np.asarray(yq), rq)
+        allc(np.asarray(ye), re)
+
+    @pytest.mark.parametrize("duty", [0.3, 0.5, 0.9])
+    def test_square(self, duty):
+        t = np.linspace(0, 20, 2001)
+        allc(np.asarray(square(t, duty)), ss.square(t, duty))
+
+    @pytest.mark.parametrize("width", [0.0, 0.3, 0.5, 1.0])
+    def test_sawtooth(self, width):
+        t = np.linspace(0, 20, 2001)
+        allc(np.asarray(sawtooth(t, width)), ss.sawtooth(t, width))
+
+    def test_unit_impulse(self):
+        allc(np.asarray(unit_impulse(7, "mid")), ss.unit_impulse(7, "mid"))
+        allc(np.asarray(unit_impulse((3, 4), (1, 2))), ss.unit_impulse((3, 4), (1, 2)))
+        allc(np.asarray(unit_impulse(5)), ss.unit_impulse(5))
+
+
+class TestDetrend:
+    def test_linear_constant_axes(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(4, 333)) + np.linspace(0, 3, 333) * rng.normal(
+            size=(4, 1)
+        )
+        allc(np.asarray(detrend(x)), ss.detrend(x))
+        allc(
+            np.asarray(detrend(x, type="constant")), ss.detrend(x, type="constant")
+        )
+        allc(np.asarray(detrend(x, axis=0)), ss.detrend(x, axis=0))
+        with pytest.raises(ValueError):
+            detrend(x, type="quadratic")

@@ -196,6 +196,64 @@ def drive_n1_128():
     )
 
 
+@section("iir lfilter/filtfilt")
+def drive_iir():
+    import scipy.signal as ss
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import filtfilt, lfilter
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=1 << 16).astype(np.float32)
+    b, a = ss.butter(4, 0.2)
+    y = np.asarray(lfilter(b, a, x))
+    yr = ss.lfilter(b, a, x.astype(np.float64))
+    z = np.asarray(filtfilt(b, a, x))
+    zr = ss.filtfilt(b, a, x.astype(np.float64))
+    return (
+        f"lfilter snr {snr_db(y, yr):.1f} dB, "
+        f"filtfilt snr {snr_db(z, zr):.1f} dB vs scipy f64 (N=65536)"
+    )
+
+
+@section("resample_poly")
+def drive_resample_poly():
+    import scipy.signal as ss
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import resample_poly
+
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=1 << 14).astype(np.float32)
+    got = np.asarray(resample_poly(x, 441, 160))
+    ref = ss.resample_poly(x.astype(np.float64), 441, 160)
+    return f"441/160 snr {snr_db(got, ref):.1f} dB vs scipy f64, shape {got.shape}"
+
+
+@section("streaming stft/mel")
+def drive_stream_stft():
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import mel_spectrogram, stft, stream_mel, stream_stft
+
+    rng = np.random.default_rng(11)
+    nfft, hop = 1024, 512
+    x = rng.normal(size=hop * 256 + nfft).astype(np.float32)
+    blocks = [x[: hop * 100], x[hop * 100 : hop * 200], x[hop * 200 :]]
+    got = np.concatenate(
+        [np.asarray(b) for b in stream_stft(blocks, nfft, hop=hop)], axis=-2
+    )
+    ref = np.asarray(stft(x, nfft, hop=hop))
+    mg = np.concatenate(
+        [np.asarray(b) for b in stream_mel(blocks, 16000.0, nfft, hop)],
+        axis=-2,
+    )
+    mr = np.asarray(mel_spectrogram(x, 16000.0, nfft, hop))
+    return (
+        f"stft stream snr {snr_db(got, ref):.1f} dB, "
+        f"mel stream snr {snr_db(mg, mr):.1f} dB vs one-shot"
+    )
+
+
 def _ab_fft_split(n, batch, seed, variants, set_toggle, check_rows=4):
     """Shared A/B scaffold: time chained public fft_split at (n, batch)
     under each (name, toggle_value) variant, with SNR vs numpy on the
@@ -298,6 +356,9 @@ def main():
     drive_griffin()
     drive_sharded()
     drive_czt()
+    drive_iir()
+    drive_resample_poly()
+    drive_stream_stft()
     drive_natural_ab()
     drive_16k_ab()
     if "--n1-probe" in sys.argv:
