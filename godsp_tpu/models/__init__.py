@@ -33,6 +33,7 @@ from godsp_tpu.models.filter import (
     correlation_lags,
     fftconvolve,
     fir_filter,
+    medfilt,
     overlap_save,
 )
 from godsp_tpu.models.griffin import griffin_lim
@@ -48,10 +49,15 @@ from godsp_tpu.models.mel import mel_filterbank, mel_spectrogram, mfcc, stream_m
 from godsp_tpu.models.resample import (
     decimate,
     firwin,
+    firwin2,
+    kaiser_atten,
+    kaiser_beta,
+    kaiserord,
     resample,
     resample_poly,
     upfirdn,
 )
+from godsp_tpu.models.savgol import savgol_coeffs, savgol_filter
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
     spectra_to_wav,
@@ -69,6 +75,8 @@ from godsp_tpu.models.waveforms import (
 from godsp_tpu.models.stft import (
     StreamingISTFT,
     StreamingSTFT,
+    check_cola,
+    check_nola,
     istft,
     spectrogram,
     stft,
@@ -86,6 +94,8 @@ __all__ = [
     "butter",
     "cheby1",
     "cheby2",
+    "check_cola",
+    "check_nola",
     "chirp",
     "correlate",
     "correlation_lags",
@@ -94,16 +104,23 @@ __all__ = [
     "filtfilt",
     "fir_filter",
     "firwin",
+    "firwin2",
     "freqz",
     "gausspulse",
     "griffin_lim",
     "group_delay",
     "iirfilter",
+    "kaiser_atten",
+    "kaiser_beta",
+    "kaiserord",
     "lfilter",
     "lfilter_zi",
+    "medfilt",
     "overlap_save",
     "resample_poly",
     "sawtooth",
+    "savgol_coeffs",
+    "savgol_filter",
     "sosfilt",
     "sosfilt_zi",
     "sosfiltfilt",

@@ -33,6 +33,7 @@ __all__ = [
     "correlation_lags",
     "fftconvolve",
     "fir_filter",
+    "medfilt",
     "overlap_save",
 ]
 
@@ -106,6 +107,31 @@ def correlation_lags(in1_len: int, in2_len: int, mode: str = "full") -> jax.Arra
         bound = in1_len - in2_len
         return jnp.arange(bound + 1) if bound >= 0 else jnp.arange(bound, 1)
     raise ValueError(f"unknown mode: {mode}")
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _medfilt_jit(x, k: int):
+    pad = k // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+    idx = jnp.arange(x.shape[-1])[:, None] + jnp.arange(k)[None, :]
+    frames = jnp.take(xp, idx, axis=-1)  # (..., n, k)
+    return jnp.median(frames, axis=-1)
+
+
+def medfilt(x, kernel_size: int = 3) -> jax.Array:
+    """Sliding-window median along the trailing axis with zero-padded
+    edges (scipy.signal.medfilt's 1-D behavior; leading axes batch).
+    The window axis is materialized and reduced with jnp.median — a
+    sort over a static tiny axis, which XLA vectorizes across lanes."""
+    from godsp_tpu._dtypes import default_float
+
+    k = int(kernel_size)
+    if k < 1 or k % 2 == 0:
+        raise ValueError("kernel_size must be a positive odd integer")
+    x = put(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(default_float())
+    return _medfilt_jit(x, k)
 
 
 def fir_filter(x, taps) -> jax.Array:

@@ -23,7 +23,17 @@ import numpy as np
 from godsp_tpu._dtypes import as_complex_array, put
 from godsp_tpu.fft.core import _fft_jit, _ifft_jit
 
-__all__ = ["decimate", "firwin", "resample", "resample_poly", "upfirdn"]
+__all__ = [
+    "decimate",
+    "firwin",
+    "firwin2",
+    "kaiser_atten",
+    "kaiser_beta",
+    "kaiserord",
+    "resample",
+    "resample_poly",
+    "upfirdn",
+]
 
 
 @partial(jax.jit, static_argnames=("num", "real_out"))
@@ -118,6 +128,98 @@ def firwin(
         f = 0.0 if left == 0 else (1.0 if right == 1 else (left + right) / 2)
         h /= np.sum(h * np.cos(np.pi * m * f))
     return h
+
+
+def firwin2(
+    numtaps: int,
+    freq,
+    gain,
+    nfreqs: int | None = None,
+    window="hamming",
+    antisymmetric: bool = False,
+) -> np.ndarray:
+    """Frequency-sampling FIR design (scipy.signal.firwin2): taps whose
+    response interpolates the piecewise-linear (freq, gain) pairs (freq
+    normalized to Nyquist == 1).  Linear-phase type I-IV chosen by
+    numtaps parity and `antisymmetric`, with the usual endpoint-gain
+    constraints.  Returns float64 numpy taps (trace-time constant)."""
+    numtaps = int(numtaps)
+    if numtaps < 3:
+        raise ValueError("numtaps must be >= 3")
+    freq = np.asarray(freq, np.float64).copy()
+    gain = np.asarray(gain, np.float64)
+    if freq.ndim != 1 or freq.shape != gain.shape:
+        raise ValueError("freq and gain must be 1-D with equal length")
+    if freq[0] != 0.0 or freq[-1] != 1.0:
+        raise ValueError("freq must start with 0 and end with 1 (Nyquist)")
+    if np.any(np.diff(freq) < 0):
+        raise ValueError("freq must be nondecreasing")
+    if antisymmetric:
+        ftype = 3 if numtaps % 2 else 4
+    else:
+        ftype = 1 if numtaps % 2 else 2
+    if ftype == 2 and gain[-1] != 0.0:
+        raise ValueError("type II filter (even numtaps, symmetric) needs "
+                         "zero gain at the Nyquist frequency")
+    if ftype == 3 and (gain[0] != 0.0 or gain[-1] != 0.0):
+        raise ValueError("type III filter (odd numtaps, antisymmetric) "
+                         "needs zero gain at zero and Nyquist")
+    if ftype == 4 and gain[0] != 0.0:
+        raise ValueError("type IV filter (even numtaps, antisymmetric) "
+                         "needs zero gain at the zero frequency")
+    if nfreqs is None:
+        nfreqs = 1 + 2 ** int(np.ceil(np.log2(numtaps)))
+    nfreqs = int(nfreqs)
+    if numtaps >= nfreqs:
+        raise ValueError("nfreqs must be greater than numtaps")
+    # nudge duplicated interior breakpoints apart so np.interp keeps both
+    eps = np.finfo(np.float64).eps
+    for k in range(freq.size - 1):
+        if freq[k] == freq[k + 1]:
+            freq[k] -= eps
+            freq[k + 1] += eps
+    if np.any(np.diff(freq) <= 0):
+        raise ValueError("freq cannot contain more than two duplicate values")
+    x = np.linspace(0.0, 1.0, nfreqs)
+    fx = np.interp(x, freq, gain)
+    shift = np.exp(-(numtaps - 1) / 2.0 * 1j * np.pi * x)
+    if ftype > 2:
+        shift *= 1j
+    out_full = np.fft.irfft(fx * shift)
+    wind = _window_vector_np(window, numtaps) if window is not None else 1.0
+    out = out_full[:numtaps] * wind
+    if ftype == 3:
+        out[out.size // 2] = 0.0
+    return out
+
+
+def kaiser_beta(a: float) -> float:
+    """Kaiser-window beta for `a` dB of stopband attenuation (the
+    standard empirical fit; scipy.signal.kaiser_beta)."""
+    a = float(a)
+    if a > 50:
+        return 0.1102 * (a - 8.7)
+    if a > 21:
+        return 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21)
+    return 0.0
+
+
+def kaiser_atten(numtaps: int, width: float) -> float:
+    """Attenuation (dB) of a numtaps-Kaiser filter with transition
+    `width` (normalized to Nyquist == 1); scipy.signal.kaiser_atten."""
+    return 2.285 * (int(numtaps) - 1) * np.pi * float(width) + 7.95
+
+
+def kaiserord(ripple: float, width: float) -> tuple[int, float]:
+    """(numtaps, beta) meeting `ripple` dB and transition `width`
+    (scipy.signal.kaiserord)."""
+    A = abs(float(ripple))
+    if A < 8:
+        raise ValueError("ripple attenuation too small for the Kaiser formula "
+                         "(need at least 8 dB)")
+    beta = kaiser_beta(A)
+    numtaps = (A - 7.95) / 2.285 / (np.pi * float(width)) + 1
+    return int(np.ceil(numtaps)), beta
 
 
 def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:

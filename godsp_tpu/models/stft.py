@@ -30,6 +30,8 @@ from godsp_tpu.fft.core import fft, fft_real, ifft
 __all__ = [
     "StreamingISTFT",
     "StreamingSTFT",
+    "check_cola",
+    "check_nola",
     "istft",
     "spectrogram",
     "stft",
@@ -39,6 +41,43 @@ __all__ = [
 ]
 
 WindowSpec = Union[str, Callable[[int], jax.Array], None]
+
+
+def _overlap_bin_sums(w: np.ndarray, step: int) -> np.ndarray:
+    """sum_k w[i + k*step] over one step period (float64 host math)."""
+    nper = w.shape[0]
+    sums = np.zeros(step)
+    for start in range(0, nper, step):
+        seg = w[start : start + step]
+        sums[: seg.shape[0]] += seg
+    return sums
+
+
+def check_cola(window: WindowSpec, nperseg: int, noverlap: int,
+               tol: float = 1e-10) -> bool:
+    """Whether (window, hop) satisfies the Constant-OverLap-Add
+    constraint (scipy.signal.check_COLA): shifted copies of the window
+    sum to a constant, so an unwindowed inverse STFT is exact."""
+    nperseg, noverlap = int(nperseg), int(noverlap)
+    if nperseg < 1 or not 0 <= noverlap < nperseg:
+        raise ValueError("need nperseg >= 1 and 0 <= noverlap < nperseg")
+    w = win.window_table_np(window if window is not None else win.hann, nperseg)
+    sums = _overlap_bin_sums(w, nperseg - noverlap)
+    return bool(np.max(np.abs(sums - np.median(sums))) < tol)
+
+
+def check_nola(window: WindowSpec, nperseg: int, noverlap: int,
+               tol: float = 1e-10) -> bool:
+    """Whether (window, hop) satisfies the NOnzero-OverLap-Add
+    constraint (scipy.signal.check_NOLA): shifted squared windows sum
+    strictly above tol everywhere, so the windowed-normalized istft
+    (models.istft) inverts the stft."""
+    nperseg, noverlap = int(nperseg), int(noverlap)
+    if nperseg < 1 or not 0 <= noverlap < nperseg:
+        raise ValueError("need nperseg >= 1 and 0 <= noverlap < nperseg")
+    w = win.window_table_np(window if window is not None else win.hann, nperseg)
+    sums = _overlap_bin_sums(w * w, nperseg - noverlap)
+    return bool(np.min(sums) > tol)
 
 
 def _resolve_window(window: WindowSpec, nfft: int, dtype) -> jax.Array:

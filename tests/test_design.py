@@ -335,3 +335,131 @@ class TestDetrend:
         allc(np.asarray(detrend(x, axis=0)), ss.detrend(x, axis=0))
         with pytest.raises(ValueError):
             detrend(x, type="quadratic")
+
+
+class TestSavgol:
+    @pytest.mark.parametrize("W,p,d", [(11, 3, 0), (11, 3, 1), (21, 5, 2), (10, 3, 0)])
+    def test_coeffs(self, W, p, d):
+        from godsp_tpu.models import savgol_coeffs
+
+        allc(savgol_coeffs(W, p, deriv=d, delta=0.5), ss.savgol_coeffs(W, p, deriv=d, delta=0.5))
+
+    @pytest.mark.parametrize("mode", ["interp", "mirror", "nearest", "constant", "wrap"])
+    def test_filter_modes(self, mode):
+        from godsp_tpu.models import savgol_filter
+
+        rng = np.random.default_rng(0)
+        x = np.cumsum(rng.normal(size=300))
+        allc(np.asarray(savgol_filter(x, 11, 3, mode=mode)), ss.savgol_filter(x, 11, 3, mode=mode))
+
+    def test_filter_deriv_batched(self):
+        from godsp_tpu.models import savgol_filter
+
+        rng = np.random.default_rng(1)
+        xb = rng.normal(size=(3, 200))
+        allc(
+            np.asarray(savgol_filter(xb, 15, 4, deriv=2, delta=0.1)),
+            ss.savgol_filter(xb, 15, 4, deriv=2, delta=0.1),
+        )
+        allc(
+            np.asarray(savgol_filter(xb.T, 9, 2, axis=0)),
+            ss.savgol_filter(xb.T, 9, 2, axis=0),
+        )
+
+    def test_validation(self):
+        from godsp_tpu.models import savgol_coeffs, savgol_filter
+
+        with pytest.raises(ValueError):
+            savgol_coeffs(5, 5)  # polyorder >= window
+        with pytest.raises(ValueError):
+            savgol_filter(np.zeros(100), 10, 3)  # even window, interp
+        with pytest.raises(ValueError):
+            savgol_filter(np.zeros(5), 11, 3)  # window > signal, interp
+
+
+class TestFirwin2:
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(numtaps=65, freq=[0, 0.3, 0.5, 1], gain=[1, 1, 0, 0]),
+            dict(numtaps=64, freq=[0, 0.3, 0.5, 1], gain=[1, 1, 0, 0]),
+            dict(numtaps=65, freq=[0, 0.5, 0.5, 1], gain=[1, 1, 0, 0]),
+            dict(numtaps=65, freq=[0, 0.3, 1], gain=[0, 1, 0], antisymmetric=True),
+            dict(numtaps=64, freq=[0, 0.3, 1], gain=[0, 1, 1], antisymmetric=True),
+            dict(numtaps=33, freq=[0, 1], gain=[1, 1], window=("kaiser", 6.0)),
+        ],
+    )
+    def test_scipy_parity(self, kw):
+        from godsp_tpu.models import firwin2
+
+        allc(firwin2(**kw), ss.firwin2(**kw), rtol=1e-8, atol=1e-14)
+
+    def test_type_constraints(self):
+        from godsp_tpu.models import firwin2
+
+        with pytest.raises(ValueError):
+            firwin2(64, [0, 1], [1, 1])  # type II nonzero at Nyquist
+        with pytest.raises(ValueError):
+            firwin2(65, [0, 1], [1, 0], antisymmetric=True)  # type III
+        with pytest.raises(ValueError):
+            firwin2(64, [0, 1], [1, 0], antisymmetric=True)  # type IV at 0
+        with pytest.raises(ValueError):
+            firwin2(65, [0, 0.3, 0.3, 0.3, 1], [1, 1, 0.5, 0, 0])  # triple dup
+
+    def test_kaiser_helpers(self):
+        from godsp_tpu.models import kaiser_atten, kaiser_beta, kaiserord
+
+        for a in (10, 30, 80):
+            assert abs(kaiser_beta(a) - ss.kaiser_beta(a)) < 1e-12
+        assert abs(kaiser_atten(101, 0.1) - ss.kaiser_atten(101, 0.1)) < 1e-9
+        assert kaiserord(65, 0.05) == ss.kaiserord(65, 0.05)
+        with pytest.raises(ValueError):
+            kaiserord(5, 0.05)
+
+
+class TestMedfilt:
+    @pytest.mark.parametrize("k", [3, 5, 9])
+    def test_scipy_parity(self, k):
+        from godsp_tpu.models import medfilt
+
+        rng = np.random.default_rng(k)
+        x = rng.normal(size=257)
+        allc(np.asarray(medfilt(x, k)), ss.medfilt(x, k))
+
+    def test_validation(self):
+        from godsp_tpu.models import medfilt
+
+        with pytest.raises(ValueError):
+            medfilt(np.zeros(10), 4)
+
+
+class TestColaNola:
+    @pytest.mark.parametrize(
+        "wname,nper,nov",
+        [
+            ("hann", 256, 128),
+            ("hann", 256, 192),
+            ("hamming", 256, 128),
+            ("blackman", 256, 100),
+            ("rectangular", 256, 0),
+            ("rectangular", 256, 128),
+        ],
+    )
+    def test_scipy_parity_same_table(self, wname, nper, nov):
+        """Compare against scipy given the SAME window array (the
+        framework's tapers are the reference's symmetric ones,
+        window.go:25-152, not scipy's periodic STFT strings)."""
+        import godsp_tpu.window as win
+        from godsp_tpu.models import check_cola, check_nola
+
+        table = win.window_table_np(wname, nper)
+        assert check_cola(wname, nper, nov) == ss.check_COLA(table, nper, nov)
+        assert check_nola(wname, nper, nov) == ss.check_NOLA(table, nper, nov)
+
+    def test_rectangular_cola(self):
+        from godsp_tpu.models import check_cola, check_nola
+
+        assert check_cola("rectangular", 128, 0)
+        assert check_nola("hann", 256, 128)
+        with pytest.raises(ValueError):
+            check_cola("hann", 256, 256)
