@@ -57,6 +57,7 @@ from godsp_tpu.models.resample import (
     resample_poly,
     upfirdn,
 )
+from godsp_tpu.models.peaks import find_peaks, peak_prominences, peak_widths
 from godsp_tpu.models.savgol import savgol_coeffs, savgol_filter
 from godsp_tpu.models.pipeline import (
     WavPsdResult,
@@ -101,6 +102,7 @@ __all__ = [
     "correlation_lags",
     "decimate",
     "fftconvolve",
+    "find_peaks",
     "filtfilt",
     "fir_filter",
     "firwin",
@@ -117,6 +119,8 @@ __all__ = [
     "lfilter_zi",
     "medfilt",
     "overlap_save",
+    "peak_prominences",
+    "peak_widths",
     "resample_poly",
     "sawtooth",
     "savgol_coeffs",

@@ -463,3 +463,83 @@ class TestColaNola:
         assert check_nola("hann", 256, 128)
         with pytest.raises(ValueError):
             check_cola("hann", 256, 256)
+
+
+class TestPeaks:
+    """find_peaks/peak_prominences/peak_widths vs scipy (host float64
+    analysis path; go-dsp has no peak surface)."""
+
+    @staticmethod
+    def _signal():
+        rng = np.random.default_rng(0)
+        return np.convolve(rng.normal(size=3000), np.hanning(40), "same")
+
+    def test_plain_and_measures(self):
+        from godsp_tpu.models import find_peaks, peak_prominences, peak_widths
+
+        x = self._signal()
+        g, _ = find_peaks(x)
+        r, _ = ss.find_peaks(x)
+        assert np.array_equal(g, r)
+        for a, b in zip(peak_prominences(x, g), ss.peak_prominences(x, r)):
+            allc(a, b)
+        for a, b in zip(
+            peak_prominences(x, g, wlen=101), ss.peak_prominences(x, r, wlen=101)
+        ):
+            allc(a, b)
+        for a, b in zip(
+            peak_widths(x, g, rel_height=0.8), ss.peak_widths(x, r, rel_height=0.8)
+        ):
+            allc(a, b)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(height=0.5),
+            dict(height=(0.2, 2.0)),
+            dict(threshold=0.001),
+            dict(distance=37),
+            dict(prominence=1.0),
+            dict(width=10),
+            dict(prominence=0.5, width=(5, 40), rel_height=0.7),
+        ],
+    )
+    def test_conditions(self, kw):
+        from godsp_tpu.models import find_peaks
+
+        x = self._signal()
+        g, gp = find_peaks(x, **kw)
+        r, rp = ss.find_peaks(x, **kw)
+        assert np.array_equal(g, r)
+        assert set(gp) == set(rp)
+        for k in gp:
+            allc(gp[k], rp[k])
+
+    def test_array_height(self):
+        from godsp_tpu.models import find_peaks
+
+        x = self._signal()
+        h = np.linspace(0, 1, x.size)
+        g, _ = find_peaks(x, height=h)
+        r, _ = ss.find_peaks(x, height=h)
+        assert np.array_equal(g, r)
+
+    def test_plateaus(self):
+        from godsp_tpu.models import find_peaks
+
+        xp = np.array([0, 1, 1, 1, 0, 2, 2, 0, 3, 0], float)
+        g, gp = find_peaks(xp, plateau_size=(2, None))
+        r, rp = ss.find_peaks(xp, plateau_size=(2, None))
+        assert np.array_equal(g, r)
+        for k in gp:
+            allc(gp[k], rp[k])
+
+    def test_validation(self):
+        from godsp_tpu.models import find_peaks, peak_prominences
+
+        with pytest.raises(ValueError):
+            find_peaks(np.zeros(10), distance=0.5)
+        with pytest.raises(ValueError):
+            peak_prominences(np.zeros(10), [20])
+        with pytest.raises(ValueError):
+            peak_prominences(np.arange(10.0), [5], wlen=2)
