@@ -9,6 +9,7 @@ godsp_tpu.parallel) shards over a device mesh.
 from godsp_tpu.spectral.csd import coherence, csd
 from godsp_tpu.spectral.pwelch import PwelchOptions, periodogram, pwelch, pwelch_from_frames
 from godsp_tpu.spectral.segment import num_segments, segment
+from godsp_tpu.spectral.welch import welch
 
 __all__ = [
     "PwelchOptions",
@@ -19,4 +20,5 @@ __all__ = [
     "pwelch",
     "pwelch_from_frames",
     "segment",
+    "welch",
 ]

@@ -1,0 +1,167 @@
+"""scipy-compatible Welch estimator (the modern-API twin of pwelch).
+
+`pwelch` preserves the reference's exact semantics and quirks
+(pwelch.go:28-145, symmetric tapers, no detrend, pad-then-window); this
+module provides the scipy.signal.welch surface users coming from scipy
+expect — PERIODIC windows, per-segment detrending, density/spectrum
+scaling, mean/median averaging, two-sided complex support — on the same
+batched device machinery (one framed windowed-FFT program, jit-fused).
+Returns (freqs, Pxx) in scipy's order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from godsp_tpu import window as win
+from godsp_tpu._dtypes import as_complex_array, default_float, put
+from godsp_tpu.fft.core import fft, fft_real
+from godsp_tpu.spectral.segment import segment
+
+__all__ = ["welch"]
+
+
+def _periodic_table_np(window, nperseg: int) -> np.ndarray:
+    """Resolve a scipy-style window spec to a float64 PERIODIC table
+    (scipy's get_window(..., fftbins=True)): a name, ("kaiser", beta),
+    or an explicit length-nperseg array (used as given)."""
+    if isinstance(window, (tuple, list)) and len(window) == 2 and str(
+        window[0]
+    ).lower() == "kaiser":
+        return win._kaiser_table(float(window[1]), nperseg + 1)[:-1]
+    if isinstance(window, (str, bytes)):
+        name = {"boxcar": "rectangular"}.get(str(window), str(window))
+        if name == "rectangular":
+            return np.ones(nperseg)
+        return win.window_table_np(name, nperseg + 1)[:-1]
+    w = np.asarray(window, np.float64)
+    if w.ndim != 1 or w.shape[0] != nperseg:
+        raise ValueError(f"window array must have length nperseg={nperseg}")
+    return w
+
+
+def _detrend_segments(frames: jax.Array, detrend) -> jax.Array:
+    if detrend is False or detrend is None:
+        return frames
+    if callable(detrend):
+        return detrend(frames)
+    from godsp_tpu.dsputils.utils import detrend as _dt
+
+    if detrend in ("constant", "c"):
+        return _dt(frames, type="constant")
+    if detrend in ("linear", "l"):
+        return _dt(frames, type="linear")
+    raise ValueError("detrend must be 'constant', 'linear', False, or callable")
+
+
+def _median_bias(n: int) -> float:
+    """Bias of the median of n periodogram estimates relative to the
+    mean (scipy.signal._spectral_py._median_bias)."""
+    ii_2 = 2 * np.arange(1.0, (n - 1) // 2 + 1)
+    return float(1 + np.sum(1.0 / (ii_2 + 1) - 1.0 / ii_2))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nfft", "onesided", "detrend_kind", "average", "nsegs"),
+)
+def _welch_core(frames, w, scale, nfft: int, onesided: bool,
+                detrend_kind, average: str, nsegs: int):
+    frames = _detrend_segments(frames, detrend_kind)
+    nperseg = frames.shape[-1]
+    tapered = frames * w
+    if nfft > nperseg:
+        padw = [(0, 0)] * (tapered.ndim - 1) + [(0, nfft - nperseg)]
+        tapered = jnp.pad(tapered, padw)
+    if onesided:
+        lp = nfft // 2 + 1
+        spec = fft_real(tapered)[..., :lp]
+        p = spec.real * spec.real + spec.imag * spec.imag
+        doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1 + (nfft % 2)].set(2.0)
+        p = p * doubler
+    else:
+        spec = fft(as_complex_array(tapered))
+        p = spec.real * spec.real + spec.imag * spec.imag
+    p = p * scale
+    if average == "median":
+        p = jnp.median(p, axis=-2) / _median_bias(nsegs)
+    else:
+        p = p.mean(axis=-2)
+    return p
+
+
+def welch(
+    x,
+    fs: float = 1.0,
+    window="hann",
+    nperseg: int | None = None,
+    noverlap: int | None = None,
+    nfft: int | None = None,
+    detrend="constant",
+    return_onesided: bool = True,
+    scaling: str = "density",
+    axis: int = -1,
+    average: str = "mean",
+):
+    """Welch PSD with scipy.signal.welch semantics: returns (freqs, Pxx)
+    along `axis` (other axes batch).  Real input -> one-sided spectrum
+    (unless return_onesided=False); complex input -> two-sided.
+    scaling='density' (V**2/Hz, 1/(fs*sum(w^2))) or 'spectrum' (V**2,
+    1/sum(w)^2); average='mean' or 'median' (bias-corrected)."""
+    if scaling not in ("density", "spectrum"):
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    if average not in ("mean", "median"):
+        raise ValueError("average must be 'mean' or 'median'")
+    x = put(x)
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(default_float())
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    if n == 0:
+        f = default_float()
+        return jnp.zeros(0, dtype=f), jnp.zeros(x.shape[:-1] + (0,), dtype=f)
+    if nperseg is None:
+        nperseg = 256
+    nperseg = int(min(nperseg, n))
+    if noverlap is None:
+        noverlap = nperseg // 2
+    noverlap = int(noverlap)
+    if noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    nfft = nperseg if nfft is None else int(nfft)
+    if nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+
+    is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating)
+    onesided = return_onesided and not is_complex
+
+    wt = _periodic_table_np(window, nperseg)
+    fdt = x.real.dtype
+    w = jnp.asarray(wt, fdt)
+    if scaling == "density":
+        scale = 1.0 / (float(fs) * float(np.sum(wt * wt)))
+    else:
+        scale = 1.0 / float(np.sum(wt)) ** 2
+    scale = jnp.asarray(scale, fdt)
+
+    if is_complex:
+        fr = segment(x.real, nperseg, noverlap)
+        fi = segment(x.imag, nperseg, noverlap)
+        frames = jax.lax.complex(fr, fi)
+    else:
+        frames = segment(x, nperseg, noverlap)  # (..., nsegs, nperseg)
+    nsegs = frames.shape[-2]
+    dk = detrend if (callable(detrend) or detrend is False or detrend is None) \
+        else str(detrend)
+    pxx = _welch_core(frames, w, scale, nfft, onesided, dk, average, nsegs)
+    if onesided:
+        freqs = jnp.arange(nfft // 2 + 1, dtype=fdt) * (float(fs) / nfft)
+    else:
+        from godsp_tpu.fft.helpers import fftfreq
+
+        freqs = fftfreq(nfft, 1.0 / float(fs)).astype(fdt)
+    return freqs, jnp.moveaxis(pxx, -1, axis) if pxx.ndim > 1 else pxx

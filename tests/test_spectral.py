@@ -353,3 +353,90 @@ class TestCsdPadLtNfft:
         c = np.asarray(cxy)
         assert c.shape == (65,)
         assert np.all(c >= 0) and np.all(c <= 1 + 1e-9)
+
+
+class TestScipyWelch:
+    """spectral.welch — the scipy-compatible estimator (periodic
+    windows, detrend, density/spectrum, mean/median) vs scipy.signal
+    float64.  The reference-parity path stays in pwelch."""
+
+    @staticmethod
+    def _x(n=4096, seed=0):
+        return np.random.default_rng(seed).normal(size=n)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(fs=10.0),
+            dict(fs=2.0, nperseg=512, noverlap=384),
+            dict(nperseg=256, nfft=512),
+            dict(nperseg=255, nfft=255),
+            dict(nperseg=256, detrend="linear"),
+            dict(nperseg=256, detrend=False),
+            dict(nperseg=256, scaling="spectrum"),
+            dict(nperseg=256, average="median"),
+            dict(window="hamming", nperseg=256),
+            dict(window=("kaiser", 8.0), nperseg=256),
+            dict(window="boxcar", nperseg=256),
+            dict(nperseg=256, return_onesided=False),
+        ],
+    )
+    def test_scipy_parity(self, kw):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import welch
+
+        x = self._x()
+        f1, p1 = welch(x, **kw)
+        f2, p2 = ss.welch(x, **kw)
+        np.testing.assert_allclose(np.asarray(f1), f2, rtol=1e-12, atol=0)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-9, atol=1e-14)
+
+    def test_complex_two_sided(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import welch
+
+        rng = np.random.default_rng(1)
+        z = rng.normal(size=2048) + 1j * rng.normal(size=2048)
+        f1, p1 = welch(z, fs=5.0, nperseg=256)
+        f2, p2 = ss.welch(z, fs=5.0, nperseg=256, return_onesided=False)
+        np.testing.assert_allclose(np.asarray(f1), f2, rtol=1e-12, atol=0)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-9, atol=1e-14)
+
+    def test_batched_and_axis(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import welch
+
+        rng = np.random.default_rng(2)
+        xb = rng.normal(size=(3, 2048))
+        _, p1 = welch(xb, nperseg=256)
+        _, p2 = ss.welch(xb, nperseg=256, axis=-1)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-9, atol=1e-14)
+        _, p1 = welch(xb.T, nperseg=256, axis=0)
+        _, p2 = ss.welch(xb.T, nperseg=256, axis=0)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-9, atol=1e-14)
+
+    def test_short_input_clips_nperseg(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import welch
+
+        x = self._x(100, 3)
+        f1, p1 = welch(x, nperseg=256)
+        with pytest.warns(UserWarning):
+            f2, p2 = ss.welch(x, nperseg=256)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-9, atol=1e-14)
+
+    def test_validation(self):
+        from godsp_tpu.spectral import welch
+
+        with pytest.raises(ValueError):
+            welch(np.zeros(100), nperseg=64, noverlap=64)
+        with pytest.raises(ValueError):
+            welch(np.zeros(100), nperseg=64, nfft=32)
+        with pytest.raises(ValueError):
+            welch(np.zeros(100), scaling="bogus")
+        with pytest.raises(ValueError):
+            welch(np.zeros(100), average="bogus")
