@@ -9,7 +9,7 @@ godsp_tpu.parallel) shards over a device mesh.
 from godsp_tpu.spectral.csd import coherence, csd
 from godsp_tpu.spectral.pwelch import PwelchOptions, periodogram, pwelch, pwelch_from_frames
 from godsp_tpu.spectral.segment import num_segments, segment
-from godsp_tpu.spectral.welch import welch
+from godsp_tpu.spectral.welch import welch, welch_coherence, welch_csd
 
 __all__ = [
     "PwelchOptions",
@@ -21,4 +21,6 @@ __all__ = [
     "pwelch_from_frames",
     "segment",
     "welch",
+    "welch_coherence",
+    "welch_csd",
 ]

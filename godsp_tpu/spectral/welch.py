@@ -22,7 +22,7 @@ from godsp_tpu._dtypes import as_complex_array, default_float, put
 from godsp_tpu.fft.core import fft, fft_real
 from godsp_tpu.spectral.segment import segment
 
-__all__ = ["welch"]
+__all__ = ["welch", "welch_coherence", "welch_csd"]
 
 
 def _periodic_table_np(window, nperseg: int) -> np.ndarray:
@@ -92,6 +92,150 @@ def _welch_core(frames, w, scale, nfft: int, onesided: bool,
     else:
         p = p.mean(axis=-2)
     return p
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nfft", "onesided", "detrend_kind", "average", "nsegs"),
+)
+def _csd_core(fx, fy, w, scale, nfft: int, onesided: bool,
+              detrend_kind, average: str, nsegs: int):
+    def spec_of(frames):
+        frames = _detrend_segments(frames, detrend_kind)
+        nperseg = frames.shape[-1]
+        tapered = frames * w
+        if nfft > nperseg:
+            padw = [(0, 0)] * (tapered.ndim - 1) + [(0, nfft - nperseg)]
+            tapered = jnp.pad(tapered, padw)
+        if onesided:
+            return fft_real(tapered)[..., : nfft // 2 + 1]
+        return fft(as_complex_array(tapered))
+
+    sx = spec_of(fx)
+    sy = spec_of(fy)
+    p = jnp.conj(sx) * sy
+    if onesided:
+        lp = nfft // 2 + 1
+        doubler = jnp.ones(lp, dtype=p.real.dtype)
+        doubler = doubler.at[1 : lp - 1 + (nfft % 2)].set(2.0)
+        p = p * doubler
+    p = p * scale
+    if average == "median":
+        bias = _median_bias(nsegs)
+        p = jax.lax.complex(
+            jnp.median(p.real, axis=-2) / bias, jnp.median(p.imag, axis=-2) / bias
+        )
+    else:
+        p = p.mean(axis=-2)
+    return p
+
+
+def welch_csd(
+    x,
+    y,
+    fs: float = 1.0,
+    window="hann",
+    nperseg: int | None = None,
+    noverlap: int | None = None,
+    nfft: int | None = None,
+    detrend="constant",
+    return_onesided: bool = True,
+    scaling: str = "density",
+    axis: int = -1,
+    average: str = "mean",
+):
+    """Cross power spectral density with scipy.signal.csd semantics:
+    returns (freqs, Pxy) with Pxy complex (conj(X) * Y averaged over
+    segments).  The scipy-convention twin of the reference-parity
+    spectral.csd (symmetric tapers, no detrend); welch_csd(x, x).real
+    == welch(x)."""
+    if scaling not in ("density", "spectrum"):
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    if average not in ("mean", "median"):
+        raise ValueError("average must be 'mean' or 'median'")
+    x = put(x)
+    y = put(y)
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(default_float())
+    if not jnp.issubdtype(y.dtype, jnp.inexact):
+        y = y.astype(default_float())
+    x = jnp.moveaxis(x, axis, -1)
+    y = jnp.moveaxis(y, axis, -1)
+    if x.shape != y.shape:
+        raise ValueError("x and y must have identical shapes")
+    n = x.shape[-1]
+    if n == 0:
+        f = default_float()
+        zf = jnp.zeros(0, dtype=f)
+        return zf, jnp.zeros(x.shape[:-1] + (0,), dtype=jnp.complex64)
+    if nperseg is None:
+        nperseg = 256
+    nperseg = int(min(nperseg, n))
+    if noverlap is None:
+        noverlap = nperseg // 2
+    noverlap = int(noverlap)
+    if noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    nfft = nperseg if nfft is None else int(nfft)
+    if nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+
+    is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating) or jnp.issubdtype(
+        y.dtype, jnp.complexfloating
+    )
+    onesided = return_onesided and not is_complex
+
+    wt = _periodic_table_np(window, nperseg)
+    fdt = x.real.dtype
+    w = jnp.asarray(wt, fdt)
+    if scaling == "density":
+        scale = 1.0 / (float(fs) * float(np.sum(wt * wt)))
+    else:
+        scale = 1.0 / float(np.sum(wt)) ** 2
+    scale = jnp.asarray(scale, fdt)
+
+    def frames_of(v):
+        if jnp.issubdtype(v.dtype, jnp.complexfloating):
+            return jax.lax.complex(
+                segment(v.real, nperseg, noverlap),
+                segment(v.imag, nperseg, noverlap),
+            )
+        return segment(v, nperseg, noverlap)
+
+    fx, fy = frames_of(x), frames_of(y)
+    nsegs = fx.shape[-2]
+    dk = detrend if (callable(detrend) or detrend is False or detrend is None) \
+        else str(detrend)
+    pxy = _csd_core(fx, fy, w, scale, nfft, onesided, dk, average, nsegs)
+    if onesided:
+        freqs = jnp.arange(nfft // 2 + 1, dtype=fdt) * (float(fs) / nfft)
+    else:
+        from godsp_tpu.fft.helpers import fftfreq
+
+        freqs = fftfreq(nfft, 1.0 / float(fs)).astype(fdt)
+    return freqs, jnp.moveaxis(pxy, -1, axis) if pxy.ndim > 1 else pxy
+
+
+def welch_coherence(
+    x,
+    y,
+    fs: float = 1.0,
+    window="hann",
+    nperseg: int | None = None,
+    noverlap: int | None = None,
+    nfft: int | None = None,
+    detrend="constant",
+    axis: int = -1,
+):
+    """Magnitude-squared coherence Cxy = |Pxy|^2 / (Pxx Pyy) with
+    scipy.signal.coherence semantics (the scipy-convention twin of the
+    reference-parity spectral.coherence)."""
+    kw = dict(fs=fs, window=window, nperseg=nperseg, noverlap=noverlap,
+              nfft=nfft, detrend=detrend, axis=axis)
+    freqs, pxx = welch(x, **kw)
+    _, pyy = welch(y, **kw)
+    _, pxy = welch_csd(x, y, **kw)
+    return freqs, (pxy.real**2 + pxy.imag**2) / (pxx * pyy)
 
 
 def welch(

@@ -440,3 +440,72 @@ class TestScipyWelch:
             welch(np.zeros(100), scaling="bogus")
         with pytest.raises(ValueError):
             welch(np.zeros(100), average="bogus")
+
+
+class TestScipyCsdCoherence:
+    """welch_csd / welch_coherence — scipy.signal.csd/coherence parity."""
+
+    @staticmethod
+    def _xy():
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=4096)
+        return x, 0.5 * x + rng.normal(size=4096)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(fs=4.0),
+            dict(nperseg=512, noverlap=400),
+            dict(nperseg=256, nfft=512),
+            dict(nperseg=256, detrend="linear"),
+            dict(nperseg=256, scaling="spectrum"),
+            dict(nperseg=256, average="median"),
+            dict(nperseg=256, return_onesided=False),
+            dict(window=("kaiser", 7.0), nperseg=256),
+        ],
+    )
+    def test_csd_parity(self, kw):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import welch_csd
+
+        x, y = self._xy()
+        f1, p1 = welch_csd(x, y, **kw)
+        f2, p2 = ss.csd(x, y, **kw)
+        np.testing.assert_allclose(np.asarray(f1), f2, rtol=1e-12, atol=0)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-9, atol=1e-14)
+
+    def test_csd_complex_and_self(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import welch, welch_csd
+
+        rng = np.random.default_rng(1)
+        z1 = rng.normal(size=2048) + 1j * rng.normal(size=2048)
+        z2 = rng.normal(size=2048) + 1j * rng.normal(size=2048)
+        _, p1 = welch_csd(z1, z2, nperseg=256)
+        _, p2 = ss.csd(z1, z2, nperseg=256, return_onesided=False)
+        np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-9, atol=1e-14)
+        # self-CSD equals welch exactly
+        x, _ = self._xy()
+        _, pxx = welch(x, nperseg=256)
+        _, pself = welch_csd(x, x, nperseg=256)
+        np.testing.assert_allclose(
+            np.asarray(pself.real), np.asarray(pxx), rtol=1e-12, atol=1e-18
+        )
+
+    def test_coherence(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import welch_coherence
+
+        x, y = self._xy()
+        f1, c1 = welch_coherence(x, y, fs=4.0, nperseg=256)
+        f2, c2 = ss.coherence(x, y, fs=4.0, nperseg=256)
+        np.testing.assert_allclose(np.asarray(c1), c2, rtol=1e-9, atol=1e-13)
+
+    def test_shape_mismatch(self):
+        from godsp_tpu.spectral import welch_csd
+
+        with pytest.raises(ValueError):
+            welch_csd(np.zeros(100), np.zeros(99))
