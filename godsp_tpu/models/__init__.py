@@ -18,12 +18,19 @@ from godsp_tpu.models.design import (
     bessel,
     bilinear_zpk,
     butter,
+    buttord,
+    cheb1ord,
+    cheb2ord,
     cheby1,
     cheby2,
     freqz,
     group_delay,
     iirfilter,
+    normalize,
+    sos2tf,
+    sos2zpk,
     sosfreqz,
+    tf2sos,
     tf2zpk,
     zpk2sos,
     zpk2tf,
@@ -31,6 +38,7 @@ from godsp_tpu.models.design import (
 from godsp_tpu.models.filter import (
     correlate,
     correlation_lags,
+    deconvolve,
     fftconvolve,
     fir_filter,
     medfilt,
@@ -93,6 +101,9 @@ __all__ = [
     "bessel",
     "bilinear_zpk",
     "butter",
+    "buttord",
+    "cheb1ord",
+    "cheb2ord",
     "cheby1",
     "cheby2",
     "check_cola",
@@ -101,6 +112,7 @@ __all__ = [
     "correlate",
     "correlation_lags",
     "decimate",
+    "deconvolve",
     "fftconvolve",
     "find_peaks",
     "filtfilt",
@@ -118,6 +130,7 @@ __all__ = [
     "lfilter",
     "lfilter_zi",
     "medfilt",
+    "normalize",
     "overlap_save",
     "peak_prominences",
     "peak_widths",
@@ -125,12 +138,15 @@ __all__ = [
     "sawtooth",
     "savgol_coeffs",
     "savgol_filter",
+    "sos2tf",
+    "sos2zpk",
     "sosfilt",
     "sosfilt_zi",
     "sosfiltfilt",
     "sosfreqz",
     "square",
     "sweep_poly",
+    "tf2sos",
     "tf2zpk",
     "unit_impulse",
     "upfirdn",

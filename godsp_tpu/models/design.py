@@ -31,8 +31,11 @@ __all__ = [
     "bilinear_zpk",
     "buttap",
     "butter",
+    "buttord",
     "cheb1ap",
+    "cheb1ord",
     "cheb2ap",
+    "cheb2ord",
     "cheby1",
     "cheby2",
     "freqz",
@@ -42,7 +45,11 @@ __all__ = [
     "lp2bs_zpk",
     "lp2hp_zpk",
     "lp2lp_zpk",
+    "normalize",
+    "sos2tf",
+    "sos2zpk",
     "sosfreqz",
+    "tf2sos",
     "tf2zpk",
     "zpk2sos",
     "zpk2tf",
@@ -347,6 +354,222 @@ def zpk2sos(z, p, k):
     sos = np.stack(sections[::-1])  # worst pole last
     sos[0, :3] *= k
     return sos
+
+
+def sos2tf(sos):
+    """Second-order sections -> (b, a) by polynomial multiplication."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    b = np.array([1.0])
+    a = np.array([1.0])
+    for sec in sos:
+        b = np.polymul(b, sec[:3])
+        a = np.polymul(a, sec[3:])
+    return b, a
+
+
+def sos2zpk(sos):
+    """Second-order sections -> (z, p, k): per-section quadratic roots
+    concatenated (sections with fewer than two zeros/poles contribute
+    roots at the origin, matching scipy's 2*n_sections convention)."""
+    sos = np.asarray(sos, np.float64)
+    if sos.ndim != 2 or sos.shape[1] != 6:
+        raise ValueError("sos must have shape (n_sections, 6)")
+    zs, ps = [], []
+    k = 1.0
+    for sec in sos:
+        z_i, p_i, k_i = tf2zpk(sec[:3], sec[3:])
+        zs.append(np.concatenate([z_i, np.zeros(2 - len(z_i))]))
+        ps.append(np.concatenate([p_i, np.zeros(2 - len(p_i))]))
+        k *= k_i
+    return np.concatenate(zs), np.concatenate(ps), k
+
+
+def tf2sos(b, a):
+    """(b, a) -> second-order sections via tf2zpk + zpk2sos."""
+    return zpk2sos(*tf2zpk(b, a))
+
+
+def normalize(b, a):
+    """Normalize (b, a) so a[0] == 1, trimming leading numerator zeros
+    (scipy.signal.normalize)."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a.ndim != 1 or b.ndim != 1:
+        raise ValueError("b and a must be 1-D")
+    if a[0] == 0.0:
+        raise ValueError("a[0] must be nonzero")
+    b = b / a[0]
+    a = a / a[0]
+    nz = np.flatnonzero(b)
+    if nz.size and nz[0] > 0:
+        b = b[nz[0] :]
+    elif nz.size == 0:
+        b = b[-1:]
+    return b, a
+
+
+# ---------------------------------------------------------------------------
+# Order selection (buttord / cheb1ord / cheb2ord)
+# ---------------------------------------------------------------------------
+
+
+def _bounded_min(f, lo: float, hi: float, xatol: float = 1e-5) -> float:
+    """Golden-section scalar minimization on [lo, hi] (the bounded
+    minimizer the bandstop order objective needs; smooth unimodal)."""
+    invphi = (math.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c = b - invphi * (b - a)
+    d = a + invphi * (b - a)
+    fc, fd = f(c), f(d)
+    while abs(b - a) > xatol:
+        if fc < fd:
+            b, d, fd = d, c, fc
+            c = b - invphi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + invphi * (b - a)
+            fd = f(d)
+    return (a + b) / 2.0
+
+
+def _ord_filter_type(wp, ws, analog: bool, fs) -> tuple[np.ndarray, np.ndarray, int]:
+    wp = np.atleast_1d(np.asarray(wp, np.float64))
+    ws = np.atleast_1d(np.asarray(ws, np.float64))
+    if wp.shape != ws.shape or wp.shape[0] not in (1, 2):
+        raise ValueError("wp and ws must both be scalars or 2-sequences")
+    if fs is not None:
+        if analog:
+            raise ValueError("fs cannot be specified for an analog filter")
+        wp = 2.0 * wp / fs
+        ws = 2.0 * ws / fs
+    # 1: lowpass, 2: highpass, 3: bandstop, 4: bandpass
+    ftype = 2 * (wp.shape[0] - 1) + 1
+    if wp[0] >= ws[0]:
+        ftype += 1
+    return wp, ws, ftype
+
+
+def _ord_prototype_selectivity(wp, ws, gpass, gstop, ftype: int,
+                               analog: bool, kind: str):
+    """Pre-warp, adjust bandstop passband edges (minimizing the
+    continuous order), and return (nat, passb): the lowpass-prototype
+    selectivity and the (possibly adjusted) analog passband edges."""
+    if not analog:
+        passb = np.tan(np.pi * wp / 2.0)
+        stopb = np.tan(np.pi * ws / 2.0)
+    else:
+        passb, stopb = wp.copy(), ws.copy()
+    gs = 10.0 ** (0.1 * abs(gstop))
+    gp = 10.0 ** (0.1 * abs(gpass))
+
+    def cont_order(nat: float) -> float:
+        if kind == "butter":
+            return math.log10((gs - 1.0) / (gp - 1.0)) / (2 * math.log10(nat))
+        return math.acosh(math.sqrt((gs - 1.0) / (gp - 1.0))) / math.acosh(nat)
+
+    if ftype == 1:
+        nat = stopb / passb
+    elif ftype == 2:
+        nat = passb / stopb
+    elif ftype == 3:
+        def obj(ind):
+            def f(w):
+                pb = passb.copy()
+                pb[ind] = w
+                nat = stopb * (pb[0] - pb[1]) / (stopb**2 - pb[0] * pb[1])
+                return cont_order(float(np.min(np.abs(nat))))
+
+            return f
+
+        passb[0] = _bounded_min(obj(0), passb[0], stopb[0] - 1e-12)
+        passb[1] = _bounded_min(obj(1), stopb[1] + 1e-12, passb[1])
+        nat = stopb * (passb[0] - passb[1]) / (stopb**2 - passb[0] * passb[1])
+    else:  # 4: bandpass
+        nat = (stopb**2 - passb[0] * passb[1]) / (stopb * (passb[0] - passb[1]))
+    return float(np.min(np.abs(nat))), passb
+
+
+def _ord_unwarp(WN, analog: bool, fs):
+    WN = np.atleast_1d(np.asarray(WN, np.float64))
+    wn = WN if analog else np.arctan(WN) * 2.0 / np.pi
+    if fs is not None:
+        wn = wn * fs / 2.0
+    return float(wn[0]) if wn.shape[0] == 1 else wn
+
+
+def buttord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum Butterworth order meeting gpass dB passband loss at wp
+    and gstop dB stopband attenuation at ws (scipy.signal.buttord).
+    Returns (ord, wn) with wn the -gpass natural frequency for butter()."""
+    wp, ws, ftype = _ord_filter_type(wp, ws, analog, fs)
+    nat, passb = _ord_prototype_selectivity(wp, ws, gpass, gstop, ftype,
+                                            analog, "butter")
+    gs = 10.0 ** (0.1 * abs(gstop))
+    gp = 10.0 ** (0.1 * abs(gpass))
+    N = int(math.ceil(math.log10((gs - 1.0) / (gp - 1.0)) / (2 * math.log10(nat))))
+    W0 = (gp - 1.0) ** (-1.0 / (2.0 * N)) if N > 0 else 1.0
+    if ftype == 1:
+        WN = W0 * passb
+    elif ftype == 2:
+        WN = passb / W0
+    elif ftype == 3:
+        discr = math.sqrt((passb[1] - passb[0]) ** 2
+                          + 4 * W0**2 * passb[0] * passb[1])
+        WN = np.sort(np.abs([((passb[1] - passb[0]) + discr) / (2 * W0),
+                             ((passb[1] - passb[0]) - discr) / (2 * W0)]))
+    else:
+        W0v = np.array([-W0, W0])
+        WN = np.sort(np.abs(
+            -W0v * (passb[1] - passb[0]) / 2.0
+            + np.sqrt(W0v**2 / 4.0 * (passb[1] - passb[0]) ** 2
+                      + passb[0] * passb[1])
+        ))
+    return N, _ord_unwarp(WN, analog, fs)
+
+
+def cheb1ord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum Chebyshev-I order for the given band spec
+    (scipy.signal.cheb1ord); wn is the passband edge for cheby1()."""
+    wp, ws, ftype = _ord_filter_type(wp, ws, analog, fs)
+    nat, passb = _ord_prototype_selectivity(wp, ws, gpass, gstop, ftype,
+                                            analog, "cheby")
+    gs = 10.0 ** (0.1 * abs(gstop))
+    gp = 10.0 ** (0.1 * abs(gpass))
+    N = int(math.ceil(math.acosh(math.sqrt((gs - 1.0) / (gp - 1.0)))
+                      / math.acosh(nat)))
+    return N, _ord_unwarp(passb, analog, fs)
+
+
+def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum Chebyshev-II order for the given band spec
+    (scipy.signal.cheb2ord); wn is the frequency where the response
+    first hits -gpass dB, converted for cheby2()."""
+    wp, ws, ftype = _ord_filter_type(wp, ws, analog, fs)
+    nat, passb = _ord_prototype_selectivity(wp, ws, gpass, gstop, ftype,
+                                            analog, "cheby")
+    gs = 10.0 ** (0.1 * abs(gstop))
+    gp = 10.0 ** (0.1 * abs(gpass))
+    v = math.acosh(math.sqrt((gs - 1.0) / (gp - 1.0)))
+    N = int(math.ceil(v / math.acosh(nat)))
+    new_freq = 1.0 / math.cosh(v / N)
+    if ftype == 1:
+        WN = passb / new_freq
+    elif ftype == 2:
+        WN = passb * new_freq
+    elif ftype == 3:
+        nat0 = (new_freq / 2.0 * (passb[0] - passb[1])
+                + math.sqrt(new_freq**2 * (passb[1] - passb[0]) ** 2 / 4.0
+                            + passb[1] * passb[0]))
+        WN = np.array([nat0, passb[0] * passb[1] / nat0])
+    else:
+        nat0 = (1.0 / (2.0 * new_freq) * (passb[0] - passb[1])
+                + math.sqrt((passb[1] - passb[0]) ** 2 / (4.0 * new_freq**2)
+                            + passb[1] * passb[0]))
+        WN = np.array([nat0, passb[0] * passb[1] / nat0])
+    return N, _ord_unwarp(WN, analog, fs)
 
 
 # ---------------------------------------------------------------------------

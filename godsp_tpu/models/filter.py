@@ -31,6 +31,7 @@ from godsp_tpu.fft.pow2 import pow2_circular_filter, pow2_convolve
 __all__ = [
     "correlate",
     "correlation_lags",
+    "deconvolve",
     "fftconvolve",
     "fir_filter",
     "medfilt",
@@ -107,6 +108,34 @@ def correlation_lags(in1_len: int, in2_len: int, mode: str = "full") -> jax.Arra
         bound = in1_len - in2_len
         return jnp.arange(bound + 1) if bound >= 0 else jnp.arange(bound, 1)
     raise ValueError(f"unknown mode: {mode}")
+
+
+def deconvolve(signal, divisor):
+    """Polynomial long division: (quotient, remainder) such that
+    signal = convolve(divisor, quotient) + remainder
+    (scipy.signal.deconvolve semantics; host float64/complex128 — the
+    sequential recurrence is division, not a batched device op)."""
+    import numpy as np
+
+    num = np.atleast_1d(np.asarray(signal))
+    den = np.atleast_1d(np.asarray(divisor))
+    if num.ndim != 1 or den.ndim != 1:
+        raise ValueError("signal and divisor must be 1-D")
+    if den.shape[0] == 0 or den[0] == 0:
+        raise ValueError("divisor must not be empty or start with zero")
+    dt = np.result_type(num.dtype, den.dtype, np.float64)
+    num = num.astype(dt)
+    den = den.astype(dt)
+    N, D = num.shape[0], den.shape[0]
+    if D > N:
+        return np.zeros(0, dt), num
+    quot = np.zeros(N - D + 1, dt)
+    rem = num.copy()
+    for i in range(N - D + 1):
+        c = rem[i] / den[0]
+        quot[i] = c
+        rem[i : i + D] -= c * den
+    return quot, rem
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -9,17 +9,25 @@ godsp_tpu.parallel) shards over a device mesh.
 from godsp_tpu.spectral.csd import coherence, csd
 from godsp_tpu.spectral.pwelch import PwelchOptions, periodogram, pwelch, pwelch_from_frames
 from godsp_tpu.spectral.segment import num_segments, segment
-from godsp_tpu.spectral.welch import welch, welch_coherence, welch_csd
+from godsp_tpu.spectral.welch import (
+    lombscargle,
+    spectrogram_scipy,
+    welch,
+    welch_coherence,
+    welch_csd,
+)
 
 __all__ = [
     "PwelchOptions",
     "coherence",
     "csd",
+    "lombscargle",
     "num_segments",
     "periodogram",
     "pwelch",
     "pwelch_from_frames",
     "segment",
+    "spectrogram_scipy",
     "welch",
     "welch_coherence",
     "welch_csd",

@@ -22,7 +22,7 @@ from godsp_tpu._dtypes import as_complex_array, default_float, put
 from godsp_tpu.fft.core import fft, fft_real
 from godsp_tpu.spectral.segment import segment
 
-__all__ = ["welch", "welch_coherence", "welch_csd"]
+__all__ = ["lombscargle", "spectrogram_scipy", "welch", "welch_coherence", "welch_csd"]
 
 
 def _periodic_table_np(window, nperseg: int) -> np.ndarray:
@@ -309,3 +309,171 @@ def welch(
 
         freqs = fftfreq(nfft, 1.0 / float(fs)).astype(fdt)
     return freqs, jnp.moveaxis(pxx, -1, axis) if pxx.ndim > 1 else pxx
+
+
+@partial(
+    jax.jit,
+    static_argnames=("nfft", "onesided", "detrend_kind", "mode"),
+)
+def _spectrogram_core(frames, w, scale, nfft: int, onesided: bool,
+                      detrend_kind, mode: str):
+    frames = _detrend_segments(frames, detrend_kind)
+    nperseg = frames.shape[-1]
+    tapered = frames * w
+    if nfft > nperseg:
+        padw = [(0, 0)] * (tapered.ndim - 1) + [(0, nfft - nperseg)]
+        tapered = jnp.pad(tapered, padw)
+    if onesided:
+        spec = fft_real(tapered)[..., : nfft // 2 + 1]
+    else:
+        spec = fft(as_complex_array(tapered))
+    if mode == "complex":
+        return spec * jnp.sqrt(scale)
+    if mode == "magnitude":  # |X| * sqrt(scale), no one-sided doubling
+        return jnp.abs(spec) * jnp.sqrt(scale)
+    p = spec.real * spec.real + spec.imag * spec.imag
+    if onesided:
+        lp = nfft // 2 + 1
+        doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1 + (nfft % 2)].set(2.0)
+        p = p * doubler
+    return p * scale  # psd
+
+
+def spectrogram_scipy(
+    x,
+    fs: float = 1.0,
+    window=("tukey", 0.25),
+    nperseg: int | None = None,
+    noverlap: int | None = None,
+    nfft: int | None = None,
+    detrend="constant",
+    return_onesided: bool = True,
+    scaling: str = "density",
+    axis: int = -1,
+    mode: str = "psd",
+):
+    """Per-segment spectrogram with scipy.signal.spectrogram semantics:
+    returns (freqs, times, Sxx) with the segment axis LAST (scipy's
+    layout; the framework's models.spectrogram keeps frames on -2).
+    mode: 'psd' (scaled power), 'magnitude' (sqrt of the scaled power
+    without one-sided doubling... matching scipy: magnitude applies
+    sqrt(scale) to |X|), or 'complex' (scaled spectrum).  Default
+    noverlap is nperseg//8 (scipy's spectrogram default)."""
+    if mode not in ("psd", "magnitude", "complex"):
+        raise ValueError("mode must be 'psd', 'magnitude', or 'complex'")
+    if scaling not in ("density", "spectrum"):
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    x = put(x)
+    if not jnp.issubdtype(x.dtype, jnp.inexact):
+        x = x.astype(default_float())
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    if nperseg is None:
+        nperseg = 256
+    nperseg = int(min(nperseg, n))
+    if noverlap is None:
+        noverlap = nperseg // 8
+    noverlap = int(noverlap)
+    if noverlap >= nperseg:
+        raise ValueError("noverlap must be less than nperseg")
+    nfft = nperseg if nfft is None else int(nfft)
+    if nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+    if isinstance(window, (tuple, list)) and len(window) == 2 and str(
+        window[0]
+    ).lower() == "tukey":
+        wt = _tukey_table_np(float(window[1]), nperseg)
+    else:
+        wt = _periodic_table_np(window, nperseg)
+    is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating)
+    onesided = return_onesided and not is_complex
+    fdt = x.real.dtype
+    w = jnp.asarray(wt, fdt)
+    if scaling == "density":
+        scale = 1.0 / (float(fs) * float(np.sum(wt * wt)))
+    else:
+        scale = 1.0 / float(np.sum(wt)) ** 2
+    scale = jnp.asarray(scale, fdt)
+    if is_complex:
+        frames = jax.lax.complex(
+            segment(x.real, nperseg, noverlap), segment(x.imag, nperseg, noverlap)
+        )
+    else:
+        frames = segment(x, nperseg, noverlap)
+    nsegs = frames.shape[-2]
+    dk = detrend if (callable(detrend) or detrend is False or detrend is None) \
+        else str(detrend)
+    sxx = _spectrogram_core(frames, w, scale, nfft, onesided, dk, mode)
+    sxx = jnp.swapaxes(sxx, -1, -2)  # scipy: freq axis then time axis last
+    if onesided:
+        freqs = jnp.arange(nfft // 2 + 1, dtype=fdt) * (float(fs) / nfft)
+    else:
+        from godsp_tpu.fft.helpers import fftfreq
+
+        freqs = fftfreq(nfft, 1.0 / float(fs)).astype(fdt)
+    step = nperseg - noverlap
+    times = (jnp.arange(nsegs, dtype=fdt) * step + nperseg / 2.0) / float(fs)
+    return freqs, times, sxx
+
+
+def _tukey_table_np(alpha: float, nperseg: int) -> np.ndarray:
+    """Periodic Tukey (tapered-cosine) window, scipy.signal.windows.tukey
+    with sym=False — the spectrogram default taper."""
+    M = nperseg + 1  # periodic = symmetric of M, truncated
+    if alpha <= 0:
+        return np.ones(nperseg)
+    if alpha >= 1:
+        w = np.hanning(M)
+        return w[:-1]
+    n = np.arange(M, dtype=np.float64)
+    width = int(np.floor(alpha * (M - 1) / 2.0))
+    w = np.ones(M)
+    n1 = n[: width + 1]
+    w[: width + 1] = 0.5 * (1 + np.cos(np.pi * (-1 + 2.0 * n1 / alpha / (M - 1))))
+    n3 = n[M - width - 1 :]
+    w[M - width - 1 :] = 0.5 * (
+        1 + np.cos(np.pi * (-2.0 / alpha + 1 + 2.0 * n3 / alpha / (M - 1)))
+    )
+    return w[:-1]
+
+
+@partial(jax.jit, static_argnames=("precenter", "normalize"))
+def _lombscargle_jit(x, y, freqs, precenter: bool, normalize: bool):
+    if precenter:
+        y = y - jnp.mean(y)
+    # classical Lomb-Scargle with per-frequency time offset tau
+    wt = freqs[:, None] * x[None, :]  # (nf, n)
+    s2 = jnp.sum(jnp.sin(2 * wt), axis=-1)
+    c2 = jnp.sum(jnp.cos(2 * wt), axis=-1)
+    tau = 0.5 * jnp.arctan2(s2, c2)
+    arg = wt - tau[:, None]
+    cw = jnp.cos(arg)
+    sw = jnp.sin(arg)
+    yc = jnp.sum(y[None, :] * cw, axis=-1)
+    ys = jnp.sum(y[None, :] * sw, axis=-1)
+    cc = jnp.sum(cw * cw, axis=-1)
+    ss_ = jnp.sum(sw * sw, axis=-1)
+    p = 0.5 * (yc * yc / cc + ys * ys / ss_)
+    if normalize:
+        p = p * 2.0 / jnp.sum(y * y)
+    return p
+
+
+def lombscargle(x, y, freqs, precenter: bool = False, normalize: bool = False):
+    """Lomb-Scargle periodogram of unevenly sampled data
+    (scipy.signal.lombscargle's classical form): the per-frequency
+    phase-shifted least-squares sinusoid fit power.  One batched outer
+    trig product — (n_freqs, n_samples) elementwise work that XLA tiles
+    across lanes, vs scipy's per-frequency C loop."""
+    x = put(x)
+    y = put(y)
+    freqs = put(freqs)
+    fdt = default_float()
+    x = x.astype(fdt)
+    y = y.astype(fdt)
+    freqs = jnp.asarray(freqs, fdt)
+    if x.ndim != 1 or y.ndim != 1 or freqs.ndim != 1:
+        raise ValueError("x, y, freqs must be 1-D")
+    if x.shape[0] != y.shape[0]:
+        raise ValueError("x and y must have the same length")
+    return _lombscargle_jit(x, y, freqs, bool(precenter), bool(normalize))

@@ -543,3 +543,103 @@ class TestPeaks:
             peak_prominences(np.zeros(10), [20])
         with pytest.raises(ValueError):
             peak_prominences(np.arange(10.0), [5], wlen=2)
+
+
+class TestOrderSelection:
+    """buttord/cheb1ord/cheb2ord vs scipy: exact orders; wn at analytic
+    precision (bandstop wn within the bounded-minimizer tolerance)."""
+
+    CASES = [
+        ((0.2, 0.3, 1, 40), {}),
+        ((0.4, 0.25, 0.5, 50), {}),
+        (([0.2, 0.5], [0.1, 0.6], 1, 40), {}),  # bandpass
+        (([0.1, 0.6], [0.2, 0.5], 2, 30), {}),  # bandstop
+        ((30, 50, 1, 40), dict(analog=True)),
+        ((1000, 1200, 2, 60), dict(fs=8000)),
+    ]
+
+    @pytest.mark.parametrize("args,kw", CASES)
+    @pytest.mark.parametrize("pair", ["butt", "c1", "c2"])
+    def test_scipy_parity(self, args, kw, pair):
+        from godsp_tpu.models import buttord, cheb1ord, cheb2ord
+
+        mine, theirs = {
+            "butt": (buttord, ss.buttord),
+            "c1": (cheb1ord, ss.cheb1ord),
+            "c2": (cheb2ord, ss.cheb2ord),
+        }[pair]
+        n1, w1 = mine(*args, **kw)
+        n2, w2 = theirs(*args, **kw)
+        assert n1 == n2
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2),
+                                   rtol=1e-4, atol=1e-7)
+
+    def test_design_from_ord(self):
+        """The classic loop: estimate order, then design at (N, wn)."""
+        from godsp_tpu.models import butter, buttord
+
+        N, wn = buttord(0.2, 0.3, 1, 40)
+        b, a = butter(N, wn)
+        w = np.linspace(0.01, np.pi - 0.01, 500)
+        _, h = ss.freqz(b, a, worN=w)
+        # passband loss <= 1 dB at 0.2, stopband attenuation >= 40 dB at 0.3
+        hp = np.abs(h[w <= 0.2 * np.pi])
+        hs = np.abs(h[w >= 0.3 * np.pi])
+        assert 20 * np.log10(hp.min()) >= -1.0001
+        assert 20 * np.log10(hs.max()) <= -39.999
+
+
+class TestConversions:
+    def test_sos2tf_sos2zpk(self):
+        from godsp_tpu.models import sos2tf, sos2zpk
+
+        sos = ss.butter(7, 0.3, output="sos")
+        b1, a1 = sos2tf(sos)
+        b2, a2 = ss.sos2tf(sos)
+        allc(b1, b2)
+        allc(a1, a2)
+        z1, p1, k1 = sos2zpk(sos)
+        z2, p2, k2 = ss.sos2zpk(sos)
+        allc(np.sort_complex(z1), np.sort_complex(z2))
+        allc(np.sort_complex(p1), np.sort_complex(p2))
+        assert abs(k1 - k2) < 1e-12
+
+    def test_tf2sos_response(self):
+        from godsp_tpu.models import tf2sos
+
+        b, a = ss.butter(6, 0.3)
+        s1 = tf2sos(b, a)
+        w = np.linspace(0.01, np.pi - 0.01, 200)
+        _, h1 = ss.sosfreqz(s1, worN=w)
+        _, h2 = ss.freqz(b, a, worN=w)
+        allc(h1, h2, rtol=1e-7, atol=1e-10)
+
+    def test_normalize(self):
+        from godsp_tpu.models import normalize
+
+        for bb, aa in [([0, 2, 4], [2, 1]), ([3, 6], [2, 4, 8])]:
+            g = normalize(bb, aa)
+            r = ss.normalize(bb, aa)
+            allc(g[0], r[0])
+            allc(g[1], r[1])
+        with pytest.raises(ValueError):
+            normalize([1.0], [0.0, 1.0])
+
+    def test_deconvolve(self):
+        from godsp_tpu.models import deconvolve
+
+        rng = np.random.default_rng(0)
+        sig = rng.normal(size=60)
+        div = np.array([1.5, 0.3, -0.2, 0.05])
+        q1, r1 = deconvolve(sig, div)
+        q2, r2 = ss.deconvolve(sig, div)
+        allc(q1, q2, rtol=1e-7, atol=1e-9)
+        allc(r1, r2, rtol=1e-7, atol=1e-8)
+        # defining identity
+        allc(np.convolve(div, q1) + r1, sig, rtol=1e-9, atol=1e-9)
+        # divisor longer than signal: zero quotient, remainder = signal
+        q, r = deconvolve(np.ones(3), np.ones(5))
+        assert q.size == 0
+        allc(r, np.ones(3))
+        with pytest.raises(ValueError):
+            deconvolve(np.ones(5), [0.0, 1.0])

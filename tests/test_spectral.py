@@ -509,3 +509,88 @@ class TestScipyCsdCoherence:
 
         with pytest.raises(ValueError):
             welch_csd(np.zeros(100), np.zeros(99))
+
+
+class TestScipySpectrogram:
+    """spectral.spectrogram_scipy — scipy.signal.spectrogram parity
+    (freq axis first, time axis last; tukey default window)."""
+
+    @staticmethod
+    def _x(n=8192):
+        return np.random.default_rng(0).normal(size=n)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(fs=4.0),
+            dict(nperseg=512, noverlap=128),
+            dict(nperseg=256, nfft=512),
+            dict(window="hann", nperseg=256, noverlap=128),
+            dict(nperseg=256, mode="magnitude"),
+            dict(nperseg=256, mode="complex"),
+            dict(nperseg=256, scaling="spectrum"),
+            dict(nperseg=256, detrend="linear"),
+            dict(nperseg=256, return_onesided=False),
+        ],
+    )
+    def test_scipy_parity(self, kw):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import spectrogram_scipy
+
+        x = self._x()
+        f1, t1, s1 = spectrogram_scipy(x, **kw)
+        f2, t2, s2 = ss.spectrogram(x, **kw)
+        np.testing.assert_allclose(np.asarray(f1), f2, rtol=1e-12, atol=0)
+        np.testing.assert_allclose(np.asarray(t1), t2, rtol=1e-12, atol=0)
+        np.testing.assert_allclose(np.asarray(s1), s2, rtol=1e-9, atol=1e-13)
+
+    def test_complex_input(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import spectrogram_scipy
+
+        rng = np.random.default_rng(1)
+        z = rng.normal(size=4096) + 1j * rng.normal(size=4096)
+        _, _, s1 = spectrogram_scipy(z, nperseg=256)
+        _, _, s2 = ss.spectrogram(z, nperseg=256, return_onesided=False)
+        np.testing.assert_allclose(np.asarray(s1), s2, rtol=1e-9, atol=1e-13)
+
+    def test_validation(self):
+        from godsp_tpu.spectral import spectrogram_scipy
+
+        with pytest.raises(ValueError):
+            spectrogram_scipy(np.zeros(100), mode="bogus")
+
+
+class TestLombScargle:
+    def test_scipy_parity(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral import lombscargle
+
+        rng = np.random.default_rng(2)
+        t = np.sort(rng.uniform(0, 100, 500))
+        y = np.sin(2 * np.pi * 0.3 * t) + 0.5 * rng.normal(size=500)
+        freqs = np.linspace(0.01, 5, 300) * 2 * np.pi
+        for kw in (dict(), dict(precenter=True), dict(normalize=True)):
+            p1 = np.asarray(lombscargle(t, y, freqs, **kw))
+            p2 = ss.lombscargle(t, y, freqs, **kw)
+            np.testing.assert_allclose(p1, p2, rtol=1e-9, atol=1e-11)
+
+    def test_detects_tone(self):
+        from godsp_tpu.spectral import lombscargle
+
+        rng = np.random.default_rng(3)
+        t = np.sort(rng.uniform(0, 50, 400))
+        f0 = 1.3
+        y = np.cos(2 * np.pi * f0 * t)
+        freqs = np.linspace(0.1, 3.0, 291) * 2 * np.pi
+        p = np.asarray(lombscargle(t, y, freqs))
+        assert abs(freqs[np.argmax(p)] / (2 * np.pi) - f0) < 0.02
+
+    def test_validation(self):
+        from godsp_tpu.spectral import lombscargle
+
+        with pytest.raises(ValueError):
+            lombscargle(np.zeros(5), np.zeros(6), np.ones(3))
