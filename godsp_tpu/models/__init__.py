@@ -23,8 +23,12 @@ from godsp_tpu.models.design import (
     cheb2ord,
     cheby1,
     cheby2,
+    ellip,
+    ellipap,
+    ellipord,
     freqz,
     group_delay,
+    iirdesign,
     iirfilter,
     normalize,
     sos2tf,
@@ -113,6 +117,9 @@ __all__ = [
     "correlation_lags",
     "decimate",
     "deconvolve",
+    "ellip",
+    "ellipap",
+    "ellipord",
     "fftconvolve",
     "find_peaks",
     "filtfilt",
@@ -123,6 +130,7 @@ __all__ = [
     "gausspulse",
     "griffin_lim",
     "group_delay",
+    "iirdesign",
     "iirfilter",
     "kaiser_atten",
     "kaiser_beta",

@@ -38,8 +38,12 @@ __all__ = [
     "cheb2ord",
     "cheby1",
     "cheby2",
+    "ellip",
+    "ellipap",
+    "ellipord",
     "freqz",
     "group_delay",
+    "iirdesign",
     "iirfilter",
     "lp2bp_zpk",
     "lp2bs_zpk",
@@ -146,6 +150,127 @@ def besselap(N: int, norm: str = "phase"):
     else:
         k = float(a0)
     return np.array([], complex), p, k
+
+
+# ---------------------------------------------------------------------------
+# Elliptic (Cauer) prototype — Jacobi elliptic functions via Landen
+# transformations (host float64; the textbook degree-equation route,
+# solved through the nome for full precision at extreme attenuations)
+# ---------------------------------------------------------------------------
+
+
+def _agm(a: float, b: float) -> float:
+    """Arithmetic-geometric mean (quadratic convergence; the capped
+    tolerance avoids the 1-ulp oscillation an exact test can enter)."""
+    for _ in range(64):
+        if abs(a - b) <= 4e-16 * a:
+            break
+        a, b = 0.5 * (a + b), math.sqrt(a * b)
+    return 0.5 * (a + b)
+
+
+def _ellipk_m(m: float) -> float:
+    """Complete elliptic integral K with parameter m = k^2:
+    K = pi / (2 AGM(1, sqrt(1-m)))."""
+    if not 0.0 <= m < 1.0:
+        raise ValueError("parameter m must lie in [0, 1)")
+    return math.pi / (2.0 * _agm(1.0, math.sqrt(1.0 - m)))
+
+
+def _landen(k: float, kp: float | None = None) -> np.ndarray:
+    """Descending Landen sequence k -> 0.  Passing the complement kp
+    keeps the first step accurate when k is within ulps of 1."""
+    ks = []
+    k = float(k)
+    if kp is None:
+        kp = math.sqrt(max(0.0, (1.0 - k) * (1.0 + k)))
+    for _ in range(64):
+        if k < 1e-16:
+            break
+        k = (k / (1.0 + kp)) ** 2
+        kp = math.sqrt(max(0.0, (1.0 - k) * (1.0 + k)))
+        ks.append(k)
+    return np.array(ks)
+
+
+def _cde(u, k: float, kp: float | None = None):
+    """Jacobi cd(u*K(k), k) — u in units of the quarter period, possibly
+    complex; ascending Gauss/Landen recursion from the degenerate cos."""
+    v = _landen(k, kp)
+    w = np.cos(np.asarray(u) * (np.pi / 2))
+    for kn in v[::-1]:
+        w = (1 + kn) * w / (1 + kn * w * w)
+    return w
+
+
+def _sne(u, k: float, kp: float | None = None):
+    """Jacobi sn(u*K(k), k), u in units of K (complex ok)."""
+    v = _landen(k, kp)
+    w = np.sin(np.asarray(u) * (np.pi / 2))
+    for kn in v[::-1]:
+        w = (1 + kn) * w / (1 + kn * w * w)
+    return w
+
+
+def _asne(w, k: float):
+    """Inverse sn: u (in units of K) with sn(u*K, k) = w (complex ok) —
+    descending Landen on the value, then the degenerate arcsine."""
+    v = _landen(k)
+    w = np.asarray(w, complex)
+    kprev = k
+    for kn in v:
+        w = 2.0 * w / ((1 + kn) * (1 + np.sqrt(1 - kprev * kprev * w * w)))
+        kprev = kn
+    return 2.0 / np.pi * np.arcsin(w)
+
+
+def _ellipdeg(N: int, k1: float) -> tuple[float, float]:
+    """Solve the elliptic degree equation N K'(k1)/K(k1) = K'(k)/K(k)
+    for k via the nome (q = q1^(1/N), k = (theta2/theta3)^2).  Returns
+    (k, k'): the complement comes from theta4/theta3 so callers keep
+    full precision when k is within ulps of 1 (high-attenuation
+    designs, where forming sqrt(1-k^2) would be catastrophic)."""
+    k1p = math.sqrt(max(0.0, (1.0 - k1) * (1.0 + k1)))
+    # K(k') = pi/(2 AGM(1, k)) — so both quarter periods come straight
+    # from AGMs of k1 and its complement, no 1-k1^2 cancellation.
+    q1 = math.exp(-math.pi * _agm(1.0, k1p) / _agm(1.0, k1))
+    q = q1 ** (1.0 / N)
+    m = np.arange(1, 9, dtype=np.float64)
+    th2 = 2.0 * q**0.25 * (1.0 + np.sum(q ** (m * (m + 1))))
+    th3 = 1.0 + 2.0 * np.sum(q ** (m * m))
+    th4 = 1.0 + 2.0 * np.sum((-1.0) ** m * q ** (m * m))
+    return float((th2 / th3) ** 2), float((th4 / th3) ** 2)
+
+
+def ellipap(N: int, rp: float, rs: float):
+    """Elliptic (Cauer) analog lowpass prototype: rp dB passband ripple,
+    rs dB stopband attenuation, equiripple in both bands — the minimum-
+    order classical prototype.  Zeros at j/(k*cd(u_i K, k)), poles at
+    j*cd((u_i - j v0) K, k) with v0 from the inverse-sn of the ripple
+    ratio (the standard Jacobi-elliptic parameterization; scipy.signal
+    ellipap conventions for ordering-insensitive zpk)."""
+    N = _check_order(N)
+    if rp <= 0:
+        raise ValueError("rp must be > 0 dB")
+    if rs <= rp:
+        raise ValueError("rs must exceed rp (stopband below passband ripple)")
+    eps = math.sqrt(10.0 ** (0.1 * rp) - 1.0)
+    k1 = eps / math.sqrt(10.0 ** (0.1 * rs) - 1.0)
+    k, kc = _ellipdeg(N, k1)
+    L, r = N // 2, N % 2
+    ui = (2.0 * np.arange(1, L + 1) - 1.0) / N
+    z = 1j / (k * _cde(ui, k, kc))
+    zeros = np.concatenate([z, np.conj(z)])
+    v0 = float((-1j * _asne(1j / eps, k1) / N).real)
+    p = 1j * _cde(ui - 1j * v0, k, kc)
+    poles = np.concatenate([p, np.conj(p)])
+    if r:
+        p0 = 1j * _sne(np.array(1j * v0), k, kc)
+        poles = np.concatenate([poles, np.atleast_1d(p0)])
+    gain = float((np.prod(-poles) / np.prod(-zeros)).real)
+    if N % 2 == 0:
+        gain /= math.sqrt(1.0 + eps * eps)
+    return zeros, poles, gain
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +593,12 @@ def _ord_prototype_selectivity(wp, ws, gpass, gstop, ftype: int,
     def cont_order(nat: float) -> float:
         if kind == "butter":
             return math.log10((gs - 1.0) / (gp - 1.0)) / (2 * math.log10(nat))
+        if kind == "ellip":
+            m1 = (gp - 1.0) / (gs - 1.0)  # ripple-ratio modulus squared
+            m2 = 1.0 / (nat * nat)  # selectivity modulus squared
+            return (_ellipk_m(m2) * _ellipk_m(1.0 - m1)) / (
+                _ellipk_m(1.0 - m2) * _ellipk_m(m1)
+            )
         return math.acosh(math.sqrt((gs - 1.0) / (gp - 1.0))) / math.acosh(nat)
 
     if ftype == 1:
@@ -572,6 +703,23 @@ def cheb2ord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
     return N, _ord_unwarp(WN, analog, fs)
 
 
+def ellipord(wp, ws, gpass: float, gstop: float, analog: bool = False, fs=None):
+    """Minimum elliptic order for the given band spec
+    (scipy.signal.ellipord): the elliptic degree equation evaluated with
+    complete elliptic integrals of the selectivity and ripple-ratio
+    moduli; wn is the passband edge for ellip()."""
+    wp, ws, ftype = _ord_filter_type(wp, ws, analog, fs)
+    nat, passb = _ord_prototype_selectivity(wp, ws, gpass, gstop, ftype,
+                                            analog, "ellip")
+    gs = 10.0 ** (0.1 * abs(gstop))
+    gp = 10.0 ** (0.1 * abs(gpass))
+    m1 = (gp - 1.0) / (gs - 1.0)
+    m2 = 1.0 / (nat * nat)
+    N = int(math.ceil((_ellipk_m(m2) * _ellipk_m(1.0 - m1))
+                      / (_ellipk_m(1.0 - m2) * _ellipk_m(m1))))
+    return N, _ord_unwarp(passb, analog, fs)
+
+
 # ---------------------------------------------------------------------------
 # Top-level designers
 # ---------------------------------------------------------------------------
@@ -580,6 +728,7 @@ _PROTOTYPES = {
     "butter": lambda N, rp, rs: buttap(N),
     "cheby1": lambda N, rp, rs: cheb1ap(N, rp),
     "cheby2": lambda N, rp, rs: cheb2ap(N, rs),
+    "ellip": lambda N, rp, rs: ellipap(N, rp, rs),
     "bessel": lambda N, rp, rs: besselap(N),
 }
 
@@ -617,10 +766,10 @@ def iirfilter(
         raise ValueError("btype must be lowpass/highpass/bandpass/bandstop")
     if ftype not in _PROTOTYPES:
         raise ValueError(f"ftype must be one of {sorted(_PROTOTYPES)}")
-    if ftype == "cheby1" and rp is None:
-        raise ValueError("cheby1 needs passband ripple rp (dB)")
-    if ftype == "cheby2" and rs is None:
-        raise ValueError("cheby2 needs stopband attenuation rs (dB)")
+    if ftype in ("cheby1", "ellip") and rp is None:
+        raise ValueError(f"{ftype} needs passband ripple rp (dB)")
+    if ftype in ("cheby2", "ellip") and rs is None:
+        raise ValueError(f"{ftype} needs stopband attenuation rs (dB)")
     if output not in ("ba", "zpk", "sos"):
         raise ValueError("output must be 'ba', 'zpk', or 'sos'")
 
@@ -679,6 +828,49 @@ def cheby1(N, rp, Wn, btype="lowpass", analog=False, output="ba", fs=None):
 def cheby2(N, rs, Wn, btype="lowpass", analog=False, output="ba", fs=None):
     """Chebyshev type-II design (rs dB stopband attenuation)."""
     return iirfilter(N, Wn, None, rs, btype, analog, "cheby2", output, fs)
+
+
+def ellip(N, rp, rs, Wn, btype="lowpass", analog=False, output="ba", fs=None):
+    """Elliptic (Cauer) design: rp dB passband ripple AND rs dB stopband
+    attenuation — the minimum order for a given transition band
+    (scipy.signal.ellip semantics)."""
+    return iirfilter(N, Wn, rp, rs, btype, analog, "ellip", output, fs)
+
+
+_ORD_SELECTORS = {
+    "butter": buttord,
+    "cheby1": cheb1ord,
+    "cheby2": cheb2ord,
+    "ellip": ellipord,
+}
+
+
+def iirdesign(wp, ws, gpass: float, gstop: float, analog: bool = False,
+              ftype: str = "ellip", output: str = "ba", fs=None):
+    """Complete band-spec design (scipy.signal.iirdesign): pick the
+    minimum order meeting (gpass, gstop) at the (wp, ws) edges via the
+    family's order selector, then design at that (N, wn).  The band
+    type is inferred from the edge layout: scalar wp<ws lowpass,
+    wp>ws highpass; 2-vectors with the passband inside the stopband
+    edges bandpass, outside bandstop."""
+    if ftype not in _ORD_SELECTORS:
+        raise ValueError(f"ftype must be one of {sorted(_ORD_SELECTORS)}"
+                         " (bessel has no equiripple band spec)")
+    wpa = np.atleast_1d(np.asarray(wp, np.float64))
+    wsa = np.atleast_1d(np.asarray(ws, np.float64))
+    if wpa.shape != wsa.shape or wpa.shape[0] not in (1, 2):
+        raise ValueError("wp and ws must both be scalars or 2-sequences")
+    if wpa.shape[0] == 1:
+        btype = "lowpass" if wpa[0] < wsa[0] else "highpass"
+    elif wsa[0] < wpa[0] < wpa[1] < wsa[1]:
+        btype = "bandpass"
+    elif wpa[0] < wsa[0] < wsa[1] < wpa[1]:
+        btype = "bandstop"
+    else:
+        raise ValueError("passband and stopband edges must nest")
+    N, wn = _ORD_SELECTORS[ftype](wp, ws, gpass, gstop, analog=analog, fs=fs)
+    return iirfilter(N, wn, rp=gpass, rs=gstop, btype=btype, analog=analog,
+                     ftype=ftype, output=output, fs=fs)
 
 
 def bessel(N, Wn, btype="lowpass", analog=False, output="ba", fs=None, norm="phase"):

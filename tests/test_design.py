@@ -559,14 +559,15 @@ class TestOrderSelection:
     ]
 
     @pytest.mark.parametrize("args,kw", CASES)
-    @pytest.mark.parametrize("pair", ["butt", "c1", "c2"])
+    @pytest.mark.parametrize("pair", ["butt", "c1", "c2", "el"])
     def test_scipy_parity(self, args, kw, pair):
-        from godsp_tpu.models import buttord, cheb1ord, cheb2ord
+        from godsp_tpu.models import buttord, cheb1ord, cheb2ord, ellipord
 
         mine, theirs = {
             "butt": (buttord, ss.buttord),
             "c1": (cheb1ord, ss.cheb1ord),
             "c2": (cheb2ord, ss.cheb2ord),
+            "el": (ellipord, ss.ellipord),
         }[pair]
         n1, w1 = mine(*args, **kw)
         n2, w2 = theirs(*args, **kw)
@@ -643,3 +644,106 @@ class TestConversions:
         allc(r, np.ones(3))
         with pytest.raises(ValueError):
             deconvolve(np.ones(5), [0.0, 1.0])
+
+
+class TestEllip:
+    """Elliptic designs vs scipy: the Landen/nome prototype at machine
+    precision, through the shared transform/bilinear pipeline."""
+
+    CASES = [(1, 1, 40), (2, 0.5, 40), (3, 1, 40), (4, 3, 60), (5, 0.1, 80),
+             (7, 1, 100), (8, 2, 30), (9, 0.5, 120), (12, 1, 60)]
+
+    @pytest.mark.parametrize("N,rp,rs", CASES)
+    def test_ellipap(self, N, rp, rs):
+        from godsp_tpu.models import ellipap
+
+        z1, p1, k1 = ellipap(N, rp, rs)
+        z2, p2, k2 = ss.ellipap(N, rp, rs)
+        sz = lambda a: np.sort_complex(np.atleast_1d(np.asarray(a, complex)))
+        if len(np.atleast_1d(z2)):
+            np.testing.assert_allclose(sz(z1), sz(z2), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(sz(p1), sz(p2), rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(k1, k2, rtol=1e-12)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(N=5, rp=1, rs=60, Wn=0.3),
+            dict(N=4, rp=0.5, rs=40, Wn=0.25, btype="highpass"),
+            dict(N=3, rp=1, rs=50, Wn=[0.2, 0.5], btype="bandpass"),
+            dict(N=3, rp=2, rs=40, Wn=[0.2, 0.5], btype="bandstop"),
+            dict(N=6, rp=1, rs=80, Wn=100, analog=True),
+            dict(N=4, rp=1, rs=60, Wn=1000, fs=8000),
+        ],
+    )
+    def test_ellip_ba(self, kw):
+        from godsp_tpu.models import ellip
+
+        b1, a1 = ellip(**kw)
+        b2, a2 = ss.ellip(**{("N" if k == "N" else k): v for k, v in kw.items()})
+        allc(b1, b2, rtol=1e-9, atol=1e-12)
+        allc(a1, a2, rtol=1e-9, atol=1e-12)
+
+    def test_ellip_sos_runs(self):
+        from godsp_tpu.models import ellip, sosfilt
+
+        sos = ellip(8, 1, 80, 0.3, output="sos")
+        ref = ss.ellip(8, 1, 80, 0.3, output="sos")
+        x = np.random.default_rng(0).normal(size=512)
+        y1 = np.asarray(sosfilt(sos, x))
+        y2 = ss.sosfilt(ref, x)
+        allc(y1, y2, rtol=1e-8, atol=1e-10)
+
+    def test_validation(self):
+        from godsp_tpu.models import ellip, ellipap, iirfilter
+
+        with pytest.raises(ValueError):
+            ellipap(4, 0, 40)
+        with pytest.raises(ValueError):
+            ellipap(4, 3, 2)  # rs <= rp
+        with pytest.raises(ValueError):
+            iirfilter(4, 0.3, rp=None, rs=40, ftype="ellip")
+        with pytest.raises(ValueError):
+            iirfilter(4, 0.3, rp=1, rs=None, ftype="ellip")
+
+
+class TestIirdesign:
+    @pytest.mark.parametrize(
+        "args,kw",
+        [
+            ((0.2, 0.3, 1, 40), {}),
+            ((0.3, 0.2, 1, 40), dict(ftype="butter")),  # highpass
+            (([0.2, 0.5], [0.1, 0.6], 1, 40), dict(ftype="cheby1")),
+            ((1000, 1200, 1, 60), dict(fs=8000)),
+        ],
+    )
+    def test_scipy_parity(self, args, kw):
+        from godsp_tpu.models import iirdesign
+
+        b1, a1 = iirdesign(*args, **kw)
+        b2, a2 = ss.iirdesign(*args, **kw)
+        allc(b1, b2, rtol=1e-7, atol=1e-10)
+        allc(a1, a2, rtol=1e-7, atol=1e-10)
+
+    def test_bandstop_meets_spec(self):
+        """Bandstop wn rides the golden-section minimum (flat to ~1e-5,
+        same tolerance class as scipy's fminbound) so coefficients are
+        not bit-comparable — assert the functional band spec instead."""
+        from godsp_tpu.models import iirdesign
+
+        wp, ws, gpass, gstop = [0.1, 0.6], [0.2, 0.5], 2.0, 40.0
+        b, a = iirdesign(wp, ws, gpass, gstop, ftype="cheby2")
+        w = np.linspace(0.005, 0.995, 2000) * np.pi
+        _, h = ss.freqz(b, a, worN=w)
+        mag = 20 * np.log10(np.abs(h) + 1e-300)
+        f = w / np.pi
+        assert mag[(f <= wp[0]) | (f >= wp[1])].min() >= -gpass - 1e-3
+        assert mag[(f >= ws[0]) & (f <= ws[1])].max() <= -gstop + 1e-3
+
+    def test_validation(self):
+        from godsp_tpu.models import iirdesign
+
+        with pytest.raises(ValueError):
+            iirdesign(0.2, 0.3, 1, 40, ftype="bessel")
+        with pytest.raises(ValueError):
+            iirdesign([0.2, 0.5], [0.3, 0.6], 1, 40)  # edges don't nest
