@@ -28,8 +28,11 @@ from godsp_tpu.models.design import (
     ellipord,
     freqz,
     group_delay,
+    iircomb,
     iirdesign,
     iirfilter,
+    iirnotch,
+    iirpeak,
     normalize,
     sos2tf,
     sos2zpk,
@@ -130,8 +133,11 @@ __all__ = [
     "gausspulse",
     "griffin_lim",
     "group_delay",
+    "iircomb",
     "iirdesign",
     "iirfilter",
+    "iirnotch",
+    "iirpeak",
     "kaiser_atten",
     "kaiser_beta",
     "kaiserord",

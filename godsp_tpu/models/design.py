@@ -43,8 +43,11 @@ __all__ = [
     "ellipord",
     "freqz",
     "group_delay",
+    "iircomb",
     "iirdesign",
     "iirfilter",
+    "iirnotch",
+    "iirpeak",
     "lp2bp_zpk",
     "lp2bs_zpk",
     "lp2hp_zpk",
@@ -889,6 +892,82 @@ def bessel(N, Wn, btype="lowpass", analog=False, output="ba", fs=None, norm="pha
         finally:
             _PROTOTYPES["bessel"] = saved
     return iirfilter(N, Wn, None, None, btype, analog, "bessel", output, fs)
+
+
+# ---------------------------------------------------------------------------
+# Narrow-band biquad / comb designers (closed-form second-order sections)
+# ---------------------------------------------------------------------------
+
+
+def _notch_peak(w0, Q: float, kind: str, fs: float):
+    """Shared closed-form biquad: -3 dB bandwidth w0/Q around w0; the
+    notch zeros sit ON the unit circle at +-w0, the peak numerator is
+    the bandpass differentiator (1 - z^-2) (scipy iirnotch/iirpeak
+    conventions)."""
+    w0 = 2.0 * float(w0) / float(fs)
+    if not 0.0 < w0 < 1.0:
+        raise ValueError("w0 must lie in (0, fs/2)")
+    bw = w0 / float(Q) * math.pi
+    w0 = w0 * math.pi
+    gb = 1.0 / math.sqrt(2.0)  # -3 dB edge gain
+    if kind == "notch":
+        beta = (math.sqrt(1.0 - gb * gb) / gb) * math.tan(bw / 2.0)
+    else:
+        beta = (gb / math.sqrt(1.0 - gb * gb)) * math.tan(bw / 2.0)
+    gain = 1.0 / (1.0 + beta)
+    if kind == "notch":
+        b = gain * np.array([1.0, -2.0 * math.cos(w0), 1.0])
+    else:
+        b = (1.0 - gain) * np.array([1.0, 0.0, -1.0])
+    a = np.array([1.0, -2.0 * gain * math.cos(w0), 2.0 * gain - 1.0])
+    return b, a
+
+
+def iirnotch(w0, Q: float, fs: float = 2.0):
+    """Second-order notch: unit gain away from w0, zero at w0, -3 dB
+    bandwidth w0/Q (scipy.signal.iirnotch)."""
+    return _notch_peak(w0, Q, "notch", fs)
+
+
+def iirpeak(w0, Q: float, fs: float = 2.0):
+    """Second-order resonator: unit gain at w0, zero at DC and Nyquist,
+    -3 dB bandwidth w0/Q (scipy.signal.iirpeak)."""
+    return _notch_peak(w0, Q, "peak", fs)
+
+
+def iircomb(w0, Q: float, ftype: str = "notch", fs: float = 2.0,
+            *, pass_zero: bool = False):
+    """Comb filter with N = fs/w0 teeth: H(z) = g (1 ± z^-N)/(1 ∓ a z^-N).
+    ftype='notch' rejects (pass_zero=False: the harmonics of w0;
+    pass_zero=True: the half-harmonics), 'peak' resonates there instead;
+    -3 dB tooth bandwidth w0/Q (scipy.signal.iircomb conventions)."""
+    if ftype not in ("notch", "peak"):
+        raise ValueError("ftype must be 'notch' or 'peak'")
+    w0 = float(w0)
+    fs = float(fs)
+    if w0 <= 0 or w0 > fs / 2.0:
+        raise ValueError("w0 must lie in (0, fs/2]")
+    N = fs / w0
+    Ni = int(round(N))
+    if abs(N - Ni) > 1e-9 * max(1.0, N):
+        raise ValueError("w0 must divide fs evenly")
+    N = Ni
+    bw = (2.0 * w0 / fs) / float(Q) * math.pi
+    beta = math.tan(N * bw / 4.0)
+    a = (1.0 - beta) / (1.0 + beta)
+    sign = 1.0 if pass_zero else -1.0
+    b_c = np.zeros(N + 1)
+    a_c = np.zeros(N + 1)
+    a_c[0] = 1.0
+    if ftype == "notch":
+        g = (1.0 + a) / 2.0
+        b_c[0], b_c[N] = g, sign * g
+        a_c[N] = sign * a
+    else:
+        g = (1.0 - a) / 2.0
+        b_c[0], b_c[N] = g, sign * g
+        a_c[N] = -sign * a
+    return b_c, a_c
 
 
 # ---------------------------------------------------------------------------

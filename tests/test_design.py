@@ -747,3 +747,54 @@ class TestIirdesign:
             iirdesign(0.2, 0.3, 1, 40, ftype="bessel")
         with pytest.raises(ValueError):
             iirdesign([0.2, 0.5], [0.3, 0.6], 1, 40)  # edges don't nest
+
+
+class TestNotchPeakComb:
+    """iirnotch/iirpeak/iircomb — scipy closed-form parity (exact)."""
+
+    @pytest.mark.parametrize("w0,Q,fs", [(0.3, 30, 2.0), (60, 35, 1000),
+                                         (0.1, 5, 2.0)])
+    def test_notch_peak(self, w0, Q, fs):
+        from godsp_tpu.models import iirnotch, iirpeak
+
+        for mine, ref in [(iirnotch, ss.iirnotch), (iirpeak, ss.iirpeak)]:
+            b1, a1 = mine(w0, Q, fs=fs)
+            b2, a2 = ref(w0, Q, fs=fs)
+            allc(b1, b2, rtol=0, atol=0)
+            allc(a1, a2, rtol=0, atol=0)
+
+    def test_notch_rejects(self):
+        from godsp_tpu.models import freqz, iirnotch
+
+        b, a = iirnotch(0.3, 30)
+        w, h = freqz(b, a, worN=np.array([0.3 * np.pi]))
+        assert np.abs(h)[0] < 1e-12
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(w0=0.25, Q=30),
+            dict(w0=0.25, Q=30, ftype="peak"),
+            dict(w0=0.2, Q=10, pass_zero=True),
+            dict(w0=0.2, Q=10, ftype="peak", pass_zero=True),
+            dict(w0=50, Q=15, fs=1000),
+            dict(w0=100, Q=40, fs=1200, ftype="peak"),
+        ],
+    )
+    def test_comb(self, kw):
+        from godsp_tpu.models import iircomb
+
+        b1, a1 = iircomb(**kw)
+        b2, a2 = ss.iircomb(**kw)
+        allc(b1, b2, rtol=0, atol=1e-15)
+        allc(a1, a2, rtol=0, atol=1e-15)
+
+    def test_comb_validation(self):
+        from godsp_tpu.models import iircomb, iirnotch
+
+        with pytest.raises(ValueError):
+            iircomb(0.3, 30)  # 2/0.3 not an integer
+        with pytest.raises(ValueError):
+            iircomb(0.25, 30, ftype="bogus")
+        with pytest.raises(ValueError):
+            iirnotch(1.5, 30)  # beyond Nyquist
