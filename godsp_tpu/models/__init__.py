@@ -42,6 +42,11 @@ from godsp_tpu.models.design import (
     zpk2sos,
     zpk2tf,
 )
+from godsp_tpu.models.fir_design import (
+    firls,
+    minimum_phase,
+    remez,
+)
 from godsp_tpu.models.filter import (
     correlate,
     correlation_lags,
@@ -126,6 +131,7 @@ __all__ = [
     "fftconvolve",
     "find_peaks",
     "filtfilt",
+    "firls",
     "fir_filter",
     "firwin",
     "firwin2",
@@ -144,10 +150,12 @@ __all__ = [
     "lfilter",
     "lfilter_zi",
     "medfilt",
+    "minimum_phase",
     "normalize",
     "overlap_save",
     "peak_prominences",
     "peak_widths",
+    "remez",
     "resample_poly",
     "sawtooth",
     "savgol_coeffs",
