@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from godsp_tpu.fft.four_step import four_step_fft
 
-__all__ = ["pow2_fft", "set_pallas_enabled", "pallas_enabled"]
+__all__ = ["pow2_convolve2", "pow2_fft", "set_pallas_enabled", "pallas_enabled"]
 
 _pallas_on = True
 
@@ -138,3 +138,44 @@ def pow2_convolve(x: jax.Array, y: jax.Array, scale: float = 1.0) -> jax.Array:
     return pow2_fft(pow2_fft(x) * pow2_fft(y), inverse=True) * (
         scale if scale != 1.0 else 1
     )
+
+
+def pow2_convolve2(x: jax.Array, y: jax.Array, scale: float = 1.0) -> jax.Array:
+    """2-D circular convolution scale * IDFT2(DFT2(x) * DFT2(y)) over the
+    two trailing (power-of-2) axes, batched over leading axes.
+
+    On the Pallas path each separable pass stays in the kernel's digit
+    order (forward digit-out along both axes, pointwise multiply in the
+    doubly-digit layout, digit-consuming inverses) — the only data
+    movement between passes is the unavoidable axis swap of the
+    separable 2-D FFT, and scale folds into the first inverse's tables.
+    """
+    n1, n2 = x.shape[-2], x.shape[-1]
+    if _pallas_eligible(x.dtype, n2) and _pallas_eligible(x.dtype, n1):
+        from godsp_tpu.ops.pallas_fft import (
+            fft_pow2_split,
+            ifft_pow2_digit_split,
+        )
+
+        def fwd2(c):
+            r, i = fft_pow2_split(jnp.real(c), jnp.imag(c), order="digit")
+            r, i = r.swapaxes(-1, -2), i.swapaxes(-1, -2)
+            return fft_pow2_split(r, i, order="digit")  # (..., n2d, n1d)
+
+        xr, xi = fwd2(x)
+        yr, yi = fwd2(y)
+        pr = xr * yr - xi * yi
+        pi = xr * yi + xi * yr
+        zr, zi = ifft_pow2_digit_split(pr, pi, scale=scale)  # n1 natural
+        zr, zi = zr.swapaxes(-1, -2), zi.swapaxes(-1, -2)
+        zr, zi = ifft_pow2_digit_split(zr, zi, scale=1.0)  # n2 natural
+        return jax.lax.complex(zr, zi)
+
+    def f2(c, inverse):
+        c = pow2_fft(c, inverse=inverse)
+        c = jnp.swapaxes(c, -1, -2)
+        c = pow2_fft(c, inverse=inverse)
+        return jnp.swapaxes(c, -1, -2)
+
+    out = f2(f2(x, False) * f2(y, False), True)
+    return out * scale if scale != 1.0 else out

@@ -42,6 +42,12 @@ from godsp_tpu.models.design import (
     zpk2sos,
     zpk2tf,
 )
+from godsp_tpu.models.conv2d import (
+    convolve2d,
+    correlate2d,
+    hilbert2,
+    wiener,
+)
 from godsp_tpu.models.fir_design import (
     firls,
     minimum_phase,
@@ -121,7 +127,9 @@ __all__ = [
     "check_cola",
     "check_nola",
     "chirp",
+    "convolve2d",
     "correlate",
+    "correlate2d",
     "correlation_lags",
     "decimate",
     "deconvolve",
@@ -130,6 +138,7 @@ __all__ = [
     "ellipord",
     "fftconvolve",
     "find_peaks",
+    "hilbert2",
     "filtfilt",
     "firls",
     "fir_filter",
@@ -171,6 +180,7 @@ __all__ = [
     "tf2sos",
     "tf2zpk",
     "unit_impulse",
+    "wiener",
     "upfirdn",
     "zpk2sos",
     "zpk2tf",

@@ -1,0 +1,182 @@
+"""2-D convolution / correlation and image-style filtering.
+
+The reference's only 2-D transform surface is the FFT2 driver
+(fft.go:104-154); production DSP needs 2-D LINEAR convolution.  Built
+the TPU way: both operands zero-pad to kernel-eligible powers of two and
+run ONE separable digit-order convolution chain (fft/pow2.py
+pow2_convolve2) — the 2-D analogue of models.filter.fftconvolve, so the
+hot path is batched Pallas FFTs with no reorder transposes.
+
+scipy.signal semantics: convolve2d/correlate2d (mode full/same/valid,
+boundary fill/wrap/symm), wiener (local-statistics adaptive filter),
+hilbert2 (2-D analytic signal).  Leading batch axes are a framework
+extension (scipy is strictly 2-D).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from godsp_tpu._dtypes import as_complex_array, put
+from godsp_tpu.dsputils.utils import next_power_of_2
+from godsp_tpu.fft.pow2 import pow2_convolve2
+
+__all__ = ["convolve2d", "correlate2d", "hilbert2", "wiener"]
+
+_BOUNDARY_PAD = {"fill": "constant", "wrap": "wrap", "symm": "symmetric"}
+
+
+@partial(jax.jit, static_argnames=("mode", "real_out", "flip"))
+def _conv2_full_jit(a, b, mode: str, real_out: bool, flip: bool):
+    s1, s2 = a.shape[-2], a.shape[-1]
+    k1, k2 = b.shape[-2], b.shape[-1]
+    n1 = next_power_of_2(s1 + k1 - 1)
+    n2 = next_power_of_2(s2 + k2 - 1)
+    pad_a = [(0, 0)] * (a.ndim - 2) + [(0, n1 - s1), (0, n2 - s2)]
+    pad_b = [(0, 0)] * (b.ndim - 2) + [(0, n1 - k1), (0, n2 - k2)]
+    ac = jnp.pad(as_complex_array(a), pad_a)
+    bc = jnp.pad(as_complex_array(b), pad_b)
+    full = pow2_convolve2(ac, bc, scale=1.0 / (n1 * n2))
+    full = full[..., : s1 + k1 - 1, : s2 + k2 - 1]
+    if mode == "same":
+        # correlation's 'same' window is the mirror of convolution's
+        # (kernel flip mirrors the centering remainder for even sizes)
+        r0 = k1 // 2 if flip else (k1 - 1) // 2
+        c0 = k2 // 2 if flip else (k2 - 1) // 2
+        full = full[..., r0 : r0 + s1, c0 : c0 + s2]
+    elif mode == "valid":
+        full = full[..., k1 - 1 : s1, k2 - 1 : s2]
+    return jnp.real(full) if real_out else full
+
+
+def _conv2(in1, in2, mode: str, boundary: str, fillvalue, flip: bool):
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"unknown mode: {mode}")
+    if boundary not in _BOUNDARY_PAD:
+        raise ValueError("boundary must be 'fill', 'wrap', or 'symm'")
+    a = put(in1)
+    b = put(in2)
+    if a.ndim < 2 or b.ndim < 2:
+        raise ValueError("inputs must be at least 2-D")
+    s1, s2 = a.shape[-2], a.shape[-1]
+    k1, k2 = b.shape[-2], b.shape[-1]
+    if min(s1, s2, k1, k2) == 0:
+        raise ValueError("empty input")
+    if mode == "valid" and (s1 < k1 or s2 < k2):
+        raise ValueError("valid mode needs in1 at least as large as in2 "
+                         "in every dimension")
+    if flip:
+        b = b[..., ::-1, ::-1]
+        if b.dtype.kind == "c":
+            b = jnp.conj(b)
+    pre = boundary != "fill" or (
+        isinstance(fillvalue, (int, float)) and fillvalue != 0
+    )
+    if pre:
+        padw = [(0, 0)] * (a.ndim - 2) + [(k1 - 1, k1 - 1), (k2 - 1, k2 - 1)]
+        kw = {"constant_values": fillvalue} if boundary == "fill" else {}
+        a_p = jnp.pad(a, padw, mode=_BOUNDARY_PAD[boundary], **kw)
+        # full output of the padded problem, then cut back to the
+        # original full window before applying the mode crop
+        full_p = _conv2_full_jit(a_p, b, "full",
+                                 a.dtype.kind != "c" and b.dtype.kind != "c",
+                                 flip)
+        full = full_p[..., k1 - 1 : k1 - 1 + s1 + k1 - 1,
+                      k2 - 1 : k2 - 1 + s2 + k2 - 1]
+        if mode == "same":
+            r0 = k1 // 2 if flip else (k1 - 1) // 2
+            c0 = k2 // 2 if flip else (k2 - 1) // 2
+            return full[..., r0 : r0 + s1, c0 : c0 + s2]
+        if mode == "valid":
+            return full[..., k1 - 1 : s1, k2 - 1 : s2]
+        return full
+    return _conv2_full_jit(a, b, mode,
+                           a.dtype.kind != "c" and b.dtype.kind != "c", flip)
+
+
+def convolve2d(in1, in2, mode: str = "full", boundary: str = "fill",
+               fillvalue=0) -> jax.Array:
+    """2-D linear convolution (scipy.signal.convolve2d semantics):
+    mode 'full'/'same'/'valid'; boundary 'fill' (pad with fillvalue),
+    'wrap' (circular), or 'symm' (symmetric reflection).  One separable
+    digit-order FFT convolution chain; leading axes batch."""
+    return _conv2(in1, in2, mode, boundary, fillvalue, flip=False)
+
+
+def correlate2d(in1, in2, mode: str = "full", boundary: str = "fill",
+                fillvalue=0) -> jax.Array:
+    """2-D cross-correlation (scipy.signal.correlate2d): convolution with
+    the doubly-reversed conjugate kernel, same mode/boundary rules."""
+    return _conv2(in1, in2, mode, boundary, fillvalue, flip=True)
+
+
+def wiener(im, mysize=None, noise=None) -> jax.Array:
+    """Local-statistics Wiener filter (scipy.signal.wiener, 1-D or 2-D):
+    pixelwise  lMean + max(lVar - noise, 0)/max(lVar, noise) * (im - lMean)
+    with lMean/lVar the boxcar local moments and noise defaulting to the
+    mean local variance.  The two box sums are the same ones-kernel
+    convolution — one fused chain each."""
+    im = put(im)
+    if not jnp.issubdtype(im.dtype, jnp.inexact):
+        from godsp_tpu._dtypes import default_float
+
+        im = im.astype(default_float())
+    nd = im.ndim
+    if nd not in (1, 2):
+        raise ValueError("wiener supports 1-D or 2-D input")
+    if mysize is None:
+        mysize = (3,) * nd
+    if isinstance(mysize, int):
+        mysize = (mysize,) * nd
+    mysize = tuple(int(m) for m in mysize)
+    if len(mysize) != nd or any(m < 1 or m % 2 == 0 for m in mysize):
+        raise ValueError("mysize must give one odd size per dimension")
+    size = 1.0
+    for m in mysize:
+        size *= m
+    ones = jnp.ones(mysize, im.real.dtype)
+    if nd == 1:
+        from godsp_tpu.models.filter import fftconvolve
+
+        conv = lambda x: fftconvolve(x, ones, mode="same")
+    else:
+        conv = lambda x: convolve2d(x, ones, mode="same")
+    l_mean = conv(im) / size
+    l_var = conv(im * im) / size - l_mean * l_mean
+    l_var = jnp.maximum(l_var.real, 0.0) if im.dtype.kind == "c" else jnp.maximum(l_var, 0.0)
+    if noise is None:
+        noise = jnp.mean(l_var)
+    res = l_mean + (im - l_mean) * (1.0 - noise / jnp.maximum(l_var, noise))
+    return jnp.where(l_var < noise, l_mean, res)
+
+
+def hilbert2(x) -> jax.Array:
+    """2-D analytic signal (scipy.signal.hilbert2): keep only the (+,+)
+    frequency quadrant via the separable step weighting u(k1)u(k2)
+    (DC weight 1, strictly positive bins 2, negative bins and — by
+    scipy's convention — the even-length Nyquist bin 0), then invert.
+    Uses the framework's exact-length fft2/ifft2 (zero-extension would
+    change the transform); any size works, powers of two are fastest."""
+    x = put(x)
+    if x.ndim != 2:
+        raise ValueError("hilbert2 requires a 2-D input")
+    if x.dtype.kind == "c":
+        raise ValueError("hilbert2 requires real input")
+    from godsp_tpu.fft.core import fft2, ifft2
+
+    X = fft2(x)
+
+    def step(n):
+        # scipy's 2-D convention: u[0]=1, u[1:(n+1)//2]=2, rest 0 — the
+        # Nyquist bin is DROPPED for even n (unlike 1-D hilbert)
+        u = jnp.zeros(n, X.real.dtype)
+        u = u.at[0].set(1.0)
+        u = u.at[1 : (n + 1) // 2].set(2.0)
+        return u
+
+    n1, n2 = x.shape
+    mask = step(n1)[:, None] * step(n2)[None, :]
+    return ifft2(X * mask)
