@@ -7,7 +7,7 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 
 from godsp_tpu.fft.bluestein import bluestein_fft
 from godsp_tpu.fft.czt import czt, zoom_fft
-from godsp_tpu.fft.dct import dct, idct
+from godsp_tpu.fft.dct import dct, dst, idct, idst
 from godsp_tpu.fft.core import (
     convolve,
     ensure_radix2_factors,
@@ -47,7 +47,9 @@ __all__ = [
     "convolve",
     "czt",
     "dct",
+    "dst",
     "idct",
+    "idst",
     "ensure_radix2_factors",
     "fft",
     "four_step_fft",

@@ -578,3 +578,48 @@ class TestCZT:
             zoom_fft(np.ones(8), (0.1, 0.2, 0.3))
         with pytest.raises(ValueError, match="m must be"):
             zoom_fft(np.ones(8), 0.5, m=1, endpoint=True)
+
+
+class TestTrigTransformFamily:
+    """All eight real trig transforms (DCT/DST types 1-4) vs scipy.fft,
+    both norms, plus exact round trips (fft/dct.py)."""
+
+    SIZES = [2, 5, 8, 31, 128]
+
+    @pytest.mark.parametrize("t", [1, 2, 3, 4])
+    @pytest.mark.parametrize("norm", [None, "ortho"])
+    def test_scipy_parity(self, t, norm):
+        import scipy.fft as sfft
+
+        rng = np.random.default_rng(t)
+        for n in self.SIZES:
+            x = rng.normal(size=n)
+            for mine, ref in [(fft.dct, sfft.dct), (fft.dst, sfft.dst),
+                              (fft.idct, sfft.idct), (fft.idst, sfft.idst)]:
+                g = np.asarray(mine(x, type=t, norm=norm))
+                r = ref(x, type=t, norm=norm)
+                assert snr_db(g, r) >= 200.0, (mine.__name__, n, t, norm)
+
+    @pytest.mark.parametrize("t", [1, 2, 3, 4])
+    def test_round_trip(self, t):
+        rng = np.random.default_rng(10 + t)
+        x = rng.normal(size=24)
+        for norm in (None, "ortho"):
+            back = np.asarray(fft.idct(fft.dct(x, t, norm), t, norm))
+            assert snr_db(back, x) >= 200.0
+            back = np.asarray(fft.idst(fft.dst(x, t, norm), t, norm))
+            assert snr_db(back, x) >= 200.0
+
+    def test_batched(self):
+        import scipy.fft as sfft
+
+        xb = np.random.default_rng(20).normal(size=(3, 32))
+        assert snr_db(np.asarray(fft.dst(xb, 4)), sfft.dst(xb, 4)) >= 200.0
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            fft.dct(np.ones(8), type=5)
+        with pytest.raises(ValueError):
+            fft.dst(np.ones(8), norm="bogus")
+        with pytest.raises(ValueError):
+            fft.dct(np.ones(1), type=1)  # DCT-I needs >= 2 points
