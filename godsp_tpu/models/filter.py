@@ -29,12 +29,14 @@ from godsp_tpu.fft.core import fft
 from godsp_tpu.fft.pow2 import pow2_circular_filter, pow2_convolve
 
 __all__ = [
+    "convolve",
     "correlate",
     "correlation_lags",
     "deconvolve",
     "fftconvolve",
     "fir_filter",
     "medfilt",
+    "oaconvolve",
     "overlap_save",
 ]
 
@@ -219,3 +221,23 @@ def overlap_save(x, taps, block: int | None = None) -> jax.Array:
     cdt = complex_for(jnp.promote_types(x.dtype, taps.dtype))
     h = fft(jnp.pad(as_complex_array(taps).astype(cdt), (0, n - m)))
     return _overlap_save_jit(x, h, int(block), n, m, real_out)
+
+
+def convolve(in1, in2, mode: str = "full", method: str = "auto") -> jax.Array:
+    """Generic convolution entry point (scipy.signal.convolve surface).
+    All methods route to the kernel-chain FFT convolution — on TPU the
+    batched FFT chain IS the fast path at every size, so 'direct' and
+    'auto' are accepted for API compatibility and produce identical
+    (float) results."""
+    if method not in ("auto", "fft", "direct"):
+        raise ValueError("method must be 'auto', 'fft', or 'direct'")
+    return fftconvolve(in1, in2, mode=mode)
+
+
+def oaconvolve(in1, in2, mode: str = "full") -> jax.Array:
+    """Overlap-add convolution (scipy.signal.oaconvolve surface).  For
+    unbounded streams use models.overlap_save (the batched blockwise
+    form); for in-memory signals the single kernel-chain launch of
+    fftconvolve is the faster TPU schedule, and the results are
+    identical, so this routes there."""
+    return fftconvolve(in1, in2, mode=mode)

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["find_peaks", "peak_prominences", "peak_widths"]
+__all__ = ["argrelextrema", "argrelmax", "argrelmin", "find_peaks", "peak_prominences", "peak_widths", "vectorstrength"]
 
 
 def _as_1d_f64(x) -> np.ndarray:
@@ -280,3 +280,71 @@ def find_peaks(
             mask &= w <= hi
         _keep(mask)
     return peaks, props
+
+
+def _boolrel(data: np.ndarray, comparator, axis: int, order: int,
+             mode: str) -> np.ndarray:
+    """True where data compares favorably to every neighbor within
+    `order` along axis (scipy.signal._boolrelextrema semantics:
+    mode 'clip' repeats the edge value, 'wrap' wraps)."""
+    data = np.asarray(data)
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    if mode not in ("clip", "wrap"):
+        raise ValueError("mode must be 'clip' or 'wrap'")
+    locs = np.arange(data.shape[axis])
+    results = np.ones(data.shape, dtype=bool)
+    main = data.take(locs, axis=axis)
+    for shift in range(1, order + 1):
+        if mode == "clip":
+            plus = np.clip(locs + shift, 0, locs[-1])
+            minus = np.clip(locs - shift, 0, locs[-1])
+        else:
+            plus = (locs + shift) % data.shape[axis]
+            minus = (locs - shift) % data.shape[axis]
+        results &= comparator(main, data.take(plus, axis=axis))
+        results &= comparator(main, data.take(minus, axis=axis))
+        if ~results.any():
+            return results
+    return results
+
+
+def argrelextrema(data, comparator, axis: int = 0, order: int = 1,
+                  mode: str = "clip"):
+    """Indices of the relative extrema of data under `comparator`
+    (scipy.signal.argrelextrema; host numpy — the output is a
+    data-dependent index tuple)."""
+    return np.nonzero(_boolrel(data, comparator, axis, order, mode))
+
+
+def argrelmax(data, axis: int = 0, order: int = 1, mode: str = "clip"):
+    """Relative maxima indices (scipy.signal.argrelmax: strict >)."""
+    return argrelextrema(data, np.greater, axis, order, mode)
+
+
+def argrelmin(data, axis: int = 0, order: int = 1, mode: str = "clip"):
+    """Relative minima indices (scipy.signal.argrelmin: strict <)."""
+    return argrelextrema(data, np.less, axis, order, mode)
+
+
+def vectorstrength(events, period):
+    """Vector strength (phase locking) of event times to one or more
+    periods (scipy.signal.vectorstrength): the resultant length and
+    angle of the unit phasors e^{2 pi i t/T}.  Returns (strength,
+    phase) shaped like `period`."""
+    events = np.asarray(events, np.float64)
+    period = np.asarray(period, np.float64)
+    if events.ndim != 1:
+        raise ValueError("events must be 1-D")
+    if period.ndim > 1:
+        raise ValueError("period must be a scalar or 1-D")
+    if np.any(period <= 0):
+        raise ValueError("periods must be positive")
+    scalar = period.ndim == 0
+    p = np.atleast_1d(period)
+    ang = 2.0 * np.pi * events[None, :] / p[:, None]
+    vec = np.exp(1j * ang).mean(axis=1)
+    strength, phase = np.abs(vec), np.angle(vec)
+    if scalar:
+        return float(strength[0]), float(phase[0])
+    return strength, phase

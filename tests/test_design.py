@@ -798,3 +798,59 @@ class TestNotchPeakComb:
             iircomb(0.25, 30, ftype="bogus")
         with pytest.raises(ValueError):
             iirnotch(1.5, 30)  # beyond Nyquist
+
+
+class TestMiscSignalSurface:
+    """argrel extrema family, vectorstrength, generic convolve entries
+    — scipy.signal parity."""
+
+    def test_argrel(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=200)
+        from godsp_tpu.models import argrelextrema, argrelmax, argrelmin
+
+        for order in (1, 2, 5):
+            for mode in ("clip", "wrap"):
+                for mine, ref in [(argrelmax, ss.argrelmax),
+                                  (argrelmin, ss.argrelmin)]:
+                    g = mine(x, order=order, mode=mode)
+                    r = ref(x, order=order, mode=mode)
+                    for ga, ra in zip(g, r):
+                        np.testing.assert_array_equal(ga, ra)
+        X = rng.normal(size=(20, 30))
+        g = argrelextrema(X, np.greater, axis=1, order=2)
+        r = ss.argrelextrema(X, np.greater, axis=1, order=2)
+        for ga, ra in zip(g, r):
+            np.testing.assert_array_equal(ga, ra)
+        with pytest.raises(ValueError):
+            argrelmax(x, order=0)
+        with pytest.raises(ValueError):
+            argrelmax(x, mode="bogus")
+
+    def test_vectorstrength(self):
+        from godsp_tpu.models import vectorstrength
+
+        rng = np.random.default_rng(1)
+        ev = np.sort(rng.uniform(0, 100, 60))
+        s1, p1 = vectorstrength(ev, 3.7)
+        s2, p2 = ss.vectorstrength(ev, 3.7)
+        assert abs(s1 - s2) < 1e-12 and abs(p1 - p2) < 1e-12
+        s1, p1 = vectorstrength(ev, [1.0, 2.5, 7.3])
+        s2, p2 = ss.vectorstrength(ev, [1.0, 2.5, 7.3])
+        allc(s1, s2, rtol=1e-12, atol=0)
+        allc(p1, p2, rtol=1e-12, atol=0)
+        with pytest.raises(ValueError):
+            vectorstrength(ev, -1.0)
+
+    def test_convolve_entries(self):
+        from godsp_tpu.models import convolve, oaconvolve
+
+        rng = np.random.default_rng(2)
+        a, b = rng.normal(size=100), rng.normal(size=17)
+        for mode in ("full", "same", "valid"):
+            allc(np.asarray(convolve(a, b, mode)), ss.convolve(a, b, mode),
+                 rtol=1e-9, atol=1e-11)
+            allc(np.asarray(oaconvolve(a, b, mode)), ss.oaconvolve(a, b, mode),
+                 rtol=1e-9, atol=1e-11)
+        with pytest.raises(ValueError):
+            convolve(a, b, method="bogus")
