@@ -27,17 +27,20 @@ __all__ = ["lombscargle", "spectrogram_scipy", "welch", "welch_coherence", "welc
 
 def _periodic_table_np(window, nperseg: int) -> np.ndarray:
     """Resolve a scipy-style window spec to a float64 PERIODIC table
-    (scipy's get_window(..., fftbins=True)): a name, ("kaiser", beta),
-    or an explicit length-nperseg array (used as given)."""
-    if isinstance(window, (tuple, list)) and len(window) == 2 and str(
-        window[0]
-    ).lower() == "kaiser":
-        return win._kaiser_table(float(window[1]), nperseg + 1)[:-1]
-    if isinstance(window, (str, bytes)):
-        name = {"boxcar": "rectangular"}.get(str(window), str(window))
-        if name == "rectangular":
-            return np.ones(nperseg)
-        return win.window_table_np(name, nperseg + 1)[:-1]
+    (scipy's get_window(..., fftbins=True)): any catalogue name or
+    (name, *params) tuple via window.extended.get_window, or an
+    explicit length-nperseg array (used as given)."""
+    if isinstance(window, (str, bytes)) or isinstance(window, tuple) or (
+        isinstance(window, (int, float)) and not isinstance(window, bool)
+    ):
+        from godsp_tpu.window.extended import get_window
+
+        spec = tuple(window) if isinstance(window, tuple) else window
+        return get_window(spec, nperseg, fftbins=True)
+    if isinstance(window, list) and window and isinstance(window[0], str):
+        from godsp_tpu.window.extended import get_window
+
+        return get_window(tuple(window), nperseg, fftbins=True)
     w = np.asarray(window, np.float64)
     if w.ndim != 1 or w.shape[0] != nperseg:
         raise ValueError(f"window array must have length nperseg={nperseg}")

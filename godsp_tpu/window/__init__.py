@@ -21,6 +21,8 @@ from godsp_tpu._dtypes import default_float
 
 __all__ = [
     "apply",
+    "extended",
+    "get_window",
     "rectangular",
     "hamming",
     "hann",
@@ -165,3 +167,8 @@ def apply(x, window) -> jnp.ndarray:
     x = jnp.asarray(x)
     w = window_table(window, x.shape[-1]).astype(x.real.dtype)
     return x * w
+
+
+# Extended scipy-compatible window family (full catalogue + dispatcher).
+from godsp_tpu.window import extended  # noqa: E402
+from godsp_tpu.window.extended import get_window  # noqa: E402
