@@ -11,13 +11,15 @@ scipy.signal to float32 round-off (float64 on the x64 CPU test rig).
 from __future__ import annotations
 
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from godsp_tpu._dtypes import default_float, put
 
-__all__ = ["chirp", "gausspulse", "sawtooth", "square", "sweep_poly", "unit_impulse"]
+__all__ = ["chirp", "gausspulse", "max_len_seq", "sawtooth", "square", "sweep_poly", "unit_impulse"]
 
 
 def _as_float(t) -> jax.Array:
@@ -161,3 +163,66 @@ def unit_impulse(shape, idx=None, dtype=None) -> jax.Array:
         idx = (idx,) * len(shape)
     out = jnp.zeros(shape, dtype)
     return out.at[tuple(idx)].set(1)
+
+
+_MLS_TAPS = {
+    # standard primitive-polynomial feedback taps per register size
+    # (the classic published table; same sequences as scipy's)
+    2: [1], 3: [2], 4: [3], 5: [3], 6: [5], 7: [6], 8: [7, 6, 1], 9: [5],
+    10: [7], 11: [9], 12: [11, 10, 4], 13: [12, 11, 8], 14: [13, 12, 2],
+    15: [14], 16: [15, 13, 4], 17: [14], 18: [11], 19: [18, 17, 14],
+    20: [17], 21: [19], 22: [21], 23: [18], 24: [23, 22, 17], 25: [22],
+    26: [25, 24, 20], 27: [26, 25, 22], 28: [25], 29: [27],
+    30: [29, 28, 7], 31: [28], 32: [31, 30, 10],
+}
+
+
+@partial(jax.jit, static_argnames=("length", "taps"))
+def _mls_scan(state, length: int, taps: tuple):
+    """Fibonacci LFSR as one lax.scan: with the register rolled so the
+    output bit is always slot 0, each step emits s[0], computes the
+    feedback XOR over the tap slots, and shifts it in at the end."""
+    tap_idx = jnp.asarray(taps, jnp.int32)
+
+    def step(s, _):
+        out = s[0]
+        feedback = (s[0] + jnp.sum(s[tap_idx])) % 2
+        return jnp.concatenate([s[1:], feedback[None]]), out
+
+    final, seq = jax.lax.scan(step, state, None, length=length)
+    return seq, final
+
+
+def max_len_seq(nbits: int, state=None, length: int | None = None,
+                taps=None):
+    """Maximum-length (pseudo-random binary) sequence from an nbits-bit
+    Fibonacci LFSR (scipy.signal.max_len_seq semantics: returns
+    (seq, final_state); default taps give the full 2^nbits - 1 period).
+    The whole register evolution is one compiled lax.scan — no Python
+    loop over the 2^nbits steps."""
+    nbits = int(nbits)
+    if taps is None:
+        if nbits not in _MLS_TAPS:
+            raise ValueError(f"nbits must be in {sorted(_MLS_TAPS)} when "
+                             "taps is not given")
+        taps = _MLS_TAPS[nbits]
+    taps = tuple(int(t) for t in taps)
+    if any(t <= 0 or t >= nbits for t in taps):
+        raise ValueError("taps must lie in (0, nbits)")
+    if length is None:
+        length = (1 << nbits) - 1
+    length = int(length)
+    if length < 0:
+        raise ValueError("length must be >= 0")
+    if state is None:
+        state_np = np.ones(nbits, np.int8)
+    else:
+        state_np = (np.asarray(state) != 0).astype(np.int8)
+        if state_np.shape != (nbits,):
+            raise ValueError("state must have nbits elements")
+        if not state_np.any():
+            raise ValueError("state must not be all zeros")
+    if length == 0:
+        return np.empty(0, np.int8), state_np
+    seq, final = _mls_scan(jnp.asarray(state_np, jnp.int32), length, taps)
+    return np.asarray(seq, np.int8), np.asarray(final, np.int8)

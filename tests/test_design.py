@@ -854,3 +854,41 @@ class TestMiscSignalSurface:
                  rtol=1e-9, atol=1e-11)
         with pytest.raises(ValueError):
             convolve(a, b, method="bogus")
+
+
+class TestMaxLenSeq:
+    def test_scipy_parity(self):
+        from godsp_tpu.models import max_len_seq
+
+        for nbits in (2, 3, 4, 8, 12):
+            s1, f1 = max_len_seq(nbits)
+            s2, f2 = ss.max_len_seq(nbits)
+            np.testing.assert_array_equal(s1, s2)
+            np.testing.assert_array_equal(f1, f2)
+        s1, f1 = max_len_seq(4, state=[1, 0, 0, 0], length=20)
+        s2, f2 = ss.max_len_seq(4, state=[1, 0, 0, 0], length=20)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(f1, f2)
+        s1, f1 = max_len_seq(3, taps=[2], length=10)
+        s2, f2 = ss.max_len_seq(3, taps=[2], length=10)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(f1, f2)
+
+    def test_balance_and_flat_spectrum(self):
+        from godsp_tpu.models import max_len_seq
+
+        seq, _ = max_len_seq(10)
+        assert seq.sum() == 2**9  # one more 1 than 0s
+        spec = np.abs(np.fft.fft(seq * 2.0 - 1.0))
+        # MLS: all non-DC bins have identical magnitude
+        np.testing.assert_allclose(spec[1:], spec[1], rtol=1e-8)
+
+    def test_validation(self):
+        from godsp_tpu.models import max_len_seq
+
+        with pytest.raises(ValueError):
+            max_len_seq(40)  # no default taps
+        with pytest.raises(ValueError):
+            max_len_seq(4, taps=[5])
+        with pytest.raises(ValueError):
+            max_len_seq(4, state=[0, 0, 0, 0])
