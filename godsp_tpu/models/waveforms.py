@@ -186,7 +186,8 @@ def _mls_scan(state, length: int, taps: tuple):
 
     def step(s, _):
         out = s[0]
-        feedback = (s[0] + jnp.sum(s[tap_idx])) % 2
+        # keep the carry dtype stable under x64 promotion rules
+        feedback = ((s[0] + jnp.sum(s[tap_idx])) % 2).astype(s.dtype)
         return jnp.concatenate([s[1:], feedback[None]]), out
 
     final, seq = jax.lax.scan(step, state, None, length=length)
