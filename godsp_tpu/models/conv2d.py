@@ -24,7 +24,7 @@ from godsp_tpu._dtypes import as_complex_array, put
 from godsp_tpu.dsputils.utils import next_power_of_2
 from godsp_tpu.fft.pow2 import pow2_convolve2
 
-__all__ = ["convolve2d", "correlate2d", "hilbert2", "wiener"]
+__all__ = ["convolve2d", "correlate2d", "hilbert2", "sepfir2d", "wiener"]
 
 _BOUNDARY_PAD = {"fill": "constant", "wrap": "wrap", "symm": "symmetric"}
 
@@ -180,3 +180,25 @@ def hilbert2(x) -> jax.Array:
     n1, n2 = x.shape
     mask = step(n1)[:, None] * step(n2)[None, :]
     return ifft2(X * mask)
+
+
+def sepfir2d(input, hrow, hcol) -> jax.Array:
+    """Separable 2-D FIR filtering with mirror-symmetric boundary
+    (scipy.signal.sepfir2d — edge-repeating symmetric extension):
+    convolve rows with hrow and columns with hcol, both odd-length,
+    output the same shape as the input.  Runs as symmetric-pad + one
+    2-D convolution of the separable (outer-product) kernel through the
+    digit-order chain."""
+    x = put(input)
+    hrow = put(hrow)
+    hcol = put(hcol)
+    if x.ndim != 2 or hrow.ndim != 1 or hcol.ndim != 1:
+        raise ValueError("input must be 2-D and filters 1-D")
+    kr, kc = hrow.shape[0], hcol.shape[0]
+    if kr % 2 == 0 or kc % 2 == 0:
+        raise ValueError("hrow and hcol must be odd length")
+    # mirror-symmetric extension, then 'valid' convolution back to shape
+    pr, pc = kc // 2, kr // 2  # hcol runs down columns, hrow along rows
+    xp = jnp.pad(x, [(pr, pr), (pc, pc)], mode="symmetric") if (pr or pc) else x
+    kern = hcol[:, None] * hrow[None, :]
+    return _conv2_full_jit(xp, kern, "valid", x.dtype.kind != "c", False)

@@ -28,6 +28,7 @@ import numpy as np
 __all__ = [
     "bessel",
     "besselap",
+    "bilinear",
     "bilinear_zpk",
     "buttap",
     "butter",
@@ -1035,3 +1036,11 @@ def group_delay(system, w: int = 512, whole: bool = False, fs: float = 2 * np.pi
         sing, 0.0, np.real(dB / np.where(sing, 1.0, B)) - np.real(dA / np.where(sing, 1.0, A))
     )
     return wgrid, gd
+
+
+def bilinear(b, a, fs: float = 1.0):
+    """Bilinear transform of an analog (b, a) transfer function
+    (scipy.signal.bilinear): s = 2 fs (z-1)/(z+1), via the zpk pipeline
+    (tf2zpk -> bilinear_zpk -> zpk2tf)."""
+    z, p, k = tf2zpk(b, a)
+    return zpk2tf(*bilinear_zpk(z, p, k, fs=float(fs)))

@@ -31,12 +31,16 @@ import numpy as np
 from godsp_tpu._dtypes import default_float, put
 
 __all__ = [
+    "abcd_normalize",
     "cont2discrete",
+    "dbode",
+    "dfreqresp",
     "dimpulse",
     "dlsim",
     "dstep",
     "freqs",
     "freqs_zpk",
+    "freqresp",
     "bode",
     "impulse",
     "invres",
@@ -653,3 +657,96 @@ def invresz(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
     a = np.asarray(aw)[::-1]
     scale = a[0]
     return np.real_if_close(b / scale), np.real_if_close(a / scale)
+
+
+def freqresp(system, w=None, n: int = 10000):
+    """Continuous frequency response H(jw) (scipy.signal.freqresp):
+    returns (w, h); explicit w grids match scipy exactly, the default
+    grid uses this module's decade-bracketing heuristic."""
+    if len(system) == 4:
+        num, den = ss2tf(*system)
+        num = num[0]
+    elif len(system) == 3:
+        from godsp_tpu.models.design import zpk2tf
+
+        num, den = zpk2tf(*system)
+    else:
+        num, den = system
+    return freqs(np.atleast_1d(num), np.atleast_1d(den),
+                 worN=(w if w is not None else n))
+
+
+def _dsys_tf(system):
+    """(b, a, dt) / (z, p, k, dt) / (A, B, C, D, dt) -> (b, a, dt)."""
+    dt = float(system[-1])
+    body = system[:-1]
+    if len(body) == 2:
+        b, a = body
+    elif len(body) == 3:
+        from godsp_tpu.models.design import zpk2tf
+
+        b, a = zpk2tf(*body)
+    else:
+        num, den = ss2tf(*body)
+        b, a = num[0], den
+    return np.atleast_1d(np.asarray(b, np.float64)), np.atleast_1d(
+        np.asarray(a, np.float64)), dt
+
+
+def dfreqresp(system, w=None, n: int = 100, whole: bool = False):
+    """Discrete frequency response H(e^{jw}) over w in rad/sample
+    (scipy.signal.dfreqresp)."""
+    b, a, _ = _dsys_tf(system)
+    from godsp_tpu.models.design import freqz
+
+    if w is None:
+        span = 2 * np.pi if whole else np.pi
+        w = np.linspace(0, span, int(n), endpoint=False)
+    else:
+        w = np.asarray(w, np.float64)
+    _, h = freqz(b, a, worN=w)
+    return w, np.asarray(h)
+
+
+def dbode(system, w=None, n: int = 100):
+    """Discrete Bode data (scipy.signal.dbode): (w in rad/s — the
+    rad/sample grid divided by dt — magnitude dB, unwrapped phase
+    degrees)."""
+    b, a, dt = _dsys_tf(system)
+    wn, h = dfreqresp((b, a, dt), w=w if w is None else np.asarray(w) * dt,
+                      n=n)
+    mag = 20.0 * np.log10(np.maximum(np.abs(h), 1e-300))
+    phase = np.degrees(np.unwrap(np.angle(h)))
+    return wn / dt, mag, phase
+
+
+def abcd_normalize(A=None, B=None, C=None, D=None):
+    """Fill in compatible zero matrices for missing state-space parts
+    and check shape consistency (scipy.signal.abcd_normalize)."""
+    given = {k: (np.atleast_2d(np.asarray(v, np.float64)) if v is not None
+                 else None) for k, v in zip("ABCD", (A, B, C, D))}
+    n = p = q = None
+    if given["A"] is not None:
+        n = given["A"].shape[0]
+    if given["B"] is not None:
+        n = n or given["B"].shape[0]
+        p = given["B"].shape[1]
+    if given["C"] is not None:
+        n = n or given["C"].shape[1]
+        q = given["C"].shape[0]
+    if given["D"] is not None:
+        q = q or given["D"].shape[0]
+        p = p or given["D"].shape[1]
+    if n is None or p is None or q is None:
+        raise ValueError("not enough information to deduce state-space "
+                         "shapes")
+    out = {
+        "A": given["A"] if given["A"] is not None else np.zeros((n, n)),
+        "B": given["B"] if given["B"] is not None else np.zeros((n, p)),
+        "C": given["C"] if given["C"] is not None else np.zeros((q, n)),
+        "D": given["D"] if given["D"] is not None else np.zeros((q, p)),
+    }
+    if (out["A"].shape != (n, n) or out["B"].shape != (n, p)
+            or out["C"].shape != (q, n) or out["D"].shape != (q, p)):
+        raise ValueError("inconsistent state-space shapes")
+    return out["A"], out["B"], out["C"], out["D"]

@@ -232,3 +232,67 @@ class TestPartialFractions:
         assert sorted(m1) == sorted(np.asarray(m2).tolist())
         with pytest.raises(ValueError):
             M.unique_roots(p, rtype="bogus")
+
+
+class TestResponseExtras:
+    def test_bilinear_tf(self):
+        from godsp_tpu.models import bilinear
+
+        b1, a1 = bilinear([1.0, 2.0], [1.0, 3.0, 4.0], fs=2.0)
+        b2, a2 = ss.bilinear([1.0, 2.0], [1.0, 3.0, 4.0], fs=2.0)
+        allc(b1, b2, rtol=1e-10, atol=1e-12)
+        allc(a1, a2, rtol=1e-10, atol=1e-12)
+
+    def test_freqresp(self):
+        b, a = ss.butter(4, 100.0, analog=True)
+        w = np.logspace(0, 4, 40)
+        _, h1 = M.freqresp((b, a), w=w)
+        _, h2 = ss.freqresp((b, a), w=w)
+        allc(h1, h2, rtol=1e-9, atol=1e-11)
+
+    def test_dfreqresp_dbode(self):
+        sysd = ([1.0, -0.5], [1.0, -0.8], 0.1)
+        w1, h1 = M.dfreqresp(sysd, n=50)
+        w2, h2 = ss.dfreqresp(sysd, n=50)
+        allc(w1, w2, rtol=0, atol=1e-13)
+        allc(h1, h2, rtol=1e-10, atol=1e-12)
+        w1, m1, p1 = M.dbode(sysd, n=50)
+        w2, m2, p2 = ss.dbode(sysd, n=50)
+        allc(w1, w2, rtol=1e-10, atol=1e-10)
+        allc(m1, m2, rtol=1e-8, atol=1e-9)
+        allc(p1, p2, rtol=1e-8, atol=1e-9)
+
+    def test_abcd_normalize(self):
+        A, B, C, D = M.abcd_normalize(A=[[1.0, 0.0], [0.0, 1.0]],
+                                      B=[[1.0], [0.0]], C=[[1.0, 0.0]])
+        A2, B2, C2, D2 = ss.abcd_normalize(A=[[1.0, 0.0], [0.0, 1.0]],
+                                           B=[[1.0], [0.0]], C=[[1.0, 0.0]])
+        for g, r in zip((A, B, C, D), (A2, B2, C2, D2)):
+            assert g.shape == r.shape
+            allc(g, r, rtol=0, atol=0)
+        with pytest.raises(ValueError):
+            M.abcd_normalize(A=[[1.0, 0.0], [0.0, 1.0]], B=[[1.0], [0.0]])
+
+
+class TestSepfir2d:
+    def test_scipy_parity(self):
+        from godsp_tpu.models import sepfir2d
+
+        x = np.random.default_rng(0).normal(size=(8, 9))
+        hr = np.array([0.25, 0.5, 0.25])
+        hc = np.array([0.2, 0.6, 0.3, 0.6, 0.2])
+        allc(np.asarray(sepfir2d(x, hr, hc)), ss.sepfir2d(x, hr, hc),
+             rtol=1e-10, atol=1e-12)
+        # asymmetric taps exercise the convolution orientation
+        hr = np.array([1.0, 2.0, 4.0])
+        hc = np.array([1.0, 8.0, 64.0])
+        allc(np.asarray(sepfir2d(x, hr, hc)), ss.sepfir2d(x, hr, hc),
+             rtol=1e-10, atol=1e-10)
+
+    def test_validation(self):
+        from godsp_tpu.models import sepfir2d
+
+        with pytest.raises(ValueError):
+            sepfir2d(np.zeros((4, 4)), np.ones(2), np.ones(3))
+        with pytest.raises(ValueError):
+            sepfir2d(np.zeros(4), np.ones(3), np.ones(3))
