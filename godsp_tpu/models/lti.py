@@ -31,7 +31,12 @@ import numpy as np
 from godsp_tpu._dtypes import default_float, put
 
 __all__ = [
+    "StateSpace",
+    "TransferFunction",
+    "ZerosPolesGain",
     "abcd_normalize",
+    "dlti",
+    "lti",
     "cont2discrete",
     "dbode",
     "dfreqresp",
@@ -750,3 +755,156 @@ def abcd_normalize(A=None, B=None, C=None, D=None):
             or out["C"].shape != (q, n) or out["D"].shape != (q, p)):
         raise ValueError("inconsistent state-space shapes")
     return out["A"], out["B"], out["C"], out["D"]
+
+
+# ---------------------------------------------------------------------------
+# Class layer (scipy.signal lti/dlti surface over the functional API)
+# ---------------------------------------------------------------------------
+
+
+class _SystemBase:
+    """Shared representation holder: keeps one of tf/zpk/ss plus dt
+    (None = continuous), converts lazily."""
+
+    def __init__(self, *system, dt=None):
+        self.dt = dt
+        if len(system) == 2:
+            self._form = "tf"
+            self.num = np.atleast_1d(np.asarray(system[0], np.float64))
+            self.den = np.atleast_1d(np.asarray(system[1], np.float64))
+        elif len(system) == 3:
+            self._form = "zpk"
+            self.zeros = np.atleast_1d(np.asarray(system[0], complex))
+            self.poles = np.atleast_1d(np.asarray(system[1], complex))
+            self.gain = float(system[2])
+        elif len(system) == 4:
+            self._form = "ss"
+            self.A, self.B, self.C, self.D = (
+                np.atleast_2d(np.asarray(m, np.float64)) for m in system)
+        else:
+            raise ValueError("system must have 2 (tf), 3 (zpk), or 4 (ss) "
+                             "elements")
+
+    # --- conversions -----------------------------------------------------
+    def _tf(self):
+        if self._form == "tf":
+            return self.num, self.den
+        if self._form == "zpk":
+            from godsp_tpu.models.design import zpk2tf
+
+            return zpk2tf(self.zeros, self.poles, self.gain)
+        num, den = ss2tf(self.A, self.B, self.C, self.D)
+        return num[0], den
+
+    def _zpk(self):
+        if self._form == "zpk":
+            return self.zeros, self.poles, self.gain
+        from godsp_tpu.models.design import tf2zpk
+
+        return tf2zpk(*self._tf())
+
+    def _ss(self):
+        if self._form == "ss":
+            return self.A, self.B, self.C, self.D
+        return tf2ss(*self._tf())
+
+    def _tuple(self):
+        if self._form == "tf":
+            return self._tf()
+        if self._form == "zpk":
+            return self._zpk()
+        return self._ss()
+
+    def to_tf(self):
+        cls = TransferFunction
+        return cls(*self._tf(), dt=self.dt)
+
+    def to_zpk(self):
+        cls = ZerosPolesGain
+        return cls(*self._zpk(), dt=self.dt)
+
+    def to_ss(self):
+        cls = StateSpace
+        return cls(*self._ss(), dt=self.dt)
+
+    def __repr__(self):
+        kind = "dlti" if self.dt is not None else "lti"
+        return f"{type(self).__name__}({kind}, form={self._form}, dt={self.dt})"
+
+    # --- responses -------------------------------------------------------
+    def impulse(self, X0=None, T=None, N=None):
+        if self.dt is not None:
+            t, y = dimpulse((*self._tuple(), self.dt), x0=X0, t=T, n=N)
+            return t, y
+        return impulse(self._tuple(), X0=X0, T=T, N=N)
+
+    def step(self, X0=None, T=None, N=None):
+        if self.dt is not None:
+            return dstep((*self._tuple(), self.dt), x0=X0, t=T, n=N)
+        return step(self._tuple(), X0=X0, T=T, N=N)
+
+    def output(self, U, T, X0=None):
+        if self.dt is not None:
+            return dlsim((*self._tuple(), self.dt), U, t=T, x0=X0)
+        return lsim(self._tuple(), U, T, X0=X0)
+
+    def freqresp(self, w=None, n=10000):
+        if self.dt is not None:
+            return dfreqresp((*self._tuple(), self.dt), w=w, n=n)
+        return freqresp(self._tuple(), w=w, n=n)
+
+    def bode(self, w=None, n=100):
+        if self.dt is not None:
+            return dbode((*self._tuple(), self.dt), w=w, n=n)
+        return bode(self._tuple(), w=w, n=n)
+
+    def to_discrete(self, dt, method="zoh", alpha=None):
+        if self.dt is not None:
+            raise ValueError("system is already discrete")
+        out = cont2discrete(self._tuple(), dt, method=method, alpha=alpha)
+        return _wrap_like(self, out[:-1], out[-1])
+
+
+def _wrap_like(sys_obj, body, dt):
+    cls = type(sys_obj)
+    if cls in (lti, dlti):
+        cls = {2: TransferFunction, 3: ZerosPolesGain, 4: StateSpace}[len(body)]
+    return cls(*body, dt=dt)
+
+
+class TransferFunction(_SystemBase):
+    """Transfer-function system (scipy.signal.TransferFunction surface):
+    continuous when dt is None, discrete otherwise."""
+
+    def __init__(self, num, den, dt=None):
+        super().__init__(num, den, dt=dt)
+
+
+class ZerosPolesGain(_SystemBase):
+    """zpk-form system (scipy.signal.ZerosPolesGain surface)."""
+
+    def __init__(self, z, p, k, dt=None):
+        super().__init__(z, p, k, dt=dt)
+
+
+class StateSpace(_SystemBase):
+    """State-space system (scipy.signal.StateSpace surface)."""
+
+    def __init__(self, A, B, C, D, dt=None):
+        super().__init__(A, B, C, D, dt=dt)
+
+
+class lti(_SystemBase):
+    """Continuous-time system from 2/3/4-element data
+    (scipy.signal.lti)."""
+
+    def __init__(self, *system):
+        super().__init__(*system, dt=None)
+
+
+class dlti(_SystemBase):
+    """Discrete-time system from 2/3/4-element data + dt
+    (scipy.signal.dlti; dt defaults to 1.0 like scipy's True)."""
+
+    def __init__(self, *system, dt=1.0):
+        super().__init__(*system, dt=float(dt))

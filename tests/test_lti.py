@@ -296,3 +296,50 @@ class TestSepfir2d:
             sepfir2d(np.zeros((4, 4)), np.ones(2), np.ones(3))
         with pytest.raises(ValueError):
             sepfir2d(np.zeros(4), np.ones(3), np.ones(3))
+
+
+class TestSystemClasses:
+    """lti/dlti/TransferFunction/ZerosPolesGain/StateSpace — the class
+    surface over the functional toolkit, vs scipy's classes."""
+
+    def test_continuous_responses(self):
+        b, a = ss.butter(3, 2.0, analog=True)
+        mine, ref = M.lti(b, a), ss.lti(b, a)
+        _, y1 = mine.impulse()
+        _, y2 = ref.impulse()
+        allc(np.ravel(y1), np.ravel(y2), rtol=1e-5, atol=1e-6)
+        w = np.logspace(-1, 2, 30)
+        _, h1 = mine.freqresp(w=w)
+        _, h2 = ref.freqresp(w=w)
+        allc(h1, h2, rtol=1e-9, atol=1e-11)
+        _, m1, p1 = mine.bode(w=w)
+        _, m2, p2 = ref.bode(w=w)
+        allc(m1, m2, rtol=1e-8, atol=1e-9)
+        allc(p1, p2, rtol=1e-8, atol=1e-9)
+
+    def test_conversions_and_discretize(self):
+        b, a = ss.butter(3, 2.0, analog=True)
+        sys1 = M.lti(b, a)
+        sd = sys1.to_ss().to_discrete(0.05)
+        ref = ss.cont2discrete(ss.tf2ss(b, a), 0.05)
+        allc(sd.A, ref[0], rtol=1e-12, atol=1e-13)
+        zpk = sys1.to_zpk()
+        ref_zpk = ss.lti(b, a).to_zpk()
+        allc(np.sort_complex(zpk.poles), np.sort_complex(ref_zpk.poles),
+             rtol=1e-8, atol=1e-9)
+        assert sd.dt == 0.05 and sys1.dt is None
+
+    def test_discrete_output(self):
+        b, a = ss.butter(3, 2.0, analog=True)
+        sd = ss.cont2discrete(ss.tf2ss(b, a), 0.05)
+        t = np.arange(100) * 0.05
+        u = np.sin(t)
+        _, y1, _ = M.dlti(*sd[:4], dt=0.05).output(u, t)
+        ref = ss.dlsim(sd, u)
+        allc(np.ravel(y1), np.ravel(ref[1]), rtol=1e-8, atol=1e-10)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            M.lti(np.ones(3))  # 1 element
+        with pytest.raises(ValueError):
+            M.lti([1.0], [1.0, 0.5]).to_discrete(0.1).to_discrete(0.1)
