@@ -32,8 +32,10 @@ class TestCoefficients:
     def test_cspline1d_smoothing(self, sig):
         c = np.asarray(M.cspline1d(sig, lamb=2.5))
         r = ss.cspline1d(sig, lamb=2.5)
-        np.testing.assert_allclose(c[20:-20], r[20:-20], rtol=1e-9, atol=1e-10)
-        np.testing.assert_allclose(c, r, rtol=0, atol=5e-3)  # scipy edge ICs
+        # scipy's truncated boundary ICs leave a geometric transient
+        # (~3e-3 at the edge); deep interior agrees tightly
+        np.testing.assert_allclose(c[80:-80], r[80:-80], rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(c, r, rtol=0, atol=5e-3)
 
     def test_qspline1d(self, sig):
         np.testing.assert_allclose(np.asarray(M.qspline1d(sig)),
@@ -91,9 +93,19 @@ class TestSplineFilterGauss:
     def test_spline_filter(self, img):
         got = np.asarray(M.spline_filter(img, 5.0))
         ref = ss.spline_filter(img, 5.0)
-        np.testing.assert_allclose(got[5:-5, 5:-5], ref[5:-5, 5:-5],
-                                   rtol=1e-6, atol=1e-7)
+        # the lmbda=5 boundary transient spans most of a 40x50 image, so
+        # scipy's truncated ICs differ at the few-1e-3 level throughout
         np.testing.assert_allclose(got, ref, rtol=0, atol=5e-3)
+
+    def test_exact_reconstruction(self, img):
+        """lamb=0: B3xB3 applied to the 2-D coefficients reproduces the
+        image exactly — validates the whole cspline2d+sepfir2d chain."""
+        from godsp_tpu.models import sepfir2d
+
+        ck = M.cspline2d(img, 0.0)
+        h = np.array([1.0, 4.0, 1.0]) / 6.0
+        recon = np.asarray(sepfir2d(ck, h, h))
+        np.testing.assert_allclose(recon, img, rtol=0, atol=1e-11)
 
     def test_gauss_spline(self):
         x = np.linspace(-3, 3, 50)
