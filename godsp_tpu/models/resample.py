@@ -36,10 +36,12 @@ __all__ = [
 ]
 
 
-@partial(jax.jit, static_argnames=("num", "real_out"))
-def _resample_jit(x, num: int, real_out: bool):
+@partial(jax.jit, static_argnames=("num", "real_out", "domain"))
+def _resample_jit(x, num: int, real_out: bool, W=None, domain: str = "time"):
     n = x.shape[-1]
-    X = _fft_jit(as_complex_array(x))
+    X = as_complex_array(x) if domain == "freq" else _fft_jit(as_complex_array(x))
+    if W is not None:
+        X = X * W.astype(X.dtype)
     m = min(n, num)
     half = m // 2
     lead = X.shape[:-1]
@@ -57,15 +59,46 @@ def _resample_jit(x, num: int, real_out: bool):
     return jnp.real(y) if real_out else y
 
 
-def resample(x, num: int) -> jax.Array:
-    """Resample the trailing axis to `num` points (Fourier method,
-    scipy.signal.resample-compatible; assumes the signal is periodic).
-    Real input returns real output; batched over leading axes."""
+def resample(x, num: int, t=None, axis: int = -1, window=None,
+             domain: str = "time"):
+    """Resample along `axis` to `num` points (Fourier method, full
+    scipy.signal.resample surface; assumes the signal is periodic).
+
+    window: optional spectral taper — a get_window spec (applied
+    fftshifted, scipy convention), a callable of fftfreq(n), or an
+    explicit length-n array in FFT bin order.  domain='freq' treats x
+    as an already-computed spectrum.  With `t` given, returns
+    (resampled, new_t).  Real input returns real output."""
     if num < 1:
         raise ValueError("num must be >= 1")
+    if domain not in ("time", "freq"):
+        raise ValueError("domain must be 'time' or 'freq'")
     x = put(x)
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    W = None
+    if window is not None:
+        if callable(window):
+            Wnp = np.asarray(window(np.fft.fftfreq(n)), np.float64)
+        elif isinstance(window, np.ndarray) or (
+            hasattr(window, "ndim") and not isinstance(window, (str, bytes))
+        ):
+            Wnp = np.asarray(window, np.float64)
+            if Wnp.shape != (n,):
+                raise ValueError("window array must have the axis length")
+        else:
+            from godsp_tpu.window.extended import get_window
+
+            Wnp = np.fft.fftshift(get_window(window, n, fftbins=True))
+        W = jnp.asarray(Wnp)
     real_out = x.dtype.kind != "c"
-    return _resample_jit(x, int(num), real_out)
+    y = _resample_jit(x, int(num), real_out, W, domain)
+    y = jnp.moveaxis(y, -1, axis) if y.ndim > 1 else y
+    if t is None:
+        return y
+    t = np.asarray(t)
+    new_t = np.arange(0, num) * (t[1] - t[0]) * n / float(num) + t[0]
+    return y, new_t
 
 
 def _window_vector_np(window, numtaps: int) -> np.ndarray:

@@ -829,3 +829,42 @@ class TestPolyphaseResample:
             upfirdn(np.ones((2, 2)), np.ones(10))
         with pytest.raises(ValueError, match="at least one"):
             resample_poly(np.zeros(0), 2, 1)
+
+
+class TestResampleFullSurface:
+    """resample's full scipy surface: window specs, axis, t, domain."""
+
+    def test_windows_axis_t_domain(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import resample
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=100)
+        for w in ("hann", ("kaiser", 5.0)):
+            g = np.asarray(resample(x, 64, window=w))
+            np.testing.assert_allclose(g, ss.resample(x, 64, window=w),
+                                       rtol=1e-9, atol=1e-11)
+        arrw = rng.uniform(0.5, 1.0, 100)
+        np.testing.assert_allclose(np.asarray(resample(x, 64, window=arrw)),
+                                   ss.resample(x, 64, window=arrw),
+                                   rtol=1e-9, atol=1e-11)
+        fn = lambda f: (np.abs(f) < 0.3).astype(float)
+        np.testing.assert_allclose(np.asarray(resample(x, 64, window=fn)),
+                                   ss.resample(x, 64, window=fn),
+                                   rtol=1e-9, atol=1e-11)
+        X2 = rng.normal(size=(5, 100)).T
+        np.testing.assert_allclose(np.asarray(resample(X2, 64, axis=0)),
+                                   ss.resample(X2, 64, axis=0),
+                                   rtol=1e-9, atol=1e-11)
+        t = np.arange(100) * 0.01
+        g, gt = resample(x, 64, t=t)
+        r, rt = ss.resample(x, 64, t=t)
+        np.testing.assert_allclose(np.asarray(g), r, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(gt, rt, rtol=1e-12, atol=0)
+        Xf = np.fft.fft(x)
+        np.testing.assert_allclose(np.asarray(resample(Xf, 64, domain="freq")),
+                                   ss.resample(Xf, 64, domain="freq"),
+                                   rtol=1e-9, atol=1e-11)
+        with pytest.raises(ValueError):
+            resample(x, 64, domain="bogus")
