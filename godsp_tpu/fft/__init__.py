@@ -6,7 +6,7 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 """
 
 from godsp_tpu.fft.bluestein import bluestein_fft
-from godsp_tpu.fft.czt import czt, zoom_fft
+from godsp_tpu.fft.czt import CZT, ZoomFFT, czt, zoom_fft
 from godsp_tpu.fft.dct import dct, dst, idct, idst
 from godsp_tpu.fft.core import (
     convolve,
@@ -45,6 +45,8 @@ def set_natural_fused(on: bool) -> None:
 __all__ = [
     "bluestein_fft",
     "convolve",
+    "CZT",
+    "ZoomFFT",
     "czt",
     "dct",
     "dst",

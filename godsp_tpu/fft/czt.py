@@ -29,7 +29,7 @@ from godsp_tpu._dtypes import complex_for
 from godsp_tpu.dsputils.utils import next_power_of_2
 from godsp_tpu.fft.pow2 import pow2_circular_filter
 
-__all__ = ["czt", "zoom_fft"]
+__all__ = ["CZT", "ZoomFFT", "czt", "zoom_fft"]
 
 
 def _chain_tables(n: int, m: int, wk2: np.ndarray, ak: np.ndarray):
@@ -141,3 +141,62 @@ def zoom_fft(x, fn, m: Optional[int] = None, fs: float = 2.0,
     return _czt_chain(
         x, _zoom_tables(n, m, f1, f2, float(fs), bool(endpoint))
     )
+
+
+class CZT:
+    """Callable chirp-z plan (scipy.signal.CZT surface): fixes (n, m, w,
+    a) so the chirp/convolution tables are built once and every call is
+    a single kernel-chain launch on a new signal."""
+
+    def __init__(self, n: int, m: Optional[int] = None,
+                 w: Optional[complex] = None, a: complex = 1 + 0j):
+        n = int(n)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        m = n if m is None else int(m)
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        wkey = None if w is None else complex(w)
+        if wkey is not None and wkey == 0:
+            raise ValueError("w must be nonzero")
+        self.n, self.m = n, m
+        self.w = wkey if wkey is not None else np.exp(-2j * np.pi / m)
+        self.a = complex(a)
+        self._tables = _czt_tables(n, m, wkey, complex(a))
+
+    def __call__(self, x) -> jax.Array:
+        x = jnp.asarray(x)
+        if x.shape[-1] != self.n:
+            raise ValueError(f"signal length must be {self.n}")
+        return _czt_chain(x, self._tables)
+
+    def points(self) -> np.ndarray:
+        """The m contour points a * w^-k (scipy.signal.CZT.points)."""
+        return self.a * self.w ** -np.arange(self.m)
+
+
+class ZoomFFT(CZT):
+    """Callable zoomed-DFT plan (scipy.signal.ZoomFFT surface): fixes
+    (n, band, m, fs) so repeated band analyses reuse the tables."""
+
+    def __init__(self, n: int, fn, m: Optional[int] = None, *,
+                 fs: float = 2.0, endpoint: bool = False):
+        n = int(n)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        fn = np.atleast_1d(np.asarray(fn, np.float64))
+        if fn.size == 2:
+            f1, f2 = float(fn[0]), float(fn[1])
+        elif fn.size == 1:
+            f1, f2 = 0.0, float(fn[0])
+        else:
+            raise ValueError("fn must be a scalar or a 2-element sequence")
+        m = n if m is None else int(m)
+        if m < 1 or (endpoint and m < 2):
+            raise ValueError("m must be >= 1 (>= 2 with endpoint=True)")
+        self.n, self.m = n, m
+        self.f1, self.f2, self.fs = f1, f2, float(fs)
+        step = (f2 - f1) / ((m - 1) if endpoint else m)
+        self.w = np.exp(-2j * np.pi * step / float(fs))
+        self.a = np.exp(2j * np.pi * f1 / float(fs))
+        self._tables = _zoom_tables(n, m, f1, f2, float(fs), bool(endpoint))

@@ -623,3 +623,36 @@ class TestTrigTransformFamily:
             fft.dst(np.ones(8), norm="bogus")
         with pytest.raises(ValueError):
             fft.dct(np.ones(1), type=1)  # DCT-I needs >= 2 points
+
+
+class TestCztClasses:
+    """CZT / ZoomFFT callable plans (scipy.signal class surface)."""
+
+    def test_czt_plan(self):
+        import scipy.signal as sps
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=96) + 1j * rng.normal(size=96)
+        plan = fft.CZT(96, m=64, w=np.exp(-2j * np.pi / 80), a=np.exp(0.3j))
+        ref = sps.CZT(96, m=64, w=np.exp(-2j * np.pi / 80), a=np.exp(0.3j))
+        assert snr_db(np.asarray(plan(x)), ref(x)) >= 180.0
+        np.testing.assert_allclose(plan.points(), ref.points(),
+                                   rtol=1e-12, atol=1e-13)
+        # plan reuse on a second signal
+        y = rng.normal(size=96)
+        assert snr_db(np.asarray(plan(y)), ref(y)) >= 180.0
+        with pytest.raises(ValueError):
+            plan(np.zeros(50))
+
+    def test_zoom_plan(self):
+        import scipy.signal as sps
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=96)
+        plan = fft.ZoomFFT(96, [0.2, 0.6], m=48, fs=2.0)
+        ref = sps.ZoomFFT(96, [0.2, 0.6], m=48, fs=2.0)
+        assert snr_db(np.asarray(plan(x)), ref(x)) >= 180.0
+        np.testing.assert_allclose(plan.points(), ref.points(),
+                                   rtol=1e-12, atol=1e-13)
+        with pytest.raises(ValueError):
+            fft.ZoomFFT(96, [0.1, 0.2, 0.3])
