@@ -38,6 +38,8 @@ __all__ = [
     "qspline1d_eval",
     "qspline2d",
     "spline_filter",
+    "symiirorder1",
+    "symiirorder2",
 ]
 
 
@@ -182,3 +184,46 @@ def qspline1d_eval(cj, newx, dx: float = 1.0, x0: float = 0.0) -> jax.Array:
     if cj.ndim != 1:
         raise ValueError("cj must be 1-D")
     return _spline_eval_jit(cj, t, 2)
+
+
+def symiirorder1(signal, c0: float, z1: float, precision: float = -1.0) -> jax.Array:
+    """Symmetric cascade of first-order sections
+    c0 / ((1 - z1 z^-1)(1 - z1 z)) with mirror-symmetric boundary
+    (scipy.signal.symiirorder1).  Diagonal in the DCT-II basis:
+    eigenvalue c0 / (1 - 2 z1 cos w + z1^2) — exact, where scipy's
+    recursion truncates its initial sums at `precision` (accepted for
+    API parity, nothing to truncate here)."""
+    if abs(z1) >= 1.0:
+        raise ValueError("|z1| must be < 1 for a stable filter")
+    x = put(signal)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(default_float())
+    n = x.shape[-1]
+    if n <= 1:
+        return x * (c0 / (1.0 - z1) ** 2 if n else 1.0)
+    w = np.pi * np.arange(n, dtype=np.float64) / n
+    gain = c0 / (1.0 - 2.0 * z1 * np.cos(w) + z1 * z1)
+    return idct(dct(x) * jnp.asarray(gain, x.dtype))
+
+
+def symiirorder2(input, r: float, omega: float, precision: float = -1.0) -> jax.Array:
+    """Symmetric cascade of second-order sections
+    cs^2 / ((1 - 2 r cos(omega) z^-1 + r^2 z^-2)(... z form)) with
+    cs = 1 - 2 r cos(omega) + r^2 and mirror-symmetric boundary
+    (scipy.signal.symiirorder2) — again one DCT-II round trip with
+    eigenvalue cs^2 / |1 - 2 r cos(omega) e^{-iw} + r^2 e^{-2iw}|^2;
+    never hits scipy's 'boundary sum did not converge' failure mode."""
+    if not 0.0 < r < 1.0:
+        raise ValueError("r must lie in (0, 1)")
+    x = put(input)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(default_float())
+    n = x.shape[-1]
+    cs = 1.0 - 2.0 * r * np.cos(omega) + r * r
+    if n <= 1:
+        return x * (cs * cs / ((1.0 - 2.0 * r * np.cos(omega) + r * r) ** 2)
+                    if n else 1.0)
+    w = np.pi * np.arange(n, dtype=np.float64) / n
+    e = np.exp(-1j * w)
+    den = np.abs(1.0 - 2.0 * r * np.cos(omega) * e + (r * r) * e * e) ** 2
+    return idct(dct(x) * jnp.asarray(cs * cs / den, x.dtype))

@@ -112,3 +112,22 @@ class TestSplineFilterGauss:
         np.testing.assert_allclose(np.asarray(M.gauss_spline(x, 3)),
                                    ss.gauss_spline(x, 3),
                                    rtol=1e-12, atol=1e-14)
+
+
+class TestSymiir:
+    def test_symiirorder1(self, sig):
+        got = np.asarray(M.symiirorder1(sig, 1.5, 0.4))
+        ref = ss.symiirorder1(sig, 1.5, 0.4)
+        np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-10)
+
+    def test_symiirorder2(self, sig):
+        got = np.asarray(M.symiirorder2(sig, 0.3, 0.5))
+        ref = ss.symiirorder2(sig, 0.3, 0.5)
+        # scipy truncates its boundary sums around 1e-7
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_validation(self, sig):
+        with pytest.raises(ValueError):
+            M.symiirorder1(sig, 1.0, 1.5)
+        with pytest.raises(ValueError):
+            M.symiirorder2(sig, 1.5, 0.5)
