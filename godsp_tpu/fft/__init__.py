@@ -6,7 +6,7 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 """
 
 from godsp_tpu.fft.bluestein import bluestein_fft
-from godsp_tpu.fft.czt import CZT, ZoomFFT, czt, zoom_fft
+from godsp_tpu.fft.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from godsp_tpu.fft.dct import dct, dst, idct, idst
 from godsp_tpu.fft.core import (
     convolve,
@@ -48,6 +48,7 @@ __all__ = [
     "CZT",
     "ZoomFFT",
     "czt",
+    "czt_points",
     "dct",
     "dst",
     "idct",

@@ -29,7 +29,7 @@ from godsp_tpu._dtypes import complex_for
 from godsp_tpu.dsputils.utils import next_power_of_2
 from godsp_tpu.fft.pow2 import pow2_circular_filter
 
-__all__ = ["CZT", "ZoomFFT", "czt", "zoom_fft"]
+__all__ = ["CZT", "ZoomFFT", "czt", "czt_points", "zoom_fft"]
 
 
 def _chain_tables(n: int, m: int, wk2: np.ndarray, ak: np.ndarray):
@@ -200,3 +200,14 @@ class ZoomFFT(CZT):
         self.w = np.exp(-2j * np.pi * step / float(fs))
         self.a = np.exp(2j * np.pi * f1 / float(fs))
         self._tables = _zoom_tables(n, m, f1, f2, float(fs), bool(endpoint))
+
+
+def czt_points(m: int, w: Optional[complex] = None,
+               a: complex = 1 + 0j) -> np.ndarray:
+    """The m chirp-z contour points a * w^-k (scipy.signal.czt_points;
+    w defaults to the unit-circle DFT spacing exp(-2j pi/m))."""
+    m = int(m)
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    w = np.exp(-2j * np.pi / m) if w is None else complex(w)
+    return complex(a) * w ** -np.arange(m)

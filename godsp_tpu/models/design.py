@@ -26,6 +26,7 @@ import math
 import numpy as np
 
 __all__ = [
+    "BadCoefficients",
     "bessel",
     "besselap",
     "bilinear",
@@ -42,16 +43,23 @@ __all__ = [
     "ellip",
     "ellipap",
     "ellipord",
+    "findfreqs",
     "freqz",
+    "freqz_sos",
+    "freqz_zpk",
     "group_delay",
     "iircomb",
     "iirdesign",
     "iirfilter",
     "iirnotch",
     "iirpeak",
+    "lp2bp",
     "lp2bp_zpk",
+    "lp2bs",
     "lp2bs_zpk",
+    "lp2hp",
     "lp2hp_zpk",
+    "lp2lp",
     "lp2lp_zpk",
     "normalize",
     "sos2tf",
@@ -533,6 +541,11 @@ def normalize(b, a):
     a = a / a[0]
     nz = np.flatnonzero(b)
     if nz.size and nz[0] > 0:
+        import warnings
+
+        warnings.warn("Badly conditioned filter coefficients (numerator): "
+                      "the results may be meaningless", BadCoefficients,
+                      stacklevel=2)
         b = b[nz[0] :]
     elif nz.size == 0:
         b = b[-1:]
@@ -1044,3 +1057,76 @@ def bilinear(b, a, fs: float = 1.0):
     (tf2zpk -> bilinear_zpk -> zpk2tf)."""
     z, p, k = tf2zpk(b, a)
     return zpk2tf(*bilinear_zpk(z, p, k, fs=float(fs)))
+
+
+class BadCoefficients(UserWarning):
+    """Warning for badly conditioned filter coefficients
+    (scipy.signal.BadCoefficients)."""
+
+
+def _tf_transform(b, a, fn, **kw):
+    z, p, k = tf2zpk(b, a)
+    return zpk2tf(*fn(z, p, k, **kw))
+
+
+def lp2lp(b, a, wo: float = 1.0):
+    """Lowpass prototype -> lowpass at wo, tf form (scipy.signal.lp2lp)."""
+    return _tf_transform(b, a, lp2lp_zpk, wo=wo)
+
+
+def lp2hp(b, a, wo: float = 1.0):
+    """Lowpass prototype -> highpass at wo, tf form (scipy.signal.lp2hp)."""
+    return _tf_transform(b, a, lp2hp_zpk, wo=wo)
+
+
+def lp2bp(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandpass, tf form (scipy.signal.lp2bp)."""
+    return _tf_transform(b, a, lp2bp_zpk, wo=wo, bw=bw)
+
+
+def lp2bs(b, a, wo: float = 1.0, bw: float = 1.0):
+    """Lowpass prototype -> bandstop, tf form (scipy.signal.lp2bs)."""
+    return _tf_transform(b, a, lp2bs_zpk, wo=wo, bw=bw)
+
+
+def freqz_zpk(z, p, k, worN: int = 512, whole: bool = False,
+              fs: float = 2 * np.pi):
+    """Digital frequency response from zpk (scipy.signal.freqz_zpk)."""
+    w = _freq_grid(worN, whole, fs)
+    zm = np.exp(1j * w * (2 * np.pi / fs if fs != 2 * np.pi else 1.0))
+    z = np.atleast_1d(np.asarray(z, complex))
+    p = np.atleast_1d(np.asarray(p, complex))
+    h = k * np.prod(zm[:, None] - z[None, :], axis=1) / np.prod(
+        zm[:, None] - p[None, :], axis=1)
+    return w, h
+
+
+# scipy >= 1.15 name for sosfreqz
+freqz_sos = sosfreqz
+
+
+def findfreqs(num, den, N: int, kind: str = "ba") -> np.ndarray:
+    """Log-spaced frequency grid bracketing a system's interesting range
+    (scipy.signal.findfreqs conventions: decades from the pole/zero
+    magnitudes, with integrators pinned near their imaginary parts)."""
+    if kind == "ba":
+        ep = np.atleast_1d(np.roots(np.asarray(den, np.float64)) + 0j)
+        tz = np.atleast_1d(np.roots(np.asarray(num, np.float64)) + 0j)
+    elif kind == "zp":
+        ep = np.atleast_1d(np.asarray(den, complex))
+        tz = np.atleast_1d(np.asarray(num, complex))
+    else:
+        raise ValueError("kind must be 'ba' or 'zp'")
+    if len(ep) == 0:
+        ep = np.atleast_1d(-1000.0 + 0j)
+    ez = np.concatenate([
+        ep[ep.imag >= 0],
+        tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)],
+    ])
+    integ = np.abs(ez) < 1e-10
+    hfreq = np.round(
+        np.log10(np.max(3.0 * np.abs(ez.real + integ) + 1.5 * ez.imag)) + 0.5)
+    lfreq = np.round(
+        np.log10(0.1 * np.min(np.abs((ez + integ).real) + 2.0 * ez.imag))
+        - 0.5)
+    return np.logspace(lfreq, hfreq, int(N))

@@ -29,6 +29,7 @@ from godsp_tpu.fft.core import fft
 from godsp_tpu.fft.pow2 import pow2_circular_filter, pow2_convolve
 
 __all__ = [
+    "choose_conv_method",
     "convolve",
     "correlate",
     "correlation_lags",
@@ -241,3 +242,17 @@ def oaconvolve(in1, in2, mode: str = "full") -> jax.Array:
     fftconvolve is the faster TPU schedule, and the results are
     identical, so this routes there."""
     return fftconvolve(in1, in2, mode=mode)
+
+
+def choose_conv_method(in1, in2, mode: str = "full", measure: bool = False):
+    """Convolution-method advisor (scipy.signal.choose_conv_method
+    surface).  On TPU the batched kernel-chain FFT IS the fast path at
+    every size this framework targets, so the answer is always 'fft';
+    with measure=True the actual fftconvolve time is reported."""
+    if not measure:
+        return "fft"
+    import time
+
+    t0 = time.perf_counter()
+    fftconvolve(in1, in2, mode=mode).block_until_ready()
+    return "fft", {"fft": time.perf_counter() - t0}

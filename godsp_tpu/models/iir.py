@@ -44,6 +44,7 @@ __all__ = [
     "sosfilt",
     "sosfilt_zi",
     "sosfiltfilt",
+    "lfiltic",
 ]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -346,3 +347,31 @@ def filtfilt(b, a, x, axis: int = -1, padlen: int | None = None,
     if edge > 0:
         y = y[..., edge:-edge]
     return jnp.moveaxis(y, -1, axis)
+
+
+def lfiltic(b, a, y, x=None) -> np.ndarray:
+    """Initial conditions zi for lfilter given past outputs y (newest
+    first) and optional past inputs x (scipy.signal.lfiltic): the
+    direct-II-transposed state
+    zi[m] = sum_i b[i+m+1] x[i] - sum_i a[i+m+1] y[i]."""
+    b = np.atleast_1d(np.asarray(b, np.float64))
+    a = np.atleast_1d(np.asarray(a, np.float64))
+    if a[0] == 0:
+        raise ValueError("a[0] must be nonzero")
+    b = b / a[0]
+    a = a / a[0]
+    Nn = len(a) - 1
+    Mm = len(b) - 1
+    K = max(Mm, Nn)
+    y = np.atleast_1d(np.asarray(y, np.float64))[:Nn]
+    x = (np.zeros(0) if x is None
+         else np.atleast_1d(np.asarray(x, np.float64)))[:Mm]
+    zi = np.zeros(K)
+    for m in range(K):
+        for i, xi in enumerate(x):
+            if m + 1 + i <= Mm:
+                zi[m] += b[m + 1 + i] * xi
+        for i, yi in enumerate(y):
+            if m + 1 + i <= Nn:
+                zi[m] -= a[m + 1 + i] * yi
+    return zi

@@ -38,6 +38,8 @@ __all__ = [
     "stft_frames",
     "stream_istft",
     "stream_stft",
+    "check_COLA",
+    "check_NOLA",
 ]
 
 WindowSpec = Union[str, Callable[[int], jax.Array], None]
@@ -630,3 +632,8 @@ def stream_stft(chunks, nfft: int, hop: Optional[int] = None,
         spec = s.update(block)
         if spec is not None:
             yield spec
+
+
+# scipy.signal's exported capitalizations
+check_COLA = check_cola
+check_NOLA = check_nola

@@ -892,3 +892,83 @@ class TestMaxLenSeq:
             max_len_seq(4, taps=[5])
         with pytest.raises(ValueError):
             max_len_seq(4, state=[0, 0, 0, 0])
+
+
+class TestApiCompletions:
+    """lfiltic, tf-form lp2* transforms, freqz_zpk/freqz_sos, findfreqs,
+    czt_points, BadCoefficients, check_COLA aliases — scipy parity."""
+
+    def test_lfiltic(self):
+        from godsp_tpu.models import lfiltic
+
+        np.testing.assert_allclose(
+            lfiltic([1.0, 0.5], [1.0, -0.3, 0.1], y=[2.0, 1.0], x=[0.5]),
+            ss.lfiltic([1.0, 0.5], [1.0, -0.3, 0.1], y=[2.0, 1.0], x=[0.5]),
+            rtol=1e-12)
+        # continuation: state from the past reproduces the full run
+        b, a = ss.butter(3, 0.3)
+        x = np.random.default_rng(0).normal(size=50)
+        y_full = ss.lfilter(b, a, x)
+        zi = lfiltic(b, a, y_full[19::-1], x[19::-1])
+        y2, _ = ss.lfilter(b, a, x[20:], zi=zi)
+        allc(y2, y_full[20:], rtol=1e-9, atol=1e-11)
+
+    def test_lp2_tf_forms(self):
+        from godsp_tpu.models import lp2bp, lp2bs, lp2hp, lp2lp
+
+        for fn, rfn in [(lp2lp, ss.lp2lp), (lp2hp, ss.lp2hp)]:
+            g = fn([1.0, 2.0], [1.0, 3.0, 4.0], wo=2.0)
+            r = rfn([1.0, 2.0], [1.0, 3.0, 4.0], wo=2.0)
+            allc(g[0], r[0], rtol=1e-9, atol=1e-11)
+            allc(g[1], r[1], rtol=1e-9, atol=1e-11)
+        for fn, rfn in [(lp2bp, ss.lp2bp), (lp2bs, ss.lp2bs)]:
+            g = fn([1.0, 2.0], [1.0, 3.0, 4.0], wo=2.0, bw=0.5)
+            r = rfn([1.0, 2.0], [1.0, 3.0, 4.0], wo=2.0, bw=0.5)
+            allc(g[0], r[0], rtol=1e-9, atol=1e-11)
+            allc(g[1], r[1], rtol=1e-9, atol=1e-11)
+
+    def test_freqz_zpk_sos(self):
+        from godsp_tpu.models import freqz_sos, freqz_zpk
+
+        z, p, k = ss.butter(4, 0.3, output="zpk")
+        w = np.linspace(0.01, 3.0, 64)
+        _, h1 = freqz_zpk(z, p, k, worN=w)
+        _, h2 = ss.freqz_zpk(z, p, k, worN=w)
+        allc(h1, h2, rtol=1e-10, atol=1e-12)
+        sos = ss.butter(6, 0.3, output="sos")
+        _, h1 = freqz_sos(sos, worN=128)
+        _, h2 = ss.freqz_sos(sos, worN=128)
+        allc(h1, h2, rtol=1e-10, atol=1e-12)
+
+    def test_findfreqs(self):
+        from godsp_tpu.models import findfreqs
+
+        for args in [([1, 0], [1, 8, 25], 6), ([], [1, 2], 10),
+                     ([1, 3], [1, 0, 9], 8)]:
+            allc(findfreqs(*args), ss.findfreqs(*args), rtol=1e-12, atol=0)
+
+    def test_czt_points(self):
+        from godsp_tpu.fft import czt_points
+
+        np.testing.assert_allclose(
+            czt_points(5, w=np.exp(-2j * np.pi / 7), a=2.0),
+            ss.czt_points(5, w=np.exp(-2j * np.pi / 7), a=2.0), rtol=1e-12)
+
+    def test_bad_coefficients_warning(self):
+        import warnings
+
+        from godsp_tpu.models import BadCoefficients, normalize
+
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            normalize([0.0, 1.0], [1.0, 2.0])
+        assert any(r.category is BadCoefficients for r in rec)
+
+    def test_aliases(self):
+        from godsp_tpu.models import (check_COLA, check_NOLA, check_cola,
+                                      check_nola, choose_conv_method)
+
+        assert check_COLA is check_cola and check_NOLA is check_nola
+        assert choose_conv_method(np.ones(10), np.ones(3)) == "fft"
+        meth, times = choose_conv_method(np.ones(64), np.ones(8), measure=True)
+        assert meth == "fft" and "fft" in times
