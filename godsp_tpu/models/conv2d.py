@@ -19,12 +19,13 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from godsp_tpu._dtypes import as_complex_array, put
 from godsp_tpu.dsputils.utils import next_power_of_2
 from godsp_tpu.fft.pow2 import pow2_convolve2
 
-__all__ = ["convolve2d", "correlate2d", "hilbert2", "sepfir2d", "wiener"]
+__all__ = ["convolve2d", "correlate2d", "hilbert2", "medfilt2d", "order_filter", "sepfir2d", "wiener"]
 
 _BOUNDARY_PAD = {"fill": "constant", "wrap": "wrap", "symm": "symmetric"}
 
@@ -202,3 +203,35 @@ def sepfir2d(input, hrow, hcol) -> jax.Array:
     xp = jnp.pad(x, [(pr, pr), (pc, pc)], mode="symmetric") if (pr or pc) else x
     kern = hcol[:, None] * hrow[None, :]
     return _conv2_full_jit(xp, kern, "valid", x.dtype.kind != "c", False)
+
+
+def order_filter(a, domain, rank: int) -> jax.Array:
+    """2-D order (rank) filter (scipy.signal.order_filter): at each
+    pixel, sort the neighbors selected by the nonzero entries of
+    `domain` (odd sizes, zero-padded boundary) and keep the given rank."""
+    a = put(a)
+    dom = np.asarray(domain)
+    if a.ndim != 2 or dom.ndim != 2:
+        raise ValueError("input and domain must be 2-D")
+    k1, k2 = dom.shape
+    if k1 % 2 == 0 or k2 % 2 == 0:
+        raise ValueError("domain sizes must be odd")
+    sel = np.argwhere(dom != 0)
+    if not 0 <= rank < len(sel):
+        raise ValueError("rank must lie in [0, number of domain elements)")
+    p1, p2 = k1 // 2, k2 // 2
+    xp = jnp.pad(a, [(p1, p1), (p2, p2)])
+    offs = tuple((int(i), int(j)) for i, j in sel)
+    stack = jnp.stack(
+        [xp[i : i + a.shape[0], j : j + a.shape[1]] for i, j in offs], axis=0)
+    return jnp.sort(stack, axis=0)[int(rank)]
+
+
+def medfilt2d(input, kernel_size=3) -> jax.Array:
+    """2-D median filter with zero-padded boundary
+    (scipy.signal.medfilt2d)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    k1, k2 = int(kernel_size[0]), int(kernel_size[1])
+    dom = np.ones((k1, k2))
+    return order_filter(input, dom, (k1 * k2) // 2)

@@ -47,6 +47,7 @@ __all__ = [
     "freqz",
     "freqz_sos",
     "freqz_zpk",
+    "gammatone",
     "group_delay",
     "iircomb",
     "iirdesign",
@@ -1130,3 +1131,64 @@ def findfreqs(num, den, N: int, kind: str = "ba") -> np.ndarray:
         np.log10(0.1 * np.min(np.abs((ez + integ).real) + 2.0 * ez.imag))
         - 0.5)
     return np.logspace(lfreq, hfreq, int(N))
+
+
+def _hz_to_erb(hz: float) -> float:
+    """Equivalent rectangular bandwidth of the auditory filter at hz
+    (Glasberg-Moore: ERB = f/EarQ + minBW, EarQ=9.26449, minBW=24.7)."""
+    return hz / 9.26449 + 24.7
+
+
+def gammatone(freq: float, ftype: str, order: int | None = None,
+              numtaps: int | None = None, fs: float | None = None):
+    """Gammatone auditory filter at center frequency `freq`
+    (scipy.signal.gammatone semantics; Slaney 1993 design).
+
+    ftype='fir': sampled impulse response t^(order-1) e^{-2 pi b t}
+    cos(2 pi f t), scaled to unit gain at freq.  ftype='iir': the
+    4th-order gammatone as an (order-8 denominator) digital filter from
+    the 4x-repeated complex pole u = e^{-bT + j 2 pi f T}; numerator
+    T^4 Re[(1 - u z^-1)^4] with Slaney's center-frequency gain."""
+    import cmath
+
+    freq = float(freq)
+    fs = 2.0 if fs is None else float(fs)
+    if not 0 < freq < fs / 2:
+        raise ValueError(f"freq must lie in (0, fs/2) = (0, {fs / 2})")
+    ftype = str(ftype).lower()
+    if ftype == "fir":
+        order = 4 if order is None else int(order)
+        if not 0 < order <= 24:
+            raise ValueError("order must be in (0, 24]")
+        if numtaps is None:
+            numtaps = max(int(fs * 0.015), 15)
+        t = np.arange(int(numtaps), dtype=np.float64) / fs
+        bw = 1.019 * _hz_to_erb(freq)
+        b = t ** (order - 1) * np.exp(-2 * np.pi * bw * t) * np.cos(
+            2 * np.pi * freq * t)
+        scale = 2 * (2 * np.pi * bw) ** order / math.factorial(order - 1) / fs
+        return b * scale, np.array([1.0])
+    if ftype != "iir":
+        raise ValueError("ftype must be 'fir' or 'iir'")
+    T = 1.0 / fs
+    bw = 2 * np.pi * 1.019 * _hz_to_erb(freq)
+    fr = 2 * np.pi * freq * T
+    bwT = bw * T
+    # Slaney's unit-gain normalization at the center frequency
+    g1 = -2 * cmath.exp(2j * fr) * T
+    g2 = 2 * cmath.exp(-bwT + 1j * fr) * T
+    g3 = math.sqrt(3 + 2**1.5) * math.sin(fr)
+    g4 = math.sqrt(3 - 2**1.5) * math.sin(fr)
+    g5 = cmath.exp(2j * fr)
+    g = ((g1 + g2 * (math.cos(fr) - g4)) * (g1 + g2 * (math.cos(fr) + g4))
+         * (g1 + g2 * (math.cos(fr) - g3)) * (g1 + g2 * (math.cos(fr) + g3)))
+    g /= (-2 / math.exp(2 * bwT) - 2 * g5
+          + 2 * (1 + g5) / math.exp(bwT)) ** 4
+    g = abs(g)
+    u = cmath.exp(-bwT + 1j * fr)  # the 4x-repeated complex pole
+    p4 = np.array([1.0])
+    for _ in range(4):
+        p4 = np.convolve(p4, np.array([1.0, -u]))
+    b = (T**4) * np.real(p4) / g
+    a = np.real(np.convolve(p4, np.conj(p4)))
+    return b, a

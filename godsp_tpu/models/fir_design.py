@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["firls", "minimum_phase", "remez"]
+__all__ = ["firls", "firwin_2d", "minimum_phase", "remez"]
 
 
 def firls(numtaps: int, bands, desired, weight=None, fs: float = 2.0) -> np.ndarray:
@@ -282,3 +282,30 @@ def minimum_phase(h, n_fft: int | None = None, half: bool = True) -> np.ndarray:
     h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
     n_out = (n // 2) + (n % 2) if half else n
     return h_min[:n_out]
+
+
+def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0,
+              circular: bool = False) -> np.ndarray:
+    """2-D window-method FIR design (scipy.signal.firwin_2d):
+    separable (outer product of two 1-D firwin designs, window a
+    2-tuple of specs) or circularly symmetric (radial linear
+    interpolation of an 8x-oversampled 1-D design)."""
+    from godsp_tpu.models.resample import firwin
+
+    if len(hsize) != 2:
+        raise ValueError("hsize must be a 2-element tuple or list")
+    if fc is None:
+        raise ValueError("fc must be provided")
+    fc_n = 2.0 * float(fc) / float(fs)
+    if circular:
+        n_r = max(int(hsize[0]), int(hsize[1])) * 8
+        win_r = firwin(n_r, fc_n, window=window)
+        f1, f2 = np.meshgrid(np.linspace(-1, 1, int(hsize[0])),
+                             np.linspace(-1, 1, int(hsize[1])))
+        r = np.sqrt(f1 * f1 + f2 * f2)
+        return np.interp(r, np.linspace(0, 1, n_r), win_r)
+    if len(window) != 2:
+        raise ValueError("window must be a 2-element tuple or list")
+    row = firwin(int(hsize[0]), fc_n, window=window[0])
+    col = firwin(int(hsize[1]), fc_n, window=window[1])
+    return np.outer(row, col)

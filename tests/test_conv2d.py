@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 import scipy.signal as ss
 
-from godsp_tpu.models import convolve2d, correlate2d, hilbert2, wiener
+from godsp_tpu.models import (convolve2d, correlate2d, hilbert2,
+                              medfilt2d, order_filter, wiener)
 
 
 def allc(a, b, rtol=1e-9, atol=1e-11):
@@ -116,3 +117,122 @@ class TestHilbert2:
             hilbert2(np.zeros((4, 4)) + 0j)
         with pytest.raises(ValueError):
             hilbert2(np.zeros(8))
+
+
+class TestRankFilters:
+    def test_medfilt2d(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(17, 13))
+        for k in (3, 5, (3, 5)):
+            np.testing.assert_array_equal(np.asarray(medfilt2d(x, k)),
+                                          ss.medfilt2d(x, k))
+
+    def test_order_filter(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(12, 11))
+        dom = np.ones((3, 3))
+        dom[0, 0] = dom[2, 1] = 0
+        for rank in (0, 3, 6):
+            np.testing.assert_array_equal(
+                np.asarray(order_filter(x, dom, rank)),
+                ss.order_filter(x, dom, rank))
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            order_filter(np.zeros((4, 4)), np.ones((2, 3)), 1)
+        with pytest.raises(ValueError):
+            order_filter(np.zeros((4, 4)), np.ones((3, 3)), 9)
+
+
+class TestFirwin2d:
+    def test_separable_and_circular(self):
+        from godsp_tpu.models import firwin_2d
+
+        h = firwin_2d((9, 11), ("hamming", "hann"), fc=0.3)
+        r = ss.firwin_2d((9, 11), ("hamming", "hann"), fc=0.3)
+        np.testing.assert_allclose(h, r, rtol=0, atol=1e-13)
+        h = firwin_2d((9, 9), "hamming", fc=0.4, circular=True)
+        r = ss.firwin_2d((9, 9), "hamming", fc=0.4, circular=True)
+        np.testing.assert_allclose(h, r, rtol=0, atol=1e-13)
+        with pytest.raises(ValueError):
+            firwin_2d((9, 9), ("hamming", "hann"))  # fc missing
+
+
+class TestEnvelope:
+    CASES = [
+        dict(),
+        dict(bp_in=(5, 50)),
+        dict(squared=True),
+        dict(residual="all"),
+        dict(residual=None),
+        dict(n_out=128),
+        dict(n_out=300),
+        dict(bp_in=(-20, 30)),
+        dict(bp_in=(None, 40)),
+        dict(bp_in=(10, 50), n_out=100),
+    ]
+
+    @pytest.mark.parametrize("kw", CASES)
+    def test_real_parity(self, kw):
+        from godsp_tpu.models import envelope
+
+        z = np.random.default_rng(0).normal(size=256)
+        g = np.asarray(envelope(z, **kw))
+        r = np.asarray(ss.envelope(z, **kw))
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+
+    def test_complex_and_axis(self):
+        from godsp_tpu.models import envelope
+
+        rng = np.random.default_rng(1)
+        zc = rng.normal(size=200) + 1j * rng.normal(size=200)
+        for kw in [dict(bp_in=(-30, 40)), dict(bp_in=(-30, 40), n_out=100),
+                   dict(residual="all")]:
+            g = np.asarray(envelope(zc, **kw))
+            r = np.asarray(ss.envelope(zc, **kw))
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+        Z2 = rng.normal(size=(3, 128)).T
+        np.testing.assert_allclose(np.asarray(envelope(Z2, axis=0)),
+                                   np.asarray(ss.envelope(Z2, axis=0)),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_validation(self):
+        from godsp_tpu.models import envelope
+
+        with pytest.raises(ValueError):
+            envelope(np.zeros(16), residual="bogus")
+        with pytest.raises(ValueError):
+            envelope(np.zeros(16), bp_in=(5, 5))
+
+
+class TestGammatone:
+    def test_scipy_parity(self):
+        from godsp_tpu.models import gammatone
+
+        for freq, fs in [(440, 16000), (1000, 44100), (0.3, 2)]:
+            b1, a1 = gammatone(freq, "iir", fs=fs)
+            b2, a2 = ss.gammatone(freq, "iir", fs=fs)
+            np.testing.assert_allclose(b1, b2, rtol=1e-11, atol=1e-20)
+            np.testing.assert_allclose(a1, a2, rtol=1e-11, atol=1e-12)
+        b1, _ = gammatone(800, "fir", fs=16000)
+        b2, _ = ss.gammatone(800, "fir", fs=16000)
+        np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                                   rtol=1e-10, atol=1e-14)
+
+    def test_unit_gain_at_center(self):
+        from godsp_tpu.models import freqz, gammatone
+
+        b, a = gammatone(440, "iir", fs=16000)
+        _, h = freqz(b, a, worN=np.array([2 * np.pi * 440 / 16000]))
+        # Slaney's closed-form gain is itself ~1e-6 accurate
+        np.testing.assert_allclose(np.abs(h), 1.0, rtol=1e-5)
+
+    def test_validation(self):
+        from godsp_tpu.models import gammatone
+
+        with pytest.raises(ValueError):
+            gammatone(2.0, "iir")  # beyond Nyquist
+        with pytest.raises(ValueError):
+            gammatone(0.3, "bogus")
