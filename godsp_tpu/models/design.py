@@ -27,6 +27,7 @@ import numpy as np
 
 __all__ = [
     "BadCoefficients",
+    "band_stop_obj",
     "bessel",
     "besselap",
     "bilinear",
@@ -1192,3 +1193,28 @@ def gammatone(freq: float, ftype: str, order: int | None = None,
     b = (T**4) * np.real(p4) / g
     a = np.real(np.convolve(p4, np.conj(p4)))
     return b, a
+
+
+def band_stop_obj(wp, ind: int, passb, stopb, gpass: float, gstop: float,
+                  type: str):
+    """Continuous filter-order objective for bandstop edge optimization
+    (scipy.signal.band_stop_obj): the analog order of the given family
+    when passband edge `ind` is moved to wp."""
+    kind = {"butter": "butter", "cheby": "cheby", "ellip": "ellip"}.get(type)
+    if kind is None:
+        raise ValueError("type must be 'butter', 'cheby', or 'ellip'")
+    passb = np.asarray(passb, np.float64).copy()
+    stopb = np.asarray(stopb, np.float64)
+    passb[int(ind)] = float(wp)
+    nat = stopb * (passb[0] - passb[1]) / (stopb**2 - passb[0] * passb[1])
+    nat = float(np.min(np.abs(nat)))
+    gs = 10.0 ** (0.1 * abs(gstop))
+    gp = 10.0 ** (0.1 * abs(gpass))
+    if kind == "butter":
+        return math.log10((gs - 1.0) / (gp - 1.0)) / (2 * math.log10(nat))
+    if kind == "ellip":
+        m1 = (gp - 1.0) / (gs - 1.0)
+        m2 = 1.0 / (nat * nat)
+        return (_ellipk_m(m2) * _ellipk_m(1.0 - m1)) / (
+            _ellipk_m(1.0 - m2) * _ellipk_m(m1))
+    return math.acosh(math.sqrt((gs - 1.0) / (gp - 1.0))) / math.acosh(nat)

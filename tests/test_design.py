@@ -972,3 +972,24 @@ class TestApiCompletions:
         assert choose_conv_method(np.ones(10), np.ones(3)) == "fft"
         meth, times = choose_conv_method(np.ones(64), np.ones(8), measure=True)
         assert meth == "fft" and "fft" in times
+
+
+class TestBandStopObj:
+    def test_scipy_parity(self):
+        from godsp_tpu.models import band_stop_obj
+
+        passb = np.array([0.1, 0.6])
+        stopb = np.array([0.2, 0.5])
+        for t in ("butter", "cheby", "ellip"):
+            g = band_stop_obj(0.15, 0, passb, stopb, 2.0, 30.0, t)
+            r = ss.band_stop_obj(0.15, 0, passb, stopb, 2.0, 30.0, t)
+            assert abs(g - r) < 1e-10 * max(1.0, abs(r))
+        with pytest.raises(ValueError):
+            band_stop_obj(0.15, 0, passb, stopb, 2.0, 30.0, "bogus")
+
+    def test_prototype_reexports(self):
+        import godsp_tpu.models as M
+
+        for name in ("buttap", "cheb1ap", "cheb2ap", "besselap", "detrend",
+                     "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk"):
+            assert hasattr(M, name), name
