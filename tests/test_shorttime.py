@@ -1,0 +1,126 @@
+"""ShortTimeFFT (models/shorttime.py) vs scipy.signal.ShortTimeFFT:
+slice geometry, all four FFT modes, paddings, phase shifts, canonical
+dual windows, scaling, detrending, batching, and istft round trips."""
+
+import numpy as np
+import pytest
+import scipy.signal as ss
+import scipy.signal.windows as sw
+
+from godsp_tpu.models import ShortTimeFFT
+
+
+def cmp(a, b, tol=1e-10):
+    a, b = np.asarray(a), np.asarray(b)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    np.testing.assert_allclose(a, b, rtol=0, atol=tol)
+
+
+@pytest.fixture(scope="module")
+def sig():
+    return np.random.default_rng(0).normal(size=57)
+
+
+CONFIGS = [
+    (8, 3, "onesided", "zeros", None, 0),
+    (9, 4, "twosided", "even", None, 0),
+    (8, 2, "centered", "edge", 16, 0),
+    (7, 3, "onesided", "odd", 12, 0),
+    (8, 3, "twosided", "zeros", None, None),
+    (8, 3, "twosided", "zeros", None, 2),
+]
+
+
+class TestCoreParity:
+    @pytest.mark.parametrize("wlen,hop,mode,pad,mfft,pshift", CONFIGS)
+    def test_attributes_stft_istft(self, sig, wlen, hop, mode, pad, mfft,
+                                   pshift):
+        w = sw.gaussian(wlen, wlen / 4, sym=True)
+        mine = ShortTimeFFT(w, hop=hop, fs=8.0, fft_mode=mode, mfft=mfft,
+                            phase_shift=pshift)
+        ref = ss.ShortTimeFFT(w, hop=hop, fs=8.0, fft_mode=mode, mfft=mfft,
+                              phase_shift=pshift)
+        n = len(sig)
+        for att in ["p_min", "k_min", "m_num", "m_num_mid", "f_pts",
+                    "delta_t", "delta_f"]:
+            assert np.allclose(getattr(mine, att), getattr(ref, att)), att
+        assert mine.p_max(n) == ref.p_max(n)
+        assert mine.k_max(n) == ref.k_max(n)
+        assert mine.lower_border_end == ref.lower_border_end
+        assert mine.upper_border_begin(n) == ref.upper_border_begin(n)
+        np.testing.assert_allclose(mine.f, ref.f, rtol=1e-12)
+        np.testing.assert_allclose(mine.t(n), ref.t(n), rtol=1e-12)
+        np.testing.assert_allclose(mine.dual_win, ref.dual_win, rtol=1e-10)
+        cmp(mine.stft(sig, padding=pad), ref.stft(sig, padding=pad))
+        xr = np.asarray(mine.istft(mine.stft(sig), k1=n))
+        cmp(xr, sig, 1e-9)
+
+
+class TestScalingModes:
+    def test_psd_and_onesided2X(self, sig):
+        w = sw.hann(10, sym=True)
+        mine = ShortTimeFFT(w, hop=4, fs=16.0, scale_to="psd")
+        ref = ss.ShortTimeFFT(w, hop=4, fs=16.0, scale_to="psd")
+        cmp(mine.stft(sig), ref.stft(sig))
+        mine.fft_mode = "onesided2X"
+        ref.fft_mode = "onesided2X"
+        cmp(mine.stft(sig), ref.stft(sig))
+        cmp(mine.istft(mine.stft(sig), k1=len(sig)), sig, 1e-9)
+
+    def test_magnitude(self, sig):
+        w = sw.hann(10, sym=True)
+        mine = ShortTimeFFT(w, hop=4, fs=16.0, scale_to="magnitude")
+        ref = ss.ShortTimeFFT(w, hop=4, fs=16.0, scale_to="magnitude")
+        cmp(mine.stft(sig), ref.stft(sig))
+        assert abs(mine.fac_psd - ref.fac_psd) < 1e-12
+        assert abs(mine.fac_magnitude - ref.fac_magnitude) < 1e-12
+
+    def test_onesided2X_needs_scaling(self):
+        w = sw.hann(8, sym=True)
+        mine = ShortTimeFFT(w, hop=4, fs=1.0)
+        with pytest.raises(ValueError):
+            mine.fft_mode = "onesided2X"
+
+
+class TestSpectrogramDetrend:
+    def test_parity(self, sig):
+        w = sw.gaussian(8, 2, sym=True)
+        mine = ShortTimeFFT(w, hop=3, fs=1.0)
+        ref = ss.ShortTimeFFT(w, hop=3, fs=1.0)
+        cmp(mine.spectrogram(sig), ref.spectrogram(sig))
+        cmp(mine.stft_detrend(sig, "linear"), ref.stft_detrend(sig, "linear"),
+            1e-9)
+        cmp(mine.stft_detrend(sig, "constant"),
+            ref.stft_detrend(sig, "constant"), 1e-9)
+
+
+class TestFromWindowBatch:
+    def test_from_window_and_axes(self, sig):
+        mine = ShortTimeFFT.from_window(("kaiser", 5.0), 8.0, 12, 8)
+        ref = ss.ShortTimeFFT.from_window(("kaiser", 5.0), 8.0, 12, 8)
+        cmp(mine.stft(sig), ref.stft(sig))
+        X2 = np.random.default_rng(1).normal(size=(3, 57))
+        cmp(mine.stft(X2), ref.stft(X2))
+        cmp(mine.stft(X2.T, axis=0), ref.stft(X2.T, axis=0))
+        X3 = np.random.default_rng(2).normal(size=(2, 57, 3))
+        cmp(mine.stft(X3, axis=1), ref.stft(X3, axis=1))
+
+    def test_invertible_gap(self):
+        w = np.ones(4)
+        assert ShortTimeFFT(w, hop=4, fs=1.0).invertible
+        assert not ShortTimeFFT(w, hop=6, fs=1.0).invertible
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.ones((2, 2)), hop=1, fs=1.0)
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.ones(8), hop=0, fs=1.0)
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.ones(8), hop=2, fs=1.0, mfft=4)
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.ones(8), hop=2, fs=1.0, fft_mode="bogus")
+        with pytest.raises(ValueError):
+            ShortTimeFFT(np.ones(8), hop=2, fs=1.0).stft(np.zeros(64),
+                                                         padding="bogus")
+        with pytest.raises(ValueError):
+            ShortTimeFFT.from_window("hann", 1.0, 8, 8)
