@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["argrelextrema", "argrelmax", "argrelmin", "find_peaks", "peak_prominences", "peak_widths", "vectorstrength"]
+__all__ = ["argrelextrema", "argrelmax", "argrelmin", "find_peaks", "find_peaks_cwt", "peak_prominences", "peak_widths", "vectorstrength"]
 
 
 def _as_1d_f64(x) -> np.ndarray:
@@ -348,3 +348,88 @@ def vectorstrength(events, period):
     if scalar:
         return float(strength[0]), float(phase[0])
     return strength, phase
+
+
+def _link_ridge_lines(mat: np.ndarray, max_distances, gap_thresh):
+    """Connect per-row relative maxima of a scalogram into ridge lines
+    (the Du et al. 2006 linking rule, scipy.signal semantics): walk from
+    the widest scale down, attach each maximum to the nearest active
+    line within max_distances[row], and retire lines whose gap count
+    exceeds gap_thresh.  Returns [rows, cols] arrays per line."""
+    is_max = _boolrel(mat, np.greater, axis=1, order=1, mode="clip")
+    rows_with = np.nonzero(is_max.any(axis=1))[0]
+    if len(rows_with) == 0:
+        return []
+    top = rows_with[-1]
+    active = [{"rows": [top], "cols": [c], "gap": 0}
+              for c in np.nonzero(is_max[top])[0]]
+    retired = []
+    for row in range(top - 1, -1, -1):
+        for line in active:
+            line["gap"] += 1
+        prev_cols = np.array([line["cols"][-1] for line in active])
+        for col in np.nonzero(is_max[row])[0]:
+            line = None
+            if len(prev_cols):
+                nearest = int(np.argmin(np.abs(col - prev_cols)))
+                if abs(col - prev_cols[nearest]) <= max_distances[row]:
+                    line = active[nearest]
+            if line is not None:
+                line["rows"].append(row)
+                line["cols"].append(col)
+                line["gap"] = 0
+            else:
+                active.append({"rows": [row], "cols": [col], "gap": 0})
+        for i in range(len(active) - 1, -1, -1):
+            if active[i]["gap"] > gap_thresh:
+                retired.append(active.pop(i))
+    out = []
+    for line in retired + active:
+        order = np.argsort(line["rows"])
+        out.append([np.asarray(line["rows"])[order],
+                    np.asarray(line["cols"])[order]])
+    return out
+
+
+def find_peaks_cwt(vector, widths, wavelet=None, max_distances=None,
+                   gap_thresh=None, min_length=None, min_snr: float = 1.0,
+                   noise_perc: float = 10.0, window_size=None) -> np.ndarray:
+    """Wavelet-based peak finding (scipy.signal.find_peaks_cwt): build a
+    CWT scalogram (ricker by default, one batched device launch via
+    models.wavelets.cwt), link per-scale maxima into ridge lines, and
+    keep lines long enough and with sufficient smallest-scale SNR."""
+    vector = np.asarray(vector, np.float64)
+    widths = np.atleast_1d(np.asarray(widths, np.float64))
+    if gap_thresh is None:
+        gap_thresh = np.ceil(widths[0])
+    if max_distances is None:
+        max_distances = widths / 4.0
+    max_distances = np.asarray(max_distances)
+    if len(max_distances) < len(widths):
+        raise ValueError("max_distances must cover every width")
+    from godsp_tpu.models.wavelets import cwt, ricker
+
+    mat = np.asarray(cwt(vector, wavelet or ricker, widths))
+    lines = _link_ridge_lines(mat, max_distances, gap_thresh)
+
+    n = mat.shape[1]
+    if min_length is None:
+        min_length = np.ceil(mat.shape[0] / 4)
+    if window_size is None:
+        window_size = np.ceil(n / 20)
+    half, odd = divmod(int(window_size), 2)
+    row0 = mat[0]
+    noises = np.array([
+        np.percentile(row0[max(i - half, 0) : min(i + half + odd, n)],
+                      noise_perc)
+        for i in range(n)
+    ])
+    locs = []
+    for rows, cols in lines:
+        if len(rows) < min_length:
+            continue
+        denom = noises[cols[0]]
+        snr = abs(mat[rows[0], cols[0]] / denom) if denom != 0 else np.inf
+        if snr >= min_snr:
+            locs.append(cols[0])
+    return np.asarray(sorted(locs))

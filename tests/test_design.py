@@ -993,3 +993,36 @@ class TestBandStopObj:
         for name in ("buttap", "cheb1ap", "cheb2ap", "besselap", "detrend",
                      "lp2lp_zpk", "lp2hp_zpk", "lp2bp_zpk", "lp2bs_zpk"):
             assert hasattr(M, name), name
+
+
+class TestFindPeaksCwt:
+    def test_scipy_parity(self):
+        from godsp_tpu.models import find_peaks_cwt
+
+        xs = np.linspace(0, 10, 400)
+        sig = (np.sin(2 * np.pi * xs)
+               + 0.3 * np.random.default_rng(0).normal(size=400))
+        for widths in (np.arange(1, 20), np.arange(3, 40, 2)):
+            g = find_peaks_cwt(sig, widths)
+            r = np.asarray(ss.find_peaks_cwt(sig, widths))
+            np.testing.assert_array_equal(g, r)
+        g = find_peaks_cwt(sig, np.arange(1, 20), min_snr=2.0, noise_perc=20)
+        r = np.asarray(ss.find_peaks_cwt(sig, np.arange(1, 20), min_snr=2.0,
+                                         noise_perc=20))
+        np.testing.assert_array_equal(g, r)
+
+    def test_finds_true_peaks(self):
+        from godsp_tpu.models import find_peaks_cwt
+
+        xs = np.linspace(0, 6 * np.pi, 600)
+        locs = find_peaks_cwt(np.sin(xs), np.arange(5, 30))
+        true = [np.pi / 2 + 2 * np.pi * k for k in range(3)]
+        assert len(locs) == 3
+        for t, l in zip(true, locs):
+            assert abs(xs[l] - t) < 0.1
+
+    def test_validation(self):
+        from godsp_tpu.models import find_peaks_cwt
+
+        with pytest.raises(ValueError):
+            find_peaks_cwt(np.zeros(50), [5.0, 10.0], max_distances=[1.0])
