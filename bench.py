@@ -31,7 +31,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _probe_devices(timeout_s: float = 180.0):
+    """jax.devices() in a daemon thread with a timeout: a severed axon
+    tunnel makes backend init hang forever, and a hung bench records
+    NOTHING — better to emit an error-marked summary line and exit."""
+    import threading
+
+    holder = {}
+
+    def worker():
+        try:
+            import jax
+
+            holder["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - report any backend failure
+            holder["error"] = repr(e)
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return None, f"jax.devices() unresponsive after {timeout_s:.0f}s"
+    if "error" in holder:
+        return None, holder["error"]
+    return holder["devices"], None
+
+
 def main() -> None:
+    devices, dev_err = _probe_devices()
+    if devices is None:
+        log(f"DEVICE BACKEND UNAVAILABLE: {dev_err}")
+        print(json.dumps({
+            "metric": "pallas_fft1024_precise_roofline",
+            "value": 0.0,
+            "unit": "fraction_of_roofline",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"device backend unavailable: {dev_err}"},
+        }), flush=True)
+        return
+
     import jax
 
     from godsp_tpu import fft, spectral
