@@ -7,7 +7,7 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 
 from godsp_tpu.fft.bluestein import bluestein_fft
 from godsp_tpu.fft.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
-from godsp_tpu.fft.dct import dct, dst, idct, idst
+from godsp_tpu.fft.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from godsp_tpu.fft.core import (
     convolve,
     ensure_radix2_factors,
@@ -23,7 +23,7 @@ from godsp_tpu.fft.core import (
     ifftn,
 )
 from godsp_tpu.fft.four_step import four_step_fft
-from godsp_tpu.fft.helpers import fftfreq, fftshift, hilbert, ifftshift, rfftfreq
+from godsp_tpu.fft.helpers import fftfreq, fftshift, hilbert, ifftshift, rfftfreq, hfft, ihfft, irfft, rfft
 from godsp_tpu.fft.large import set_large_min
 from godsp_tpu.fft.pow2 import pallas_enabled, pow2_fft, set_pallas_enabled
 from godsp_tpu.fft.split import fft_split, ifft_split
@@ -50,9 +50,13 @@ __all__ = [
     "czt",
     "czt_points",
     "dct",
+    "dctn",
     "dst",
+    "dstn",
     "idct",
+    "idctn",
     "idst",
+    "idstn",
     "ensure_radix2_factors",
     "fft",
     "four_step_fft",
@@ -64,7 +68,11 @@ __all__ = [
     "fftfreq",
     "fftn",
     "fftshift",
+    "hfft",
     "hilbert",
+    "ihfft",
+    "irfft",
+    "rfft",
     "ifft",
     "ifftshift",
     "rfftfreq",

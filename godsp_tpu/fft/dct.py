@@ -29,7 +29,7 @@ import numpy as np
 from godsp_tpu._dtypes import complex_for, put, real_for
 from godsp_tpu.fft.core import _fft_jit, _ifft_jit
 
-__all__ = ["dct", "dst", "idct", "idst"]
+__all__ = ["dct", "dctn", "dst", "dstn", "idct", "idctn", "idst", "idstn"]
 
 
 @lru_cache(maxsize=None)
@@ -261,3 +261,46 @@ def idst(y, type: int = 2, norm: str | None = None) -> jax.Array:
     den = 2.0 * (n + 1) if type == 1 else 2.0 * n
     return _cos_sin_transform(y, inv, None, sine=True) * jnp.asarray(
         1.0 / den, y.dtype)
+
+
+def _apply_along_axes(fn, x, axes):
+    for ax in axes:
+        x = jnp.moveaxis(fn(jnp.moveaxis(x, ax, -1)), -1, ax)
+    return x
+
+
+def _norm_axes(x, axes):
+    if axes is None:
+        return tuple(range(x.ndim))
+    if isinstance(axes, int):
+        return (axes,)
+    return tuple(int(a) for a in axes)
+
+
+def dctn(x, type: int = 2, axes=None, norm: str | None = None) -> jax.Array:
+    """N-D DCT: the 1-D transform applied over each axis in `axes`
+    (scipy.fft.dctn semantics; axes=None -> all)."""
+    x = _check_transform_args(x, type, norm)
+    return _apply_along_axes(lambda v: dct(v, type, norm), x,
+                             _norm_axes(x, axes))
+
+
+def idctn(x, type: int = 2, axes=None, norm: str | None = None) -> jax.Array:
+    """N-D inverse DCT (scipy.fft.idctn)."""
+    x = _check_transform_args(x, type, norm)
+    return _apply_along_axes(lambda v: idct(v, type, norm), x,
+                             _norm_axes(x, axes))
+
+
+def dstn(x, type: int = 2, axes=None, norm: str | None = None) -> jax.Array:
+    """N-D DST (scipy.fft.dstn)."""
+    x = _check_transform_args(x, type, norm)
+    return _apply_along_axes(lambda v: dst(v, type, norm), x,
+                             _norm_axes(x, axes))
+
+
+def idstn(x, type: int = 2, axes=None, norm: str | None = None) -> jax.Array:
+    """N-D inverse DST (scipy.fft.idstn)."""
+    x = _check_transform_args(x, type, norm)
+    return _apply_along_axes(lambda v: idst(v, type, norm), x,
+                             _norm_axes(x, axes))

@@ -13,9 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from godsp_tpu._dtypes import as_real_array, default_float
+from godsp_tpu._dtypes import as_real_array, default_float, put
 
-__all__ = ["fftfreq", "rfftfreq", "fftshift", "ifftshift", "hilbert"]
+__all__ = ["fftfreq", "rfftfreq", "fftshift", "ifftshift", "hfft",
+           "hilbert", "ihfft", "irfft", "rfft"]
 
 
 def fftfreq(n: int, d: float = 1.0) -> jax.Array:
@@ -78,3 +79,71 @@ def hilbert(x) -> jax.Array:
     else:
         h[1 : (n + 1) // 2] = 2.0
     return ifft(X * jnp.asarray(h, dtype=X.real.dtype))
+
+
+def rfft(x, n: int | None = None, axis: int = -1) -> jax.Array:
+    """One-sided FFT of real input (scipy.fft.rfft semantics: n//2 + 1
+    bins; n pads/truncates before transforming).  Rides the real-input
+    kernel path of fft_real."""
+    from godsp_tpu.fft.core import fft_real
+
+    x = put(x)
+    if x.dtype.kind == "c":
+        raise ValueError("rfft expects real input")
+    x = jnp.moveaxis(x, axis, -1)
+    if n is not None:
+        n = int(n)
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        cur = x.shape[-1]
+        if n < cur:
+            x = x[..., :n]
+        elif n > cur:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - cur)])
+    m = x.shape[-1]
+    X = fft_real(x)[..., : m // 2 + 1]
+    return jnp.moveaxis(X, -1, axis)
+
+
+def irfft(X, n: int | None = None, axis: int = -1) -> jax.Array:
+    """Real inverse of rfft (scipy.fft.irfft: output length n, default
+    2*(bins-1)); rebuilds the Hermitian spectrum and inverts through the
+    kernel chain."""
+    from godsp_tpu._dtypes import as_complex_array
+    from godsp_tpu.fft.core import ifft
+
+    X = put(X)
+    X = jnp.moveaxis(as_complex_array(X), axis, -1)
+    bins = X.shape[-1]
+    n = 2 * (bins - 1) if n is None else int(n)
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    nb = n // 2 + 1
+    if X.shape[-1] < nb:
+        X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, nb - X.shape[-1])])
+    else:
+        X = X[..., :nb]
+    neg = jnp.conj(X[..., 1 : (n + 1) // 2][..., ::-1])
+    full = jnp.concatenate([X, neg], axis=-1)
+    out = jnp.real(ifft(full))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def hfft(x, n: int | None = None, axis: int = -1) -> jax.Array:
+    """FFT of a Hermitian-symmetric signal -> real spectrum
+    (scipy.fft.hfft): hfft(x, n) == irfft(conj(x), n) * n."""
+    from godsp_tpu._dtypes import as_complex_array
+
+    x = jnp.conj(as_complex_array(put(x)))
+    bins = x.shape[axis]
+    n = 2 * (bins - 1) if n is None else int(n)
+    return irfft(x, n, axis=axis) * n
+
+
+def ihfft(x, n: int | None = None, axis: int = -1) -> jax.Array:
+    """Inverse of hfft (scipy.fft.ihfft): conj(rfft(x, n)) / n."""
+    x = put(x)
+    if x.dtype.kind == "c":
+        raise ValueError("ihfft expects real input")
+    nn = x.shape[axis] if n is None else int(n)
+    return jnp.conj(rfft(x, n, axis=axis)) / nn

@@ -656,3 +656,53 @@ class TestCztClasses:
                                    rtol=1e-12, atol=1e-13)
         with pytest.raises(ValueError):
             fft.ZoomFFT(96, [0.1, 0.2, 0.3])
+
+
+class TestScipyFftNames:
+    """scipy.fft-style surface: rfft/irfft/hfft/ihfft + the N-D
+    dctn/idctn/dstn/idstn drivers."""
+
+    def test_rfft_irfft(self):
+        import scipy.fft as sfft
+
+        x = np.random.default_rng(0).normal(size=50)
+        for n in (None, 50, 30, 77, 64):
+            g = np.asarray(fft.rfft(x, n))
+            r = sfft.rfft(x, n)
+            assert g.shape == r.shape
+            assert snr_db(g, r) >= 180.0
+        X = sfft.rfft(x)
+        for n in (None, 50, 49, 30, 80):
+            g = np.asarray(fft.irfft(X, n))
+            r = sfft.irfft(X, n)
+            assert g.shape == r.shape
+            assert snr_db(g, r) >= 180.0
+        X2 = np.random.default_rng(1).normal(size=(4, 50)).T
+        g = np.asarray(fft.rfft(X2, axis=0))
+        assert snr_db(g, sfft.rfft(X2, axis=0)) >= 180.0
+        with pytest.raises(ValueError):
+            fft.rfft(np.zeros(8) + 0j)
+
+    def test_hfft_ihfft(self):
+        import scipy.fft as sfft
+
+        rng = np.random.default_rng(2)
+        z = rng.normal(size=26) + 1j * rng.normal(size=26)
+        for n in (None, 50, 49, 30):
+            assert snr_db(np.asarray(fft.hfft(z, n)), sfft.hfft(z, n)) >= 170.0
+        x = rng.normal(size=40)
+        for n in (None, 40, 24):
+            assert snr_db(np.asarray(fft.ihfft(x, n)),
+                          sfft.ihfft(x, n)) >= 180.0
+
+    @pytest.mark.parametrize("t", [1, 2, 3, 4])
+    def test_dctn_family(self, t):
+        import scipy.fft as sfft
+
+        A = np.random.default_rng(3).normal(size=(8, 12, 5))
+        for norm in (None, "ortho"):
+            for axes in (None, (0, 2), 1):
+                for mine, ref in [(fft.dctn, sfft.dctn), (fft.idctn, sfft.idctn),
+                                  (fft.dstn, sfft.dstn), (fft.idstn, sfft.idstn)]:
+                    g = np.asarray(mine(A, type=t, axes=axes, norm=norm))
+                    assert snr_db(g, ref(A, type=t, axes=axes, norm=norm)) >= 200.0
