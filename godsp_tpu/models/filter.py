@@ -27,7 +27,7 @@ import numpy as np
 from godsp_tpu._dtypes import as_complex_array, complex_for, put, real_for
 from godsp_tpu.dsputils.utils import next_power_of_2
 from godsp_tpu.fft.core import fft
-from godsp_tpu.fft.pow2 import pow2_circular_filter, pow2_convolve
+from godsp_tpu.fft.pow2 import pow2_circular_filter, pow2_convolve, pow2_fft
 
 __all__ = [
     "choose_conv_method",
@@ -70,20 +70,83 @@ def _fftconvolve_jit(a, b, mode: str, real_out: bool):
     return jnp.real(out) if real_out else out
 
 
-def fftconvolve(a, b, mode: str = "full") -> jax.Array:
-    """Linear convolution of a and b (scipy.signal.fftconvolve semantics
-    for 1-D trailing axes; leading axes broadcast as batch).
+@partial(jax.jit, static_argnames=("mode", "real_out", "axes"))
+def _fftconvolve_nd_jit(a, b, mode: str, real_out: bool, axes: tuple):
+    """scipy-style N-D convolution over `axes`: per-axis pow-2 pad +
+    forward FFT passes, one pointwise product, inverse passes, then the
+    per-axis mode crop."""
+    ac = as_complex_array(a)
+    bc = as_complex_array(b)
+    sizes = []
+    for ax in axes:
+        la, lb = a.shape[ax], b.shape[ax]
+        n = next_power_of_2(la + lb - 1)
+        sizes.append((la, lb, n))
+        pad_a = [(0, 0)] * ac.ndim
+        pad_a[ax] = (0, n - la)
+        pad_b = [(0, 0)] * bc.ndim
+        pad_b[ax] = (0, n - lb)
+        ac = jnp.moveaxis(pow2_fft(jnp.moveaxis(jnp.pad(ac, pad_a), ax, -1)),
+                          -1, ax)
+        bc = jnp.moveaxis(pow2_fft(jnp.moveaxis(jnp.pad(bc, pad_b), ax, -1)),
+                          -1, ax)
+    full = ac * bc
+    scale = 1.0
+    for (_, _, n) in sizes:
+        scale *= n
+    for ax in axes:
+        full = jnp.moveaxis(
+            pow2_fft(jnp.moveaxis(full, ax, -1), inverse=True), -1, ax)
+    full = full * (1.0 / scale)
+    for ax, (la, lb, _) in zip(axes, sizes):
+        sl = [slice(None)] * full.ndim
+        if mode == "full":
+            sl[ax] = slice(0, la + lb - 1)
+        elif mode == "same":
+            start = (lb - 1) // 2
+            sl[ax] = slice(start, start + la)
+        else:
+            lo, hi = min(la, lb), max(la, lb)
+            sl[ax] = slice(lo - 1, lo - 1 + hi - lo + 1)
+        full = full[tuple(sl)]
+    return jnp.real(full) if real_out else full
+
+
+def fftconvolve(a, b, mode: str = "full", axes=None) -> jax.Array:
+    """Linear convolution of a and b.
+
+    Default (axes=None): scipy.signal.fftconvolve semantics on the 1-D
+    TRAILING axis with leading axes broadcast as batch (this framework's
+    batched convention).  With `axes` given: scipy's N-D semantics —
+    convolve over exactly those axes (the remaining axes must agree or
+    broadcast), e.g. axes=(-2, -1) for image convolution.
 
     Real inputs return real output.  mode: "full" (la+lb-1), "same"
-    (length of a), "valid" (|la-lb|+1).
+    (size of a), "valid" (|la-lb|+1) — applied per convolved axis.
     """
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"unknown mode: {mode}")
     a = put(a)
     b = put(b)
+    real_out = a.dtype.kind != "c" and b.dtype.kind != "c"
+    if axes is not None:
+        if isinstance(axes, int):
+            axes = (axes,)
+        nd = max(a.ndim, b.ndim)
+        axes = tuple(sorted(ax % nd for ax in axes))
+        if len(set(axes)) != len(axes):
+            raise ValueError("axes must be unique")
+        a = a.reshape((1,) * (nd - a.ndim) + a.shape)
+        b = b.reshape((1,) * (nd - b.ndim) + b.shape)
+        for ax in axes:
+            if a.shape[ax] == 0 or b.shape[ax] == 0:
+                raise ValueError("empty input")
+            if mode == "valid" and a.shape[ax] < b.shape[ax]:
+                raise ValueError("valid mode needs a at least as large as b "
+                                 "along every convolved axis")
+        return _fftconvolve_nd_jit(a, b, mode, real_out, axes)
     if a.shape[-1] == 0 or b.shape[-1] == 0:
         raise ValueError("empty input")
-    real_out = a.dtype.kind != "c" and b.dtype.kind != "c"
     return _fftconvolve_jit(a, b, mode, real_out)
 
 

@@ -868,3 +868,50 @@ class TestResampleFullSurface:
                                    rtol=1e-9, atol=1e-11)
         with pytest.raises(ValueError):
             resample(x, 64, domain="bogus")
+
+
+class TestFftconvolveAxes:
+    """fftconvolve's scipy-style N-D `axes` parameter (the default stays
+    the framework's batched trailing-axis convention)."""
+
+    def test_nd_parity(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import fftconvolve
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(10, 12, 7))
+        b = rng.normal(size=(4, 5, 7))
+        for mode in ("full", "same"):
+            g = np.asarray(fftconvolve(a, b, mode, axes=(0, 1)))
+            r = ss.fftconvolve(a, b, mode, axes=(0, 1))
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+        a2 = rng.normal(size=(6, 8))
+        b2 = rng.normal(size=(3, 4))
+        for mode in ("full", "same", "valid"):
+            g = np.asarray(fftconvolve(a2, b2, mode, axes=(0, 1)))
+            r = ss.fftconvolve(a2, b2, mode, axes=(0, 1))
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+
+    def test_single_axis_and_complex(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import fftconvolve
+
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(5, 40)) + 1j * rng.normal(size=(5, 40))
+        b = rng.normal(size=(5, 9))
+        g = np.asarray(fftconvolve(a, b, "same", axes=-1))
+        r = ss.fftconvolve(a, b, "same", axes=-1)
+        np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+
+    def test_validation(self):
+        from godsp_tpu.models import fftconvolve
+
+        with pytest.raises(ValueError):
+            fftconvolve(np.zeros((4, 4)), np.ones((6, 2)), "valid",
+                        axes=(0, 1))
+        with pytest.raises(ValueError):
+            fftconvolve(np.zeros((4, 4)), np.ones((2, 2)), axes=(0, 0))
