@@ -150,15 +150,25 @@ def fftconvolve(a, b, mode: str = "full", axes=None) -> jax.Array:
     return _fftconvolve_jit(a, b, mode, real_out)
 
 
-def correlate(a, b, mode: str = "full") -> jax.Array:
+def correlate(a, b, mode: str = "full", axes=None) -> jax.Array:
     """Cross-correlation of a and b (scipy.signal.correlate, method='fft',
     1-D trailing axes; leading axes broadcast as batch): correlate(a, b)
     [k] = sum_n a[n + k - (lb - 1)] conj(b[n]).  Equivalent to linear
     convolution with the reversed conjugate of b — one kernel-chain
-    launch via fftconvolve."""
+    launch via fftconvolve.  With `axes` given, correlates over those
+    axes (N-D, like fftconvolve's axes)."""
     b = put(b)
-    rev = jnp.conj(b[..., ::-1]) if b.dtype.kind == "c" else b[..., ::-1]
-    return fftconvolve(a, rev, mode=mode)
+    if axes is None:
+        rev = jnp.conj(b[..., ::-1]) if b.dtype.kind == "c" else b[..., ::-1]
+        return fftconvolve(a, rev, mode=mode)
+    ax_t = (axes,) if isinstance(axes, int) else tuple(axes)
+    sl = [slice(None)] * b.ndim
+    for ax in ax_t:
+        sl[ax % b.ndim] = slice(None, None, -1)
+    rev = b[tuple(sl)]
+    if b.dtype.kind == "c":
+        rev = jnp.conj(rev)
+    return fftconvolve(a, rev, mode=mode, axes=ax_t)
 
 
 def correlation_lags(in1_len: int, in2_len: int, mode: str = "full") -> jax.Array:

@@ -915,3 +915,23 @@ class TestFftconvolveAxes:
                         axes=(0, 1))
         with pytest.raises(ValueError):
             fftconvolve(np.zeros((4, 4)), np.ones((2, 2)), axes=(0, 0))
+
+
+class TestCorrelateAxes:
+    def test_nd_parity(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import correlate
+
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(9, 11))
+        b = rng.normal(size=(4, 5))
+        for mode in ("full", "same"):
+            g = np.asarray(correlate(a, b, mode, axes=(0, 1)))
+            r = ss.correlate(a, b, mode, method="fft")
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+        ac = a + 1j * rng.normal(size=a.shape)
+        g = np.asarray(correlate(ac, b, "full", axes=(0, 1)))
+        r = ss.correlate(ac, b, "full", method="fft")
+        np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)

@@ -696,3 +696,27 @@ class TestStreamingFusedHalo:
             np.testing.assert_allclose(
                 pxx[c], refs[c], rtol=2e-4, atol=1e-12
             )
+
+
+class TestSharded2DConvolution:
+    """The separable 2-D convolution chain under dp sharding: a batch of
+    images convolved shard-locally must equal the single-device result."""
+
+    def test_dp_sharded_convolve2d(self):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from godsp_tpu.models import convolve2d
+
+        rng = np.random.default_rng(0)
+        imgs = rng.normal(size=(8, 24, 17)).astype(np.float64)
+        kern = rng.normal(size=(5, 4))
+        single = np.asarray(convolve2d(imgs, kern, mode="same"))
+
+        devices = np.asarray(jax.devices()[:8])
+        mesh = Mesh(devices, axis_names=("dp",))
+        sharded_in = jax.device_put(
+            imgs, NamedSharding(mesh, P("dp", None, None)))
+        out = convolve2d(sharded_in, kern, mode="same")
+        np.testing.assert_allclose(np.asarray(out), single,
+                                   rtol=1e-10, atol=1e-12)
