@@ -236,3 +236,20 @@ class TestGammatone:
             gammatone(2.0, "iir")  # beyond Nyquist
         with pytest.raises(ValueError):
             gammatone(0.3, "bogus")
+
+
+class TestEnvelopeNegativeBand:
+    def test_fully_negative_band(self):
+        """bp_in entirely below DC (complex input): envelope and both
+        residual modes, incl. resampling."""
+        from godsp_tpu.models import envelope
+
+        rng = np.random.default_rng(7)
+        zc = rng.normal(size=200) + 1j * rng.normal(size=200)
+        for kw in [dict(bp_in=(-50, -10)),
+                   dict(bp_in=(-50, -10), residual="all"),
+                   dict(bp_in=(-50, -10), n_out=120)]:
+            g = np.asarray(envelope(zc, **kw))
+            r = np.asarray(ss.envelope(zc, **kw))
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)

@@ -124,3 +124,18 @@ class TestFromWindowBatch:
                                                          padding="bogus")
         with pytest.raises(ValueError):
             ShortTimeFFT.from_window("hann", 1.0, 8, 8)
+
+
+class TestPartialIstft:
+    def test_partial_ranges_match_full(self, sig):
+        """istft over [k0, k1) equals the slice of the full
+        reconstruction (scipy's own istft rejects some of these
+        full-S/partial-range combinations; ours handles them)."""
+        w = sw.gaussian(8, 2, sym=True)
+        S = ShortTimeFFT(w, hop=3, fs=8.0)
+        Z = S.stft(sig)
+        full = np.asarray(S.istft(Z, k1=len(sig)))
+        for k0, k1 in [(5, 40), (10, 57), (0, 20)]:
+            part = np.asarray(S.istft(Z, k0=k0, k1=k1))
+            cmp(part, full[k0:k1], 0)
+            cmp(part, sig[k0:k1], 1e-9)
