@@ -54,8 +54,9 @@ def ifftshift(x, axes=None) -> jax.Array:
     return jnp.roll(x, [-(x.shape[a] // 2) for a in axes], axes)
 
 
-def hilbert(x) -> jax.Array:
-    """Analytic signal of a real input (scipy.signal.hilbert semantics).
+def hilbert(x, N: int | None = None, axis: int = -1) -> jax.Array:
+    """Analytic signal of a real input (scipy.signal.hilbert semantics,
+    incl. the N zero-pad/truncate and axis parameters).
 
     z = x + i * H{x}: the spectrum's positive frequencies are doubled,
     negative zeroed (DC and Nyquist kept), through the framework's FFT
@@ -65,6 +66,16 @@ def hilbert(x) -> jax.Array:
     from godsp_tpu.fft.core import fft, ifft
 
     x = as_real_array(x)
+    x = jnp.moveaxis(x, axis, -1)
+    if N is not None:
+        N = int(N)
+        if N < 1:
+            raise ValueError("N must be >= 1")
+        cur = x.shape[-1]
+        if N < cur:
+            x = x[..., :N]
+        elif N > cur:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, N - cur)])
     n = x.shape[-1]
     if n == 0:
         from godsp_tpu._dtypes import complex_for
@@ -78,7 +89,7 @@ def hilbert(x) -> jax.Array:
         h[1 : n // 2] = 2.0
     else:
         h[1 : (n + 1) // 2] = 2.0
-    return ifft(X * jnp.asarray(h, dtype=X.real.dtype))
+    return jnp.moveaxis(ifft(X * jnp.asarray(h, dtype=X.real.dtype)), -1, axis)
 
 
 def rfft(x, n: int | None = None, axis: int = -1) -> jax.Array:

@@ -259,17 +259,17 @@ def _upfirdn_len(len_h: int, n_in: int, up: int, down: int) -> int:
     return ((n_in - 1) * up + len_h - 1) // down + 1
 
 
-def upfirdn(h, x, up: int = 1, down: int = 1) -> jax.Array:
+def upfirdn(h, x, up: int = 1, down: int = 1, axis: int = -1) -> jax.Array:
     """Upsample by `up` (zero stuffing), FIR filter with h, downsample
-    by `down` (scipy.signal.upfirdn semantics along the trailing axis;
-    leading axes batch).  The filtering is one batched kernel-chain
+    by `down` (scipy.signal.upfirdn semantics along `axis`;
+    other axes batch).  The filtering is one batched kernel-chain
     convolution — the polyphase decomposition is implicit in the
     zero-stuffed operand, which XLA streams without materializing
     per-phase copies."""
     up, down = int(up), int(down)
     if up < 1 or down < 1:
         raise ValueError("up and down must be >= 1")
-    x = put(x)
+    x = jnp.moveaxis(put(x), axis, -1)
     hh = np.asarray(h, np.float64)
     if hh.ndim != 1 or hh.size == 0:
         raise ValueError("h must be a nonempty 1-D tap vector")
@@ -283,13 +283,13 @@ def upfirdn(h, x, up: int = 1, down: int = 1) -> jax.Array:
 
     full = fftconvolve(xs, hh, mode="full")
     n_out = _upfirdn_len(hh.size, n_in, up, down)
-    return full[..., ::down][..., :n_out]
+    return jnp.moveaxis(full[..., ::down][..., :n_out], -1, axis)
 
 
 def decimate(x, q: int, n: int | None = None, ftype: str = "iir",
-             zero_phase: bool = True) -> jax.Array:
+             axis: int = -1, zero_phase: bool = True) -> jax.Array:
     """Downsample by integer factor q after anti-alias filtering
-    (scipy.signal.decimate semantics along the trailing axis).
+    (scipy.signal.decimate semantics along `axis`).
 
     ftype='iir': order-n (default 8) Chebyshev-I lowpass at 0.8/q,
     designed by models.design.cheby1 and run as the parallel-scan SOS
@@ -302,15 +302,17 @@ def decimate(x, q: int, n: int | None = None, ftype: str = "iir",
     x = put(x)
     if q == 1:
         return x
+    x = jnp.moveaxis(x, axis, -1)
+    restore = lambda y: jnp.moveaxis(y, -1, axis)
     if ftype == "fir":
         if n is None:
             n = 20 * q
         h = firwin(int(n) + 1, 1.0 / q, window="hamming")
         if zero_phase:
-            return resample_poly(x, 1, q, window=h)
+            return restore(resample_poly(x, 1, q, window=h))
         n_in = x.shape[-1]
         n_out = n_in // q + bool(n_in % q)
-        return upfirdn(h, x, 1, q)[..., :n_out]
+        return restore(upfirdn(h, x, 1, q)[..., :n_out])
     if ftype != "iir":
         raise ValueError("ftype must be 'iir' or 'fir'")
     from godsp_tpu.models.design import cheby1
@@ -318,7 +320,7 @@ def decimate(x, q: int, n: int | None = None, ftype: str = "iir",
 
     sos = cheby1(8 if n is None else int(n), 0.05, 0.8 / q, output="sos")
     y = sosfiltfilt(sos, x) if zero_phase else sosfilt(sos, x)
-    return y[..., ::q]
+    return restore(y[..., ::q])
 
 
 def resample_poly(x, up: int, down: int, window=("kaiser", 5.0)) -> jax.Array:

@@ -935,3 +935,42 @@ class TestCorrelateAxes:
         g = np.asarray(correlate(ac, b, "full", axes=(0, 1)))
         r = ss.correlate(ac, b, "full", method="fft")
         np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+
+
+class TestAxisParams:
+    """scipy's axis/N parameters on hilbert, upfirdn, decimate."""
+
+    def test_hilbert_N_axis(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.fft import hilbert
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=100)
+        for N in (None, 128, 60):
+            g = np.asarray(hilbert(x, N))
+            r = ss.hilbert(x, N)
+            assert g.shape == r.shape
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+        X2 = rng.normal(size=(100, 3))
+        np.testing.assert_allclose(np.asarray(hilbert(X2, axis=0)),
+                                   ss.hilbert(X2, axis=0),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_upfirdn_decimate_axis(self):
+        import scipy.signal as ss
+
+        from godsp_tpu.models import decimate, upfirdn
+
+        rng = np.random.default_rng(1)
+        X2 = rng.normal(size=(100, 3))
+        h = ss.firwin(31, 0.4)
+        np.testing.assert_allclose(np.asarray(upfirdn(h, X2, 3, 2, axis=0)),
+                                   ss.upfirdn(h, X2, 3, 2, axis=0),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(decimate(X2, 4, axis=0)),
+                                   ss.decimate(X2, 4, axis=0),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(decimate(X2, 4, ftype="fir", axis=0)),
+            ss.decimate(X2, 4, ftype="fir", axis=0), rtol=1e-6, atol=1e-7)
