@@ -457,10 +457,13 @@ class ShortTimeFFT:
         if ph is not None and not np.allclose(ph, 1.0):
             S = S / jnp.asarray(ph, S.dtype)
         segs = _ifft_jit(S)[..., : self.m_num]
-        if not np.iscomplexobj(np.zeros(1, S.dtype)) or True:
-            segs_r = jnp.real(segs)
-        dual = jnp.asarray(self.dual_win, segs_r.dtype)
-        full = _ola_jit(segs_r, dual, self._hop, self.m_num, q_num)
+        # onesided modes reconstruct a real signal; the twosided/centered
+        # inverses stay complex (scipy returns complex dtype there even
+        # for real inputs)
+        if self.onesided_fft:
+            segs = jnp.real(segs)
+        dual = jnp.asarray(self.dual_win, segs.real.dtype)
+        full = _ola_jit(segs, dual, self._hop, self.m_num, q_num)
         lo = k0 - self.k_min
         hi = k1 - self.k_min
         if lo < 0 or hi > q_num:

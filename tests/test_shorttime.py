@@ -139,3 +139,16 @@ class TestPartialIstft:
             part = np.asarray(S.istft(Z, k0=k0, k1=k1))
             cmp(part, full[k0:k1], 0)
             cmp(part, sig[k0:k1], 1e-9)
+
+
+class TestComplexIstft:
+    def test_twosided_complex_roundtrip(self):
+        rng = np.random.default_rng(9)
+        z = rng.normal(size=40) + 1j * rng.normal(size=40)
+        w = sw.gaussian(8, 2, sym=True)
+        mine = ShortTimeFFT(w, hop=3, fs=1.0, fft_mode="twosided")
+        ref = ss.ShortTimeFFT(w, hop=3, fs=1.0, fft_mode="twosided")
+        g = np.asarray(mine.istft(mine.stft(z), k1=40))
+        assert np.iscomplexobj(g)
+        cmp(g, z, 1e-9)
+        cmp(g, np.asarray(ref.istft(ref.stft(z), k1=40)), 1e-9)
