@@ -318,6 +318,9 @@ class ShortTimeFFT:
         x = put(x)
         if not jnp.issubdtype(x.dtype, jnp.inexact):
             x = x.astype(default_float())
+        if self.onesided_fft and x.dtype.kind == "c":
+            raise ValueError("onesided fft_mode requires a real signal "
+                             "(use 'twosided' or 'centered')")
         ax = axis % x.ndim
         x = jnp.moveaxis(x, axis, -1)
         n = x.shape[-1]
@@ -373,6 +376,9 @@ class ShortTimeFFT:
         x = put(x)
         if not jnp.issubdtype(x.dtype, jnp.inexact):
             x = x.astype(default_float())
+        if self.onesided_fft and x.dtype.kind == "c":
+            raise ValueError("onesided fft_mode requires a real signal "
+                             "(use 'twosided' or 'centered')")
         ax = axis % x.ndim
         x = jnp.moveaxis(x, axis, -1)
         n = x.shape[-1]

@@ -152,3 +152,10 @@ class TestComplexIstft:
         assert np.iscomplexobj(g)
         cmp(g, z, 1e-9)
         cmp(g, np.asarray(ref.istft(ref.stft(z), k1=40)), 1e-9)
+
+
+def test_onesided_rejects_complex():
+    w = sw.hann(8, sym=True)
+    S = ShortTimeFFT(w, hop=3, fs=1.0)
+    with pytest.raises(ValueError):
+        S.stft(np.zeros(32) + 0j)
