@@ -598,10 +598,8 @@ def invres(r, p, k, tol: float = 1e-3, rtype: str = "avg"):
         ri += m
     if k.size:
         b = np.polyadd(b, np.convolve(k, a))
-    b = np.real_if_close(b)
-    a = np.real_if_close(a)
-    return np.atleast_1d(b).astype(complex).real if np.isrealobj(b) else b, (
-        np.atleast_1d(a).real if np.isrealobj(a) else a)
+    return (np.atleast_1d(np.real_if_close(b)),
+            np.atleast_1d(np.real_if_close(a)))
 
 
 def residuez(b, a, tol: float = 1e-3, rtype: str = "avg"):
