@@ -16,7 +16,8 @@ import numpy as np
 from godsp_tpu._dtypes import as_real_array, default_float, put
 
 __all__ = ["fftfreq", "rfftfreq", "fftshift", "ifftshift", "hfft",
-           "hilbert", "ihfft", "irfft", "rfft"]
+           "hilbert", "ihfft", "irfft", "irfft2", "irfftn",
+           "next_fast_len", "prev_fast_len", "rfft", "rfft2", "rfftn"]
 
 
 def fftfreq(n: int, d: float = 1.0) -> jax.Array:
@@ -158,3 +159,134 @@ def ihfft(x, n: int | None = None, axis: int = -1) -> jax.Array:
         raise ValueError("ihfft expects real input")
     nn = x.shape[axis] if n is None else int(n)
     return jnp.conj(rfft(x, n, axis=axis)) / nn
+
+
+def _smooth_search(target: int, primes, prev: bool) -> int:
+    """Enumerate products of the odd primes (any multiplicity), filling
+    with the power of two that lands nearest target on the requested
+    side; returns the best 'smooth' length."""
+    if prev:
+        best = 1
+
+        def rec(prod):
+            nonlocal best
+            if prod > target:
+                return
+            quot = target // prod
+            if quot >= 1:
+                p2 = 1 << (quot.bit_length() - 1)
+                best = max(best, p2 * prod)
+            for q in primes:
+                if prod * q > target:
+                    break
+                rec(prod * q)
+
+        rec(1)
+        return best
+    best = 1 << (target - 1).bit_length()
+
+    def rec(prod):
+        nonlocal best
+        if prod >= best:
+            return
+        quot = -(-target // prod)
+        p2 = 1 << max(quot - 1, 0).bit_length()
+        n = p2 * prod
+        if n < best:
+            best = n
+        for q in primes:
+            if prod * q >= best:
+                break
+            rec(prod * q)
+
+    rec(1)
+    return best
+
+
+def next_fast_len(target: int, real: bool = False) -> int:
+    """Smallest FFT-fast length >= target (scipy.fft.next_fast_len:
+    {2,3,5,7,11}-smooth for complex transforms, {2,3,5}-smooth for
+    real=True).  Note: on the TPU kernel path powers of two are the
+    fast sizes — use dsputils.next_power_of_2 when padding for the
+    Pallas kernels; this helper exists for scipy-compatible planning."""
+    target = int(target)
+    if target <= 1:
+        return max(target, 1)
+    primes = (3, 5) if real else (3, 5, 7, 11)
+    return _smooth_search(target, primes, prev=False)
+
+
+def prev_fast_len(target: int, real: bool = False) -> int:
+    """Largest FFT-fast length <= target (scipy.fft.prev_fast_len)."""
+    target = int(target)
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    primes = (3, 5) if real else (3, 5, 7, 11)
+    return _smooth_search(target, primes, prev=True)
+
+
+def rfft2(x, s=None, axes=(-2, -1)) -> jax.Array:
+    """2-D FFT of real input, one-sided over the last transform axis
+    (scipy.fft.rfft2 semantics)."""
+    return rfftn(x, s=s, axes=axes)
+
+
+def irfft2(X, s=None, axes=(-2, -1)) -> jax.Array:
+    """Inverse of rfft2 (scipy.fft.irfft2)."""
+    return irfftn(X, s=s, axes=axes)
+
+
+def rfftn(x, s=None, axes=None) -> jax.Array:
+    """N-D FFT of real input, one-sided over the LAST axis in `axes`
+    (scipy.fft.rfftn): rfft along the final transform axis, then full
+    complex FFTs along the rest."""
+    from godsp_tpu.fft.core import fft as _cfft
+
+    x = put(x)
+    if x.dtype.kind == "c":
+        raise ValueError("rfftn expects real input")
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(int(a) % x.ndim for a in axes)
+    if s is None:
+        s = tuple(x.shape[a] for a in axes)
+    if len(s) != len(axes):
+        raise ValueError("s must match axes")
+    X = rfft(x, int(s[-1]), axis=axes[-1])
+    for ax, n in zip(axes[:-1], s[:-1]):
+        n = int(n)
+        cur = X.shape[ax]
+        Xm = jnp.moveaxis(X, ax, -1)
+        if n < cur:
+            Xm = Xm[..., :n]
+        elif n > cur:
+            Xm = jnp.pad(Xm, [(0, 0)] * (Xm.ndim - 1) + [(0, n - cur)])
+        X = jnp.moveaxis(_cfft(Xm), -1, ax)
+    return X
+
+
+def irfftn(X, s=None, axes=None) -> jax.Array:
+    """Inverse of rfftn (scipy.fft.irfftn): full inverse FFTs on the
+    leading transform axes, then the real inverse along the last."""
+    from godsp_tpu._dtypes import as_complex_array
+    from godsp_tpu.fft.core import ifft as _cifft
+
+    X = as_complex_array(put(X))
+    if axes is None:
+        axes = tuple(range(X.ndim))
+    axes = tuple(int(a) % X.ndim for a in axes)
+    if s is None:
+        s = tuple(X.shape[a] for a in axes[:-1]) + (
+            2 * (X.shape[axes[-1]] - 1),)
+    if len(s) != len(axes):
+        raise ValueError("s must match axes")
+    for ax, n in zip(axes[:-1], s[:-1]):
+        n = int(n)
+        cur = X.shape[ax]
+        Xm = jnp.moveaxis(X, ax, -1)
+        if n < cur:
+            Xm = Xm[..., :n]
+        elif n > cur:
+            Xm = jnp.pad(Xm, [(0, 0)] * (Xm.ndim - 1) + [(0, n - cur)])
+        X = jnp.moveaxis(_cifft(Xm), -1, ax)
+    return irfft(X, int(s[-1]), axis=axes[-1])

@@ -706,3 +706,29 @@ class TestScipyFftNames:
                                   (fft.dstn, sfft.dstn), (fft.idstn, sfft.idstn)]:
                     g = np.asarray(mine(A, type=t, axes=axes, norm=norm))
                     assert snr_db(g, ref(A, type=t, axes=axes, norm=norm)) >= 200.0
+
+
+class TestRfftnAndFastLen:
+    def test_rfftn_irfftn(self):
+        import scipy.fft as sfft
+
+        x = np.random.default_rng(0).normal(size=(6, 10, 8))
+        for axes in (None, (-2, -1), (0, 2)):
+            g = np.asarray(fft.rfftn(x, axes=axes))
+            r = sfft.rfftn(x, axes=axes)
+            assert g.shape == r.shape
+            assert snr_db(g, r) >= 180.0
+            gi = np.asarray(fft.irfftn(g, axes=axes))
+            assert snr_db(gi, sfft.irfftn(r, axes=axes)) >= 180.0
+        g = np.asarray(fft.rfftn(x, s=(8, 12, 6)))
+        assert snr_db(g, sfft.rfftn(x, s=(8, 12, 6))) >= 180.0
+        g = np.asarray(fft.rfft2(x))
+        assert snr_db(g, sfft.rfft2(x)) >= 180.0
+
+    def test_fast_len(self):
+        import scipy.fft as sfft
+
+        for t in list(range(1, 700)) + [4099, 90001]:
+            for real in (False, True):
+                assert fft.next_fast_len(t, real) == sfft.next_fast_len(t, real)
+                assert fft.prev_fast_len(t, real) == sfft.prev_fast_len(t, real)
