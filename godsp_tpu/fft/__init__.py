@@ -6,6 +6,7 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 """
 
 from godsp_tpu.fft.bluestein import bluestein_fft
+from godsp_tpu.fft.fftlog import fht, fhtoffset, ifht
 from godsp_tpu.fft.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
 from godsp_tpu.fft.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from godsp_tpu.fft.core import (
@@ -63,6 +64,8 @@ __all__ = [
     "fft2",
     "fft2_real",
     "fft_real",
+    "fht",
+    "fhtoffset",
     "fft_split",
     "ifft_split",
     "fftfreq",
@@ -85,6 +88,7 @@ __all__ = [
     "ifft2",
     "ifft2_real",
     "ifft_real",
+    "ifht",
     "ifftn",
     "pallas_enabled",
     "pow2_fft",

@@ -732,3 +732,39 @@ class TestRfftnAndFastLen:
             for real in (False, True):
                 assert fft.next_fast_len(t, real) == sfft.next_fast_len(t, real)
                 assert fft.prev_fast_len(t, real) == sfft.prev_fast_len(t, real)
+
+
+class TestFftlog:
+    """fht/ifht/fhtoffset (FFTLog fast Hankel transform) vs scipy.fft."""
+
+    def test_scipy_parity(self):
+        import scipy.fft as sfft
+
+        r = np.logspace(-2, 2, 64)
+        a = r * np.exp(-(r**2) / 2)
+        dln = np.log(r[1] / r[0])
+        for mu, off, q in [(0.5, 0.0, 0.0), (0.0, 0.2, 0.0),
+                           (1.0, sfft.fhtoffset(dln, 1.0), 0.0),
+                           (0.5, 0.1, 0.3), (2.0, 0.0, -0.2)]:
+            g = np.asarray(fft.fht(a, dln, mu, offset=off, bias=q))
+            ref = sfft.fht(a, dln, mu, offset=off, bias=q)
+            assert snr_db(g, ref) >= 200.0
+            gi = np.asarray(fft.ifht(ref, dln, mu, offset=off, bias=q))
+            assert snr_db(gi, sfft.ifht(ref, dln, mu, offset=off,
+                                        bias=q)) >= 200.0
+
+    def test_fhtoffset(self):
+        import scipy.fft as sfft
+
+        for args in [(0.14387, 0.5), (0.14387, 0.5, -1.0, 0.2),
+                     (0.05, 2.0, 0.3, 0.0)]:
+            assert abs(fft.fhtoffset(*args) - sfft.fhtoffset(*args)) < 1e-12
+
+    def test_round_trip_odd_batched(self):
+        r = np.logspace(-1, 1, 65)
+        a = np.stack([r * np.exp(-r), r**2 * np.exp(-r)])
+        dln = np.log(r[1] / r[0])
+        A = fft.fht(a, dln, 0.5, offset=fft.fhtoffset(dln, 0.5))
+        back = np.asarray(fft.ifht(A, dln, 0.5,
+                                   offset=fft.fhtoffset(dln, 0.5)))
+        assert snr_db(back, a) >= 180.0
