@@ -273,8 +273,11 @@ def _norm_axes(x, axes):
     if axes is None:
         return tuple(range(x.ndim))
     if isinstance(axes, int):
-        return (axes,)
-    return tuple(int(a) for a in axes)
+        axes = (axes,)
+    out = tuple(int(a) % x.ndim for a in axes)
+    if len(set(out)) != len(out):
+        raise ValueError("all axes must be unique")
+    return out
 
 
 def dctn(x, type: int = 2, axes=None, norm: str | None = None) -> jax.Array:

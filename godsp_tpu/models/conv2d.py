@@ -73,9 +73,10 @@ def _conv2(in1, in2, mode: str, boundary: str, fillvalue, flip: bool):
         b = b[..., ::-1, ::-1]
         if b.dtype.kind == "c":
             b = jnp.conj(b)
-    pre = boundary != "fill" or (
-        isinstance(fillvalue, (int, float)) and fillvalue != 0
-    )
+    fv = np.asarray(fillvalue)
+    if fv.size != 1:
+        raise ValueError("fillvalue must be a scalar")
+    pre = boundary != "fill" or bool(fv.ravel()[0] != 0)
     if pre:
         padw = [(0, 0)] * (a.ndim - 2) + [(k1 - 1, k1 - 1), (k2 - 1, k2 - 1)]
         kw = {"constant_values": fillvalue} if boundary == "fill" else {}

@@ -274,11 +274,15 @@ def minimum_phase(h, n_fft: int | None = None, half: bool = True) -> np.ndarray:
     if half:
         log_h *= 0.5
     cep = np.fft.ifft(log_h).real
+    # minimum-phase (causal-cepstrum) fold: double positive quefrencies,
+    # keep the origin, and for odd n_fft keep the middle sample once
+    # (even n_fft zeroes it — Oppenheim & Schafer eq. 13.42b)
     win = np.zeros(n_fft)
     win[0] = 1.0
     stop = n_fft // 2
     win[1:stop] = 2.0
-    win[stop] = 1.0 if n_fft % 2 == 0 else 2.0
+    if n_fft % 2:
+        win[stop] = 1.0
     h_min = np.fft.ifft(np.exp(np.fft.fft(cep * win))).real
     n_out = (n // 2) + (n % 2) if half else n
     return h_min[:n_out]

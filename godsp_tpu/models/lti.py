@@ -290,8 +290,17 @@ def dlsim(system, u, t=None, x0=None):
         u = u[:, None]
     if u.shape[1] != B.shape[1]:
         raise ValueError("u must have one column per input")
-    steps = u.shape[0]
-    tout = np.arange(steps) * dt if t is None else np.asarray(t, np.float64)
+    if t is None:
+        steps = u.shape[0]
+        tout = np.arange(steps) * dt
+    else:
+        # scipy semantics: resample u onto the system's dt grid spanning
+        # [0, t[-1]] by linear interpolation
+        t = np.asarray(t, np.float64)
+        tout = np.arange(int(np.floor(t[-1] / dt)) + 1) * dt
+        u = np.stack([np.interp(tout, t, u[:, i])
+                      for i in range(u.shape[1])], axis=1)
+        steps = u.shape[0]
     n = A.shape[0]
     x0v = np.zeros(n) if x0 is None else np.asarray(x0, np.float64).reshape(n)
     xs = _simulate(A, B, None, u, x0v)
@@ -369,29 +378,40 @@ def step(system, X0=None, T=None, N=None):
 
 
 def dimpulse(system, x0=None, t=None, n=None):
-    """Discrete impulse response (scipy.signal.dimpulse conventions:
-    returns (tout, (yout,)) with one array per output)."""
+    """Discrete impulse response (scipy.signal.dimpulse conventions):
+    one response per INPUT — input i alone receives the unit impulse —
+    each an (n, n_outputs) array in the returned tuple."""
     dt = float(system[-1])
     A, B, C, D = _as_ss(system[:-1])
     steps = 100 if n is None else int(n)
     if t is not None:
         steps = len(np.atleast_1d(t))
-    u = np.zeros((steps, B.shape[1]))
-    u[0] = 1.0
-    tout, y, _ = dlsim((A, B, C, D, dt), u, x0=x0)
-    return tout, tuple(y[:, i : i + 1] for i in range(y.shape[1]))
+    tout = np.arange(steps) * dt
+    outs = []
+    for i in range(B.shape[1]):
+        u = np.zeros((steps, B.shape[1]))
+        u[0, i] = 1.0
+        _, y, _ = dlsim((A, B, C, D, dt), u, x0=x0)
+        outs.append(y)
+    return tout, tuple(outs)
 
 
 def dstep(system, x0=None, t=None, n=None):
-    """Discrete step response (scipy.signal.dstep conventions)."""
+    """Discrete step response (scipy.signal.dstep conventions): one
+    response per INPUT, like dimpulse)."""
     dt = float(system[-1])
     A, B, C, D = _as_ss(system[:-1])
     steps = 100 if n is None else int(n)
     if t is not None:
         steps = len(np.atleast_1d(t))
-    u = np.ones((steps, B.shape[1]))
-    tout, y, _ = dlsim((A, B, C, D, dt), u, x0=x0)
-    return tout, tuple(y[:, i : i + 1] for i in range(y.shape[1]))
+    tout = np.arange(steps) * dt
+    outs = []
+    for i in range(B.shape[1]):
+        u = np.zeros((steps, B.shape[1]))
+        u[:, i] = 1.0
+        _, y, _ = dlsim((A, B, C, D, dt), u, x0=x0)
+        outs.append(y)
+    return tout, tuple(outs)
 
 
 # ---------------------------------------------------------------------------
@@ -712,12 +732,11 @@ def dfreqresp(system, w=None, n: int = 100, whole: bool = False):
 
 
 def dbode(system, w=None, n: int = 100):
-    """Discrete Bode data (scipy.signal.dbode): (w in rad/s — the
-    rad/sample grid divided by dt — magnitude dB, unwrapped phase
-    degrees)."""
+    """Discrete Bode data (scipy.signal.dbode): w is interpreted in
+    rad/SAMPLE like dfreqresp, and the returned frequency grid is w/dt
+    (rad/s); magnitude dB, unwrapped phase degrees."""
     b, a, dt = _dsys_tf(system)
-    wn, h = dfreqresp((b, a, dt), w=w if w is None else np.asarray(w) * dt,
-                      n=n)
+    wn, h = dfreqresp((b, a, dt), w=w, n=n)
     mag = 20.0 * np.log10(np.maximum(np.abs(h), 1e-300))
     phase = np.degrees(np.unwrap(np.angle(h)))
     return wn / dt, mag, phase

@@ -160,40 +160,82 @@ class ShortTimeFFT:
         return self.m_num // 2
 
     # -- slice geometry ----------------------------------------------------
+    # scipy convention: geometry is defined by the NONZERO support of
+    # the window (a hann window's zero first sample does not count as
+    # overlap), hence the w^2-masked scans below.
+
+    @property
+    def _w2(self) -> np.ndarray:
+        return self._win.real**2 + self._win.imag**2
+
+    @property
+    def _pre_padding(self) -> tuple[int, int]:
+        """(k_min, p_min): shift the window left by hops until no
+        nonzero sample overlaps t >= 0."""
+        w2 = self._w2
+        n0 = -self.m_num_mid
+        for p_, n_ in enumerate(range(n0, n0 - self.m_num - 1, -self._hop)):
+            n_next = n_ - self._hop
+            if n_next + self.m_num <= 0 or not np.any(w2[n_next:]):
+                return n_, -p_
+        raise RuntimeError("unreachable: window has no nonzero samples")
+
     @property
     def p_min(self) -> int:
-        # smallest p with p*hop - m_num_mid + m_num > 0
-        return -((self.m_num - self.m_num_mid - 1) // self._hop)
+        return self._pre_padding[1]
 
     @property
     def k_min(self) -> int:
-        return self.p_min * self._hop - self.m_num_mid
+        return self._pre_padding[0]
+
+    def _post_padding(self, n: int) -> tuple[int, int]:
+        """(k_max, p_max): shift right until no nonzero window sample
+        overlaps t < t[n]."""
+        if n < self.m_num - self.m_num_mid:
+            raise ValueError("n must be >= ceil(m_num/2)")
+        w2 = self._w2
+        q1 = n // self._hop
+        k1 = q1 * self._hop - self.m_num_mid
+        for q_, k_ in enumerate(range(k1, n + self.m_num, self._hop),
+                                start=q1):
+            n_next = k_ + self._hop
+            if n_next >= n or not np.any(w2[: n - n_next]):
+                return k_ + self.m_num, q_ + 1
+        raise RuntimeError("unreachable: window has no nonzero samples")
 
     def p_max(self, n: int) -> int:
-        # first p whose slice starts past the last sample
-        return (n - 1 + self.m_num_mid) // self._hop + 1
+        return self._post_padding(n)[1]
 
     def k_max(self, n: int) -> int:
-        return (self.p_max(n) - 1) * self._hop - self.m_num_mid + self.m_num
+        return self._post_padding(n)[0]
 
     def p_num(self, n: int) -> int:
         return self.p_max(n) - self.p_min
 
     @property
     def lower_border_end(self) -> tuple[int, int]:
-        """(end sample, slice index) of the zero-padded lower border:
-        the first slice fully inside the signal."""
-        p = -(-self.m_num_mid // self._hop)  # ceil(mid/hop)
-        k_end = (p - 1) * self._hop - self.m_num_mid + self.m_num
-        return max(k_end, 0), p
+        """(end sample, slice index) where pre-padding effects end: the
+        first slice whose nonzero support starts inside the signal."""
+        m0 = int(np.flatnonzero(self._w2)[0])
+        k0 = -self.m_num_mid + m0
+        for q_, k_ in enumerate(range(k0, self._hop + 1, self._hop)):
+            if k_ + self._hop >= 0:
+                return k_ + self.m_num, q_ + 1
+        return 0, max(self.p_min, 0)
 
     def upper_border_begin(self, n: int) -> tuple[int, int]:
-        """(start sample, slice index) of the first slice reaching past
-        the signal end."""
-        p = -(-(n - self.m_num + self.m_num_mid) // self._hop)
-        while p * self._hop - self.m_num_mid + self.m_num <= n:
-            p += 1
-        return p * self._hop - self.m_num_mid, p
+        """(start sample, slice index) where post-padding effects begin:
+        the first slice whose nonzero support reaches past the end."""
+        if n < self.m_num - self.m_num_mid:
+            raise ValueError("n must be >= ceil(m_num/2)")
+        w2 = self._w2
+        q2 = n // self._hop + 1
+        q1 = max((n - self.m_num) // self._hop - 1, -1)
+        for q_ in range(q2, q1, -1):
+            k_ = q_ * self._hop + (self.m_num - self.m_num_mid)
+            if k_ <= n or not np.any(w2[n - k_ :]):
+                return (q_ + 1) * self._hop - self.m_num_mid, q_ + 1
+        raise RuntimeError("unreachable: window has no nonzero samples")
 
     @property
     def delta_t(self) -> float:

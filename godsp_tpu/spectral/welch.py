@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from godsp_tpu import window as win
 from godsp_tpu._dtypes import as_complex_array, default_float, put
 from godsp_tpu.fft.core import fft, fft_real
 from godsp_tpu.spectral.segment import segment
@@ -382,12 +381,7 @@ def spectrogram_scipy(
     nfft = nperseg if nfft is None else int(nfft)
     if nfft < nperseg:
         raise ValueError("nfft must be >= nperseg")
-    if isinstance(window, (tuple, list)) and len(window) == 2 and str(
-        window[0]
-    ).lower() == "tukey":
-        wt = _tukey_table_np(float(window[1]), nperseg)
-    else:
-        wt = _periodic_table_np(window, nperseg)
+    wt = _periodic_table_np(window, nperseg)
     is_complex = jnp.issubdtype(x.dtype, jnp.complexfloating)
     onesided = return_onesided and not is_complex
     fdt = x.real.dtype
@@ -418,26 +412,6 @@ def spectrogram_scipy(
     times = (jnp.arange(nsegs, dtype=fdt) * step + nperseg / 2.0) / float(fs)
     return freqs, times, sxx
 
-
-def _tukey_table_np(alpha: float, nperseg: int) -> np.ndarray:
-    """Periodic Tukey (tapered-cosine) window, scipy.signal.windows.tukey
-    with sym=False — the spectrogram default taper."""
-    M = nperseg + 1  # periodic = symmetric of M, truncated
-    if alpha <= 0:
-        return np.ones(nperseg)
-    if alpha >= 1:
-        w = np.hanning(M)
-        return w[:-1]
-    n = np.arange(M, dtype=np.float64)
-    width = int(np.floor(alpha * (M - 1) / 2.0))
-    w = np.ones(M)
-    n1 = n[: width + 1]
-    w[: width + 1] = 0.5 * (1 + np.cos(np.pi * (-1 + 2.0 * n1 / alpha / (M - 1))))
-    n3 = n[M - width - 1 :]
-    w[M - width - 1 :] = 0.5 * (
-        1 + np.cos(np.pi * (-2.0 / alpha + 1 + 2.0 * n3 / alpha / (M - 1)))
-    )
-    return w[:-1]
 
 
 @partial(jax.jit, static_argnames=("precenter", "normalize"))

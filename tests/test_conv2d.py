@@ -253,3 +253,16 @@ class TestEnvelopeNegativeBand:
             r = np.asarray(ss.envelope(zc, **kw))
             assert g.shape == r.shape
             np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+
+
+def test_fillvalue_numpy_scalar():
+    """Review regression: np.int64 fillvalues must not silently take
+    the zero-fill fast path."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(8, 9))
+    b = rng.normal(size=(3, 4))
+    g = np.asarray(convolve2d(a, b, mode="same", fillvalue=np.int64(2)))
+    r = ss.convolve2d(a, b, mode="same", fillvalue=2)
+    np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+    with pytest.raises(ValueError):
+        convolve2d(a, b, fillvalue=np.array([1.0, 2.0]))

@@ -768,3 +768,8 @@ class TestFftlog:
         back = np.asarray(fft.ifht(A, dln, 0.5,
                                    offset=fft.fhtoffset(dln, 0.5)))
         assert snr_db(back, a) >= 180.0
+
+
+def test_dctn_duplicate_axes_raise():
+    with pytest.raises(ValueError):
+        fft.dctn(np.zeros((4, 4)), axes=(0, 0))

@@ -134,3 +134,14 @@ class TestMinimumPhase:
             minimum_phase([1.0])
         with pytest.raises(ValueError):
             minimum_phase(np.ones(8), n_fft=4)
+
+
+class TestMinimumPhaseExplicitNfft:
+    def test_small_nfft_parity(self):
+        """Review regression: the cepstral fold window must zero the
+        Nyquist quefrency for even n_fft (keep it once for odd)."""
+        h = ss.remez(31, [0, 0.2, 0.3, 1.0], [1, 0], fs=2.0)
+        for nfft in (64, 65, 128):
+            np.testing.assert_allclose(
+                np.asarray(minimum_phase(h, n_fft=nfft)),
+                ss.minimum_phase(h, n_fft=nfft), rtol=0, atol=1e-12)

@@ -343,3 +343,40 @@ class TestSystemClasses:
             M.lti(np.ones(3))  # 1 element
         with pytest.raises(ValueError):
             M.lti([1.0], [1.0, 0.5]).to_discrete(0.1).to_discrete(0.1)
+
+
+class TestReviewFindings:
+    """Regressions for the session review: per-input dimpulse/dstep,
+    dlsim t-interpolation, dbode explicit-w semantics."""
+
+    def test_mimo_dimpulse_dstep(self):
+        A = np.array([[0.5, 0.1], [0.0, 0.4]])
+        B = np.array([[1.0, 2.0], [0.0, 0.3]])
+        C = np.array([[1.0, 0.0]])
+        D = np.array([[0.0, 0.5]])
+        sysd = (A, B, C, D, 0.1)
+        _, y1 = M.dimpulse(sysd, n=4)
+        _, y2 = ss.dimpulse(sysd, n=4)
+        assert len(y1) == len(y2) == 2
+        for g, r in zip(y1, y2):
+            allc(np.asarray(g), np.asarray(r), rtol=1e-10, atol=1e-12)
+        _, y1 = M.dstep(sysd, n=4)
+        _, y2 = ss.dstep(sysd, n=4)
+        for g, r in zip(y1, y2):
+            allc(np.asarray(g), np.asarray(r), rtol=1e-10, atol=1e-12)
+
+    def test_dlsim_t_interpolation(self):
+        b, a = ss.butter(2, 0.3)
+        sd = ss.cont2discrete(ss.tf2ss(b, a), 0.1)
+        u = np.sin(np.arange(12) * 0.2)
+        t = np.arange(12) * 0.2
+        g = M.dlsim(sd, u, t=t)
+        r = ss.dlsim(sd, u, t=t)
+        assert g[0].shape == r[0].shape
+        allc(np.ravel(g[1]), np.ravel(r[1]), rtol=1e-9, atol=1e-11)
+
+    def test_dbode_explicit_w(self):
+        sysd = ([1.0, -0.5], [1.0, -0.8], 0.1)
+        w_in = np.array([0.1, 0.5, 1.0, 2.0])
+        for g, r in zip(M.dbode(sysd, w=w_in), ss.dbode(sysd, w=w_in)):
+            allc(np.asarray(g), np.asarray(r), rtol=1e-9, atol=1e-10)

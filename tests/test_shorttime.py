@@ -159,3 +159,31 @@ def test_onesided_rejects_complex():
     S = ShortTimeFFT(w, hop=3, fs=1.0)
     with pytest.raises(ValueError):
         S.stft(np.zeros(32) + 0j)
+
+
+class TestZeroEdgeWindows:
+    """Geometry must follow the window's NONZERO support (review
+    finding): hann's zero first sample does not count as overlap."""
+
+    @pytest.mark.parametrize("wspec,hop", [
+        ("hann16p", 4), ("hann9s", 3), ("boxcar7", 7), ("padded", 3)])
+    def test_geometry_and_stft_parity(self, wspec, hop):
+        w = {"hann16p": sw.hann(16, sym=False),
+             "hann9s": sw.hann(9, sym=True),
+             "boxcar7": sw.boxcar(7),
+             "padded": np.r_[0.0, 0.0, sw.gaussian(6, 1.5), 0.0]}[wspec]
+        x = np.random.default_rng(3).normal(size=237)
+        mine = ShortTimeFFT(w, hop=hop, fs=50.0)
+        ref = ss.ShortTimeFFT(w, hop=hop, fs=50.0)
+        assert mine.p_min == ref.p_min and mine.k_min == ref.k_min
+        assert mine.p_max(237) == ref.p_max(237)
+        assert mine.k_max(237) == ref.k_max(237)
+        assert mine.lower_border_end == ref.lower_border_end
+        assert mine.upper_border_begin(237) == ref.upper_border_begin(237)
+        g = np.asarray(mine.stft(x))
+        r = ref.stft(x)
+        assert g.shape == np.shape(r)
+        cmp(g, r)
+        if mine.invertible:
+            cmp(np.asarray(mine.istft(mine.stft(x), k1=237)),
+                np.asarray(ref.istft(r, k1=237)), 1e-9)
