@@ -16,7 +16,8 @@ import numpy as np
 from godsp_tpu._dtypes import as_real_array, default_float, put
 
 __all__ = ["fftfreq", "rfftfreq", "fftshift", "ifftshift", "hfft",
-           "hilbert", "ihfft", "irfft", "irfft2", "irfftn",
+           "hfft2", "hfftn", "hilbert", "ihfft", "ihfft2", "ihfftn",
+           "irfft", "irfft2", "irfftn",
            "next_fast_len", "prev_fast_len", "rfft", "rfft2", "rfftn"]
 
 
@@ -290,3 +291,48 @@ def irfftn(X, s=None, axes=None) -> jax.Array:
             Xm = jnp.pad(Xm, [(0, 0)] * (Xm.ndim - 1) + [(0, n - cur)])
         X = jnp.moveaxis(_cifft(Xm), -1, ax)
     return irfft(X, int(s[-1]), axis=axes[-1])
+
+
+def ihfftn(x, s=None, axes=None) -> jax.Array:
+    """N-D inverse Hermitian FFT of real input (scipy.fft.ihfftn):
+    conj(rfftn(x, s, axes)) / prod(transform lengths)."""
+    x = put(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(int(a) % x.ndim for a in axes)
+    if s is None:
+        s = tuple(x.shape[a] for a in axes)
+    size = 1
+    for n in s:
+        size *= int(n)
+    return jnp.conj(rfftn(x, s=s, axes=axes)) / size
+
+
+def ihfft2(x, s=None, axes=(-2, -1)) -> jax.Array:
+    """2-D inverse Hermitian FFT (scipy.fft.ihfft2)."""
+    return ihfftn(x, s=s, axes=axes)
+
+
+def hfftn(x, s=None, axes=None) -> jax.Array:
+    """N-D FFT of a Hermitian-symmetric signal -> real spectrum
+    (scipy.fft.hfftn): irfftn(conj(x), s, axes) * prod(output
+    transform lengths)."""
+    from godsp_tpu._dtypes import as_complex_array
+
+    x = jnp.conj(as_complex_array(put(x)))
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(int(a) % x.ndim for a in axes)
+    if s is None:
+        s = tuple(x.shape[a] for a in axes[:-1]) + (
+            2 * (x.shape[axes[-1]] - 1),)
+    out = irfftn(x, s=s, axes=axes)
+    size = 1
+    for n in s:
+        size *= int(n)
+    return out * size
+
+
+def hfft2(x, s=None, axes=(-2, -1)) -> jax.Array:
+    """2-D Hermitian FFT (scipy.fft.hfft2)."""
+    return hfftn(x, s=s, axes=axes)

@@ -773,3 +773,20 @@ class TestFftlog:
 def test_dctn_duplicate_axes_raise():
     with pytest.raises(ValueError):
         fft.dctn(np.zeros((4, 4)), axes=(0, 0))
+
+
+def test_hermitian_nd_transforms():
+    import scipy.fft as sfft
+
+    rng = np.random.default_rng(4)
+    z = rng.normal(size=(6, 5)) + 1j * rng.normal(size=(6, 5))
+    for mine, ref in [(fft.hfftn, sfft.hfftn), (fft.hfft2, sfft.hfft2)]:
+        g = np.asarray(mine(z))
+        r = ref(z)
+        assert g.shape == r.shape
+        assert snr_db(g, r) >= 170.0
+    x = rng.normal(size=(6, 8))
+    for mine, ref in [(fft.ihfftn, sfft.ihfftn), (fft.ihfft2, sfft.ihfft2)]:
+        assert snr_db(np.asarray(mine(x)), ref(x)) >= 180.0
+    g = np.asarray(fft.hfftn(z, s=(8, 12)))
+    assert snr_db(g, sfft.hfftn(z, s=(8, 12))) >= 170.0
