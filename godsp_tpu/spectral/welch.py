@@ -240,6 +240,27 @@ def welch_coherence(
     return freqs, (pxy.real**2 + pxy.imag**2) / (pxx * pyy)
 
 
+def _welch_fused(x, wt, nperseg: int, nfft: int, stride: int, scale, fdt,
+                 interpret: bool = False):
+    """scipy-welch through the fused Pallas Pwelch kernel: the periodic
+    nperseg window zero-extended to nfft occupies the kernel's
+    pad-length-window slot, reproducing window-then-zero-pad semantics
+    exactly; the kernel returns the one-sided power sum and the scipy
+    doubling/scaling applies outside."""
+    from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
+
+    total_segs = (x.shape[-1] - nperseg) // stride + 1
+    w_ext = np.zeros(nfft)
+    w_ext[:nperseg] = wt
+    p = pwelch_power_sum(x.astype(fdt), jnp.asarray(w_ext, fdt), nperseg,
+                         stride, total_segs, pad=nfft, interpret=interpret)
+    lp = nfft // 2 + 1
+    doubler = np.ones(lp)
+    doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+    return p * jnp.asarray(doubler, fdt) * (scale / total_segs)
+
+
+
 def welch(
     x,
     fs: float = 1.0,
@@ -293,6 +314,17 @@ def welch(
     else:
         scale = 1.0 / float(np.sum(wt)) ** 2
     scale = jnp.asarray(scale, fdt)
+
+    stride = nperseg - noverlap
+    if (onesided and average == "mean"
+            and (detrend is False or detrend is None)):
+        from godsp_tpu.spectral.pwelch import fused_path_eligible
+
+        if fused_path_eligible(nperseg, nfft, stride):
+            pxx = _welch_fused(x, wt, nperseg, nfft, stride, scale, fdt)
+            freqs = jnp.arange(nfft // 2 + 1, dtype=fdt) * (float(fs) / nfft)
+            return freqs, (jnp.moveaxis(pxx, -1, axis)
+                           if pxx.ndim > 1 else pxx)
 
     if is_complex:
         fr = segment(x.real, nperseg, noverlap)

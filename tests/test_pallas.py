@@ -856,3 +856,30 @@ class TestPallasISTFT:
             istft_overlap_add(sr, jnp.zeros((4, 512), jnp.float32), w, 256, 128)
         with pytest.raises(ValueError, match="unsupported"):
             istft_overlap_add(sr, sr, w, 256, 100)
+
+
+class TestFusedScipyWelch:
+    """The scipy-convention welch's fused route (_welch_fused): the
+    zero-extended periodic window in the kernel's pad-length slot must
+    reproduce scipy's window-then-pad semantics (interpret mode)."""
+
+    @pytest.mark.parametrize("geom", [(1024, 512, 1024), (256, 128, 256),
+                                      (512, 0, 1024)])
+    def test_matches_scipy(self, geom):
+        import scipy.signal as ss
+
+        from godsp_tpu.spectral.welch import _periodic_table_np, _welch_fused
+
+        nperseg, nover, nfft = geom
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=8192).astype(np.float32)
+        wt = _periodic_table_np("hann", nperseg)
+        stride = nperseg - nover
+        scale = 1.0 / (2.0 * np.sum(wt * wt))
+        got = np.asarray(_welch_fused(
+            jnp.asarray(x), wt, nperseg, nfft, stride,
+            jnp.float32(scale), jnp.float32, interpret=True))
+        _, ref = ss.welch(x.astype(np.float64), fs=2.0, window="hann",
+                          nperseg=nperseg, noverlap=nover, nfft=nfft,
+                          detrend=False)
+        assert snr_db(got, ref) >= 120.0

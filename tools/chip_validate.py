@@ -361,9 +361,116 @@ def main():
     drive_stream_stft()
     drive_natural_ab()
     drive_16k_ab()
+    drive_conv2d()
+    drive_cwt()
+    drive_shorttime()
+    drive_lsim()
+    drive_splines()
+    drive_fht()
     if "--n1-probe" in sys.argv:
         drive_n1_128()
 
 
 if __name__ == "__main__":
     main()
+
+
+# --- session-4 surfaces (scipy build-out): drive each new DEVICE path
+# once on the chip and report SNR vs a host float64 oracle -----------------
+
+
+@section("conv2d chain")
+def drive_conv2d():
+    import scipy.signal as ss
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import convolve2d
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(8, 96, 80)).astype(np.float32)
+    k = rng.normal(size=(9, 7)).astype(np.float32)
+    got = np.asarray(convolve2d(a, k, mode="same"))
+    ref = np.stack([ss.convolve2d(x.astype(np.float64), k, mode="same")
+                    for x in a])
+    return f"batched same-mode snr {snr_db(got, ref):.1f} dB"
+
+
+@section("cwt bank")
+def drive_cwt():
+    import scipy.signal as _  # noqa: F401 (oracle below is direct numpy)
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import cwt, ricker
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=2048).astype(np.float32)
+    widths = np.arange(1, 33)
+    got = np.asarray(cwt(x, ricker, widths))
+    ref = np.stack([
+        np.convolve(x.astype(np.float64),
+                    np.conj(ricker(int(min(10 * w, len(x))), w)[::-1]),
+                    mode="same")
+        for w in widths
+    ])
+    return f"32-width scalogram snr {snr_db(got, ref):.1f} dB"
+
+
+@section("ShortTimeFFT")
+def drive_shorttime():
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import ShortTimeFFT
+    from godsp_tpu.window.extended import gaussian
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=4096).astype(np.float32)
+    S = ShortTimeFFT(gaussian(256, 64.0), hop=64, fs=16000.0,
+                     scale_to="psd")
+    Z = S.stft(x)
+    back = np.asarray(S.istft(Z, k1=len(x)))
+    return (f"stft {np.asarray(Z).shape}, istft round-trip snr "
+            f"{snr_db(back, x.astype(np.float64)):.1f} dB")
+
+
+@section("lsim scan")
+def drive_lsim():
+    import scipy.signal as ss
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import lsim
+
+    b, a = ss.butter(3, 2.0, analog=True)
+    sysc = ss.tf2ss(b, a)
+    T = np.linspace(0, 5, 2001)
+    U = np.sin(T * 3.0).astype(np.float64)
+    _, y, _ = lsim(sysc, U, T)
+    _, yr, _ = ss.lsim(sysc, U, T)
+    return f"2001-step associative-scan snr {snr_db(np.ravel(np.asarray(y)), np.ravel(yr)):.1f} dB"
+
+
+@section("spline DCT route")
+def drive_splines():
+    import scipy.signal as ss
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.models import cspline1d
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=2048).astype(np.float32)
+    got = np.asarray(cspline1d(x))
+    ref = ss.cspline1d(x.astype(np.float64))
+    return f"cspline1d snr {snr_db(got, ref):.1f} dB"
+
+
+@section("fht chain")
+def drive_fht():
+    import scipy.fft as sf
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.fft import fht
+
+    r = np.logspace(-2, 2, 256)
+    a = (r * np.exp(-(r**2) / 2)).astype(np.float32)
+    dln = float(np.log(r[1] / r[0]))
+    got = np.asarray(fht(a, dln, mu=0.5))
+    ref = sf.fht(a.astype(np.float64), dln, mu=0.5)
+    return f"fftlog snr {snr_db(got, ref):.1f} dB"
