@@ -423,6 +423,31 @@ def spectrogram_scipy(
     else:
         scale = 1.0 / float(np.sum(wt)) ** 2
     scale = jnp.asarray(scale, fdt)
+    step = nperseg - noverlap
+    if (mode == "psd" and onesided and (detrend is False or detrend is None)
+            and x.shape[-1] >= nperseg):
+        # Fused per-segment power path: frame->window->FFT->|.|^2 in one
+        # Pallas kernel; the zero-extended periodic window reproduces
+        # scipy's window-then-pad semantics (same trick as _welch_fused).
+        from godsp_tpu.models.stft import _fused_stft_eligible
+
+        if _fused_stft_eligible(nperseg, nfft, step):
+            from godsp_tpu.ops.pallas_stft import stft_pallas
+
+            w_ext = np.zeros(nfft)
+            w_ext[:nperseg] = wt
+            n_frames = (x.shape[-1] - nperseg) // step + 1
+            p = stft_pallas(x, jnp.asarray(w_ext, fdt), nperseg, step,
+                            n_frames, pad=nfft, out="power")
+            lp = nfft // 2 + 1
+            doubler = np.ones(lp)
+            doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+            sxx = jnp.swapaxes(p * jnp.asarray(doubler, fdt) * scale, -1, -2)
+            freqs = jnp.arange(lp, dtype=fdt) * (float(fs) / nfft)
+            times = (jnp.arange(n_frames, dtype=fdt) * step
+                     + nperseg / 2.0) / float(fs)
+            return freqs, times, sxx
+
     if is_complex:
         frames = jax.lax.complex(
             segment(x.real, nperseg, noverlap), segment(x.imag, nperseg, noverlap)

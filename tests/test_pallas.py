@@ -883,3 +883,37 @@ class TestFusedScipyWelch:
                           nperseg=nperseg, noverlap=nover, nfft=nfft,
                           detrend=False)
         assert snr_db(got, ref) >= 120.0
+
+
+class TestFusedScipySpectrogram:
+    """spectrogram_scipy's fused route: per-segment powers through the
+    fused STFT kernel with the zero-extended periodic window."""
+
+    @pytest.mark.parametrize("geom", [(1024, 512, 1024), (256, 128, 512)])
+    def test_matches_scipy(self, geom):
+        import scipy.signal as ss
+
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+        from godsp_tpu.spectral.welch import _periodic_table_np
+
+        nperseg, nover, nfft = geom
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=8192).astype(np.float32)
+        wt = _periodic_table_np(("tukey", 0.25), nperseg)
+        step = nperseg - nover
+        w_ext = np.zeros(nfft)
+        w_ext[:nperseg] = wt
+        n_frames = (len(x) - nperseg) // step + 1
+        p = stft_pallas(jnp.asarray(x), jnp.asarray(w_ext, jnp.float32),
+                        nperseg, step, n_frames, pad=nfft, out="power",
+                        interpret=True)
+        lp = nfft // 2 + 1
+        doubler = np.ones(lp)
+        doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+        scale = 1.0 / (2.0 * np.sum(wt * wt))
+        sxx = np.swapaxes(np.asarray(p) * doubler * scale, -1, -2)
+        _, _, ref = ss.spectrogram(x.astype(np.float64), fs=2.0,
+                                   nperseg=nperseg, noverlap=nover,
+                                   nfft=nfft, detrend=False)
+        assert sxx.shape == ref.shape
+        assert snr_db(sxx, ref) >= 120.0
