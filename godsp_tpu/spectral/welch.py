@@ -204,6 +204,35 @@ def welch_csd(
             )
         return segment(v, nperseg, noverlap)
 
+    stride = nperseg - noverlap
+    if (onesided and average == "mean"
+            and (detrend is False or detrend is None)):
+        from godsp_tpu.spectral.pwelch import fused_path_eligible
+
+        if fused_path_eligible(nperseg, nfft, stride):
+            # Fused cross-spectral kernel with the zero-extended periodic
+            # window (same construction as _welch_fused).
+            from godsp_tpu.ops.pallas_csd import csd_power_partials
+            from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
+
+            total_segs = (x.shape[-1] - nperseg) // stride + 1
+            w_ext = np.zeros(nfft)
+            w_ext[:nperseg] = wt
+            mask = jnp.ones(x.shape[:-1] + (total_segs,), jnp.float32)
+            re_p, im_p = csd_power_partials(
+                x, y, mask, jnp.asarray(w_ext, fdt), nperseg, stride,
+                pad=nfft)
+            lp = nfft // 2 + 1
+            re = digit_to_natural_bins(re_p.sum(axis=-2), nfft)[..., :lp]
+            im = digit_to_natural_bins(im_p.sum(axis=-2), nfft)[..., :lp]
+            doubler = np.ones(lp)
+            doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+            pxy = (jax.lax.complex(re, im) * jnp.asarray(doubler, fdt)
+                   * (scale / total_segs))
+            freqs = jnp.arange(lp, dtype=fdt) * (float(fs) / nfft)
+            return freqs, (jnp.moveaxis(pxy, -1, axis)
+                           if pxy.ndim > 1 else pxy)
+
     fx, fy = frames_of(x), frames_of(y)
     nsegs = fx.shape[-2]
     dk = detrend if (callable(detrend) or detrend is False or detrend is None) \

@@ -917,3 +917,42 @@ class TestFusedScipySpectrogram:
                                    nfft=nfft, detrend=False)
         assert sxx.shape == ref.shape
         assert snr_db(sxx, ref) >= 120.0
+
+
+class TestFusedScipyCsd:
+    """welch_csd's fused route: conj(X)*Y through the cross-spectral
+    kernel with the zero-extended periodic window."""
+
+    @pytest.mark.parametrize("geom", [(1024, 512, 1024), (256, 128, 512)])
+    def test_matches_scipy(self, geom):
+        import scipy.signal as ss
+
+        from godsp_tpu.ops.pallas_csd import csd_power_partials
+        from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
+        from godsp_tpu.spectral.welch import _periodic_table_np
+
+        nperseg, nover, nfft = geom
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=8192).astype(np.float32)
+        y = (0.6 * x + 0.4 * rng.normal(size=8192)).astype(np.float32)
+        wt = _periodic_table_np("hann", nperseg)
+        stride = nperseg - nover
+        w_ext = np.zeros(nfft)
+        w_ext[:nperseg] = wt
+        total = (len(x) - nperseg) // stride + 1
+        mask = jnp.ones((total,), jnp.float32)
+        re_p, im_p = csd_power_partials(
+            jnp.asarray(x), jnp.asarray(y), mask,
+            jnp.asarray(w_ext, jnp.float32), nperseg, stride, pad=nfft,
+            interpret=True)
+        lp = nfft // 2 + 1
+        re = np.asarray(digit_to_natural_bins(re_p.sum(axis=-2), nfft))[:lp]
+        im = np.asarray(digit_to_natural_bins(im_p.sum(axis=-2), nfft))[:lp]
+        doubler = np.ones(lp)
+        doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+        scale = 1.0 / (2.0 * np.sum(wt * wt))
+        pxy = (re + 1j * im) * doubler * scale / total
+        _, ref = ss.csd(x.astype(np.float64), y.astype(np.float64), fs=2.0,
+                        nperseg=nperseg, noverlap=nover, nfft=nfft,
+                        detrend=False)
+        assert snr_db(pxy, ref) >= 120.0
