@@ -15,7 +15,7 @@ from godsp_tpu.parallel.pwelch_sharded import (
     sharded_partial_step,
 )
 from godsp_tpu.parallel.stft_sharded import istft_sharded, spectrogram_sharded
-from godsp_tpu.parallel.streaming import StreamingPwelch, stream_pwelch
+from godsp_tpu.parallel.streaming import StreamingPwelch, stream_pwelch, stream_welch
 
 __all__ = [
     "MeshConfig",
@@ -30,4 +30,5 @@ __all__ = [
     "sharded_partial_step",
     "spectrogram_sharded",
     "stream_pwelch",
+    "stream_welch",
 ]

@@ -33,7 +33,9 @@ from godsp_tpu._dtypes import default_float
 from godsp_tpu.parallel.pwelch_sharded import resolve_geometry, sharded_partial_step
 from godsp_tpu.spectral.pwelch import PwelchOptions
 
-__all__ = ["StreamingPwelch", "stream_pwelch"]
+__all__ = ["StreamingPwelch", "stream_pwelch"
+    "stream_welch",
+]
 
 
 @jax.jit
@@ -381,3 +383,52 @@ def stream_pwelch(
     for b in blocks:
         sp.update(b)
     return sp.finalize()
+
+
+def stream_welch(
+    blocks: Iterable[np.ndarray],
+    fs: float = 1.0,
+    window="hann",
+    nperseg: int = 256,
+    noverlap: int | None = None,
+    nfft: int | None = None,
+    scaling: str = "density",
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Streaming Welch PSD with scipy.signal.welch conventions
+    (periodic windows, nperseg/noverlap/nfft vocabulary, density or
+    spectrum scaling, mean average, no detrend): returns
+    (freqs, Pxx) after consuming an iterable of sample blocks through
+    the sharded StreamingPwelch driver.
+
+    The nperseg-length PERIODIC window is zero-extended on demand, so
+    the driver's pad-length-window slot reproduces scipy's
+    window-then-zero-pad semantics for nfft > nperseg while the
+    sum(w^2) normalization keeps the nperseg table — exactly scipy's
+    scaling."""
+    if scaling not in ("density", "spectrum"):
+        raise ValueError("scaling must be 'density' or 'spectrum'")
+    from godsp_tpu.spectral.welch import _periodic_table_np
+
+    nperseg = int(nperseg)
+    noverlap = nperseg // 2 if noverlap is None else int(noverlap)
+    nfft = nperseg if nfft is None else int(nfft)
+    if nfft < nperseg:
+        raise ValueError("nfft must be >= nperseg")
+    wt = _periodic_table_np(window, nperseg)
+
+    def wf(L: int, _wt=wt) -> np.ndarray:
+        out = np.zeros(L)
+        out[: min(L, len(_wt))] = _wt[: min(L, len(_wt))]
+        return out
+
+    opts = PwelchOptions(nfft=nperseg, window=wf, pad=nfft,
+                         noverlap=noverlap)
+    pxx, freqs = stream_pwelch(blocks, fs, opts, mesh, **kwargs)
+    pxx = np.asarray(pxx).copy()
+    if nfft % 2:  # scipy doubles every non-DC bin for odd lengths
+        pxx[..., -1] *= 2.0
+    if scaling == "spectrum":
+        pxx *= float(fs) * float(np.sum(wt * wt)) / float(np.sum(wt)) ** 2
+    return np.asarray(freqs), pxx

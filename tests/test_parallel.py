@@ -720,3 +720,37 @@ class TestSharded2DConvolution:
         out = convolve2d(sharded_in, kern, mode="same")
         np.testing.assert_allclose(np.asarray(out), single,
                                    rtol=1e-10, atol=1e-12)
+
+
+class TestStreamWelch:
+    """stream_welch: scipy-convention streaming Welch over the sharded
+    driver (periodic windows, density/spectrum scaling, odd-nfft
+    doubling) — exact parity with one-shot scipy.welch(detrend=False)."""
+
+    @pytest.mark.parametrize("kw", [
+        dict(nperseg=256),
+        dict(nperseg=256, noverlap=64, nfft=512),
+        dict(nperseg=255, nfft=255),
+        dict(nperseg=256, scaling="spectrum"),
+    ])
+    def test_scipy_parity(self, kw):
+        import scipy.signal as ss
+
+        from godsp_tpu.parallel import stream_welch
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=1 << 16)
+        # chunk sizes deliberately unaligned with the segment stride
+        blocks = [x[i : i + 7000] for i in range(0, len(x), 7000)]
+        f1, p1 = stream_welch(iter(blocks), fs=4.0, **kw)
+        f2, p2 = ss.welch(x, fs=4.0, detrend=False, **kw)
+        assert f1.shape == f2.shape
+        np.testing.assert_allclose(p1, p2, rtol=1e-10, atol=1e-14)
+
+    def test_validation(self):
+        from godsp_tpu.parallel import stream_welch
+
+        with pytest.raises(ValueError):
+            stream_welch(iter([np.zeros(512)]), nperseg=256, nfft=128)
+        with pytest.raises(ValueError):
+            stream_welch(iter([np.zeros(512)]), scaling="bogus")
