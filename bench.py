@@ -219,50 +219,55 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         log("jnp.fft comparison failed:", e)
 
-    # --- large-N FFT: the reference's benchmark workload (a single
-    # 2^20-point complex FFT, fft/fft_test.go:262-280) through the
-    # kernel four-step (fft/large.py), vs XLA's built-in FFT. ---------
-    n20 = 1 << 20
-    z20 = put(
-        (rng.normal(size=n20) + 1j * rng.normal(size=n20)).astype(np.complex64)
-        * 0.01
-    )
-    s20 = np.float32(1.0 / n20)
-
-    def mk_large(f):
-        def make(K):
-            @jax.jit
-            def chain(z):
-                for k in range(K):
-                    z = f(z)
-                    if k % 2 == 1:
-                        z = z * s20
-                zf = z.reshape(-1)
-                return jnp.abs(jnp.real(zf[0])) + jnp.abs(jnp.imag(zf[0]))
-
-            return chain
-
-        return make
-
-    per = min(
-        time_chain_diff(mk_large(fft.fft), z20, k_lo=16, k_hi=64, iters=8)
-        for _ in range(2)
-    )
-    results["fft_2pow20"] = {"wall_s": per}
-    log(f"fft 2^20 single: {per*1e3:.3f} ms")
+    # --- large-N FFT (guarded: a failure here must not lose
+    # the summary JSON; see commit 7655643's contract) --------
     try:
-        # Shallower chain: a 64-deep jnp.fft.fft program is too large for
-        # the remote compile service.  Best-of-2 on both sides: the ratio
-        # is double-jittered by the bimodal clock otherwise.
-        per_jnp = min(
-            time_chain_diff(mk_large(jnp.fft.fft), z20, k_lo=8, k_hi=24, iters=6)
+        # --- large-N FFT: the reference's benchmark workload (a single
+        # 2^20-point complex FFT, fft/fft_test.go:262-280) through the
+        # kernel four-step (fft/large.py), vs XLA's built-in FFT. ---------
+        n20 = 1 << 20
+        z20 = put(
+            (rng.normal(size=n20) + 1j * rng.normal(size=n20)).astype(np.complex64)
+            * 0.01
+        )
+        s20 = np.float32(1.0 / n20)
+
+        def mk_large(f):
+            def make(K):
+                @jax.jit
+                def chain(z):
+                    for k in range(K):
+                        z = f(z)
+                        if k % 2 == 1:
+                            z = z * s20
+                    zf = z.reshape(-1)
+                    return jnp.abs(jnp.real(zf[0])) + jnp.abs(jnp.imag(zf[0]))
+
+                return chain
+
+            return make
+
+        per = min(
+            time_chain_diff(mk_large(fft.fft), z20, k_lo=16, k_hi=64, iters=8)
             for _ in range(2)
         )
-        results["fft_2pow20"]["jnp_wall_s"] = per_jnp
-        results["fft_2pow20"]["speedup_vs_jnp"] = per_jnp / per
-        log(f"  vs jnp.fft.fft: {per_jnp*1e3:.3f} ms ({per_jnp/per:.2f}x)")
+        results["fft_2pow20"] = {"wall_s": per}
+        log(f"fft 2^20 single: {per*1e3:.3f} ms")
+        try:
+            # Shallower chain: a 64-deep jnp.fft.fft program is too large for
+            # the remote compile service.  Best-of-2 on both sides: the ratio
+            # is double-jittered by the bimodal clock otherwise.
+            per_jnp = min(
+                time_chain_diff(mk_large(jnp.fft.fft), z20, k_lo=8, k_hi=24, iters=6)
+                for _ in range(2)
+            )
+            results["fft_2pow20"]["jnp_wall_s"] = per_jnp
+            results["fft_2pow20"]["speedup_vs_jnp"] = per_jnp / per
+            log(f"  vs jnp.fft.fft: {per_jnp*1e3:.3f} ms ({per_jnp/per:.2f}x)")
+        except Exception as e:  # pragma: no cover
+            log("jnp 2^20 comparison failed:", e)
     except Exception as e:  # pragma: no cover
-        log("jnp 2^20 comparison failed:", e)
+        log("large-N 2^20 section failed:", e)
 
     # --- fused Pallas Pwelch kernel (frame->window->FFT->|.|^2->sum) -----
     from godsp_tpu import window as win

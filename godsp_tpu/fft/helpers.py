@@ -37,23 +37,15 @@ def rfftfreq(n: int, d: float = 1.0) -> jax.Array:
 
 
 def fftshift(x, axes=None) -> jax.Array:
-    """Move the zero-frequency bin to the center (numpy.fft.fftshift)."""
-    x = jnp.asarray(x)
-    if axes is None:
-        axes = tuple(range(x.ndim))
-    elif isinstance(axes, int):
-        axes = (axes,)
-    return jnp.roll(x, [x.shape[a] // 2 for a in axes], axes)
+    """Move the zero-frequency bin to the center (numpy.fft.fftshift;
+    delegates to jnp.fft.fftshift)."""
+    return jnp.fft.fftshift(jnp.asarray(x), axes=axes)
 
 
 def ifftshift(x, axes=None) -> jax.Array:
-    """Inverse of fftshift (exact also for odd lengths)."""
-    x = jnp.asarray(x)
-    if axes is None:
-        axes = tuple(range(x.ndim))
-    elif isinstance(axes, int):
-        axes = (axes,)
-    return jnp.roll(x, [-(x.shape[a] // 2) for a in axes], axes)
+    """Inverse of fftshift, exact also for odd lengths
+    (jnp.fft.ifftshift)."""
+    return jnp.fft.ifftshift(jnp.asarray(x), axes=axes)
 
 
 def hilbert(x, N: int | None = None, axis: int = -1) -> jax.Array:

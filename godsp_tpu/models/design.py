@@ -389,7 +389,6 @@ def tf2zpk(b, a):
     a = np.atleast_1d(np.asarray(a, np.float64))
     if a[0] == 0.0:
         raise ValueError("a[0] must be nonzero")
-    k = b[0] / a[0] if len(b) else 0.0
     # strip leading zeros of b so roots() sees the true degree
     nz = np.flatnonzero(b)
     if nz.size == 0:
@@ -762,6 +761,7 @@ def iirfilter(
     ftype: str = "butter",
     output: str = "ba",
     fs: float | None = None,
+    _prototype=None,
 ):
     """Design an Nth-order IIR filter (scipy.signal.iirfilter semantics).
 
@@ -812,7 +812,8 @@ def iirfilter(
             raise ValueError("analog critical frequencies must be > 0")
         warped = Wn
 
-    z, p, k = _PROTOTYPES[ftype](N, rp, rs)
+    proto_fn = _prototype if _prototype is not None else _PROTOTYPES[ftype]
+    z, p, k = proto_fn(N, rp, rs)
     if btype == "lowpass":
         z, p, k = lp2lp_zpk(z, p, k, wo=warped[0])
     elif btype == "highpass":
@@ -894,20 +895,14 @@ def iirdesign(wp, ws, gpass: float, gstop: float, analog: bool = False,
 
 def bessel(N, Wn, btype="lowpass", analog=False, output="ba", fs=None, norm="phase"):
     """Bessel/Thomson design (maximally flat group delay)."""
+    proto = None
     if norm != "phase":
-        # delay-normed digital designs need the prototype swap only
+        # delay-normed prototype passes through the private override —
+        # never mutate the module registry (not reentrancy-safe)
         z, p, k = besselap(_check_order(N), norm=norm)
-
-        def proto(n, rp, rs):
-            return z, p, k
-
-        saved = _PROTOTYPES["bessel"]
-        _PROTOTYPES["bessel"] = proto
-        try:
-            return iirfilter(N, Wn, None, None, btype, analog, "bessel", output, fs)
-        finally:
-            _PROTOTYPES["bessel"] = saved
-    return iirfilter(N, Wn, None, None, btype, analog, "bessel", output, fs)
+        proto = lambda n, rp, rs: (z, p, k)
+    return iirfilter(N, Wn, None, None, btype, analog, "bessel", output, fs,
+                     _prototype=proto)
 
 
 # ---------------------------------------------------------------------------

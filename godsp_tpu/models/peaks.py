@@ -179,9 +179,12 @@ def _unpack_minmax(interval, x_size: int, peaks: np.ndarray):
             )
         return v[peaks]
 
-    if isinstance(interval, (tuple, list)) and len(interval) == 2:
+    # scipy's unpack rule: anything that unpacks into exactly two
+    # elements (tuple, list, OR 2-element ndarray) is a (min, max)
+    # interval; everything else is a bare minimum
+    try:
         lo, hi = interval
-    else:
+    except (TypeError, ValueError):
         lo, hi = interval, None
     return one(lo), one(hi)
 

@@ -143,10 +143,16 @@ def spectra_to_wav(
                 )
             writer.write(b)
             written += b.shape[-1]
-    finally:
-        if writer is None:
-            # Empty chunk stream: still leave a valid (zero-sample) WAV
-            # at dest so downstream read_wav sees a file, not ENOENT.
-            writer = wavmod.WavWriter(dest, sample_rate, float32=float32)
-        writer.close()
+    except BaseException:
+        # a failure mid-synthesis must not mask itself behind WAV
+        # bookkeeping, and must not leave a fresh empty file pretending
+        # the stream was empty — close whatever was opened and re-raise
+        if writer is not None:
+            writer.close()
+        raise
+    if writer is None:
+        # Genuinely empty chunk stream: leave a valid (zero-sample) WAV
+        # at dest so downstream read_wav sees a file, not ENOENT.
+        writer = wavmod.WavWriter(dest, sample_rate, float32=float32)
+    writer.close()
     return written

@@ -300,8 +300,6 @@ def decimate(x, q: int, n: int | None = None, ftype: str = "iir",
     if q < 1:
         raise ValueError("q must be >= 1")
     x = put(x)
-    if q == 1:
-        return x
     x = jnp.moveaxis(x, axis, -1)
     restore = lambda y: jnp.moveaxis(y, -1, axis)
     if ftype == "fir":

@@ -319,7 +319,9 @@ class WavWriter:
         self.sample_rate = int(sample_rate)
         self.channels = channels
         self.float32 = float32
-        self._owns = isinstance(path_or_stream, str)
+        # anything without a .write method is a filesystem path
+        # (str, pathlib.Path, ...) — same rule as write_wav
+        self._owns = not hasattr(path_or_stream, "write")
         self._f = (
             open(path_or_stream, "wb") if self._owns else path_or_stream
         )

@@ -235,9 +235,10 @@ class TestDecimate:
             atol=1e-9,
         )
 
-    def test_q1_identity(self):
-        x = np.arange(16.0)
-        allc(np.asarray(decimate(x, 1)), x)
+    def test_q1_matches_scipy(self):
+        # scipy still anti-alias-filters at q=1 (no identity shortcut)
+        x = np.random.default_rng(5).normal(size=256)
+        allc(np.asarray(decimate(x, 1)), ss.decimate(x, 1))
 
 
 class TestCorrelate:
@@ -1026,3 +1027,38 @@ class TestFindPeaksCwt:
 
         with pytest.raises(ValueError):
             find_peaks_cwt(np.zeros(50), [5.0, 10.0], max_distances=[1.0])
+
+
+
+class TestReviewRegressions:
+    """Round-2 self-review regressions (earlier-session range)."""
+
+    def test_bessel_delay_does_not_mutate_registry(self):
+        from godsp_tpu.models import design
+
+        before = dict(design._PROTOTYPES)
+        b1, a1 = design.bessel(5, 0.3, norm="delay")
+        assert design._PROTOTYPES == before
+        # registry path still gives phase-normed designs afterwards
+        b2, a2 = design.bessel(4, 0.25)
+        br, ar = ss.bessel(4, 0.25)
+        allc(b2, br)
+        allc(a2, ar)
+        br, ar = ss.bessel(5, 0.3, norm="delay")
+        allc(b1, br)
+        allc(a1, ar)
+
+    def test_find_peaks_ndarray_interval(self):
+        from godsp_tpu.models import find_peaks
+
+        x = np.array([0.0, 2.0, 0.0, 3.0, 0.0])
+        p1, _ = find_peaks(x, prominence=np.array([0.1, 10.0]))
+        p2, _ = ss.find_peaks(x, prominence=np.array([0.1, 10.0]))
+        np.testing.assert_array_equal(p1, p2)
+
+    def test_tf2zpk_leading_zero_gain(self):
+        z1, p1, k1 = tf2zpk([0.0, 2.0, 4.0], [1.0, 0.5])
+        z2, p2, k2 = ss.tf2zpk([0.0, 2.0, 4.0], [1.0, 0.5])
+        allc(np.sort_complex(np.atleast_1d(z1)),
+             np.sort_complex(np.atleast_1d(z2)))
+        assert abs(k1 - k2) < 1e-12

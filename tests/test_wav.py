@@ -436,3 +436,34 @@ class TestSpectraToWav:
         # reader normalizes IEEE float passthrough? float path returns raw
         assert got.shape == ref.shape
         assert snr_db(got, ref.astype(np.float32)) >= 100.0
+
+
+def test_wavwriter_accepts_pathlib(tmp_path):
+    import pathlib
+
+    from godsp_tpu import wav as wavmod
+
+    dest = pathlib.Path(tmp_path) / "out.wav"
+    w = wavmod.WavWriter(dest, 8000)
+    w.write(np.zeros(16, np.float32))
+    w.close()
+    w_read = wavmod.read_wav(str(dest))
+    assert w_read.samples == 16  # Wav.samples is the sample COUNT
+
+
+def test_spectra_to_wav_failure_does_not_fake_success(tmp_path):
+    import pytest as _pytest
+
+    from godsp_tpu.models import spectra_to_wav
+
+    dest = str(tmp_path / "bad.wav")
+
+    def bad_chunks():
+        yield np.zeros((4, 3))  # bogus bin count -> must raise
+
+    with _pytest.raises(Exception):
+        spectra_to_wav(bad_chunks(), dest, 8000, nfft=64)
+    import os
+
+    # no pretend-empty WAV left behind by the failure path
+    assert not os.path.exists(dest) or os.path.getsize(dest) <= 44
