@@ -51,6 +51,7 @@ __all__ = [
     "invres",
     "invresz",
     "lsim",
+    "place_poles",
     "residue",
     "residuez",
     "ss2tf",
@@ -925,3 +926,107 @@ class dlti(_SystemBase):
 
     def __init__(self, *system, dt=1.0):
         super().__init__(*system, dt=float(dt))
+
+
+class _PlacedPoles:
+    """Result container mirroring scipy.signal.place_poles' Bunch:
+    gain_matrix, computed_poles, requested_poles, X, rtol, nb_iter."""
+
+    def __init__(self, gain_matrix, computed_poles, requested_poles, X,
+                 rtol, nb_iter):
+        self.gain_matrix = gain_matrix
+        self.computed_poles = computed_poles
+        self.requested_poles = requested_poles
+        self.X = X
+        self.rtol = rtol
+        self.nb_iter = nb_iter
+
+
+def place_poles(A, B, poles, method: str = "YT", rtol: float = 1e-3,
+                maxiter: int = 30):
+    """Full-state-feedback pole placement: K with
+    eig(A - B K) = poles (scipy.signal.place_poles surface).
+
+    Single-input systems use the Ackermann formula — there the gain is
+    UNIQUE, so the result matches scipy exactly.  Multi-input systems
+    place each eigenvector inside its allowable subspace
+    ker(Q1^T (A - lambda I)) (the same subspaces scipy's KNV0/YT
+    optimizers search); candidates are drawn over `maxiter`
+    deterministic trials and the best-conditioned eigenvector matrix is
+    kept, so the placement is exact while the gain may differ from
+    scipy's robustness-optimized one (any K with the requested spectrum
+    is a valid placement).  method is accepted for API compatibility.
+    """
+    if method not in ("YT", "KNV0"):
+        raise ValueError("method must be 'YT' or 'KNV0'")
+    A = np.atleast_2d(np.asarray(A, np.float64))
+    B = np.atleast_2d(np.asarray(B, np.float64))
+    n = A.shape[0]
+    if A.shape != (n, n) or B.shape[0] != n:
+        raise ValueError("A must be square and B must have matching rows")
+    poles = np.atleast_1d(np.asarray(poles, complex))
+    if poles.shape != (n,):
+        raise ValueError("exactly one pole per state is required")
+    # complex poles must come in conjugate pairs for a real gain
+    if not np.allclose(np.sort_complex(poles),
+                       np.sort_complex(np.conj(poles))):
+        raise ValueError("complex poles must come in conjugate pairs")
+    m = B.shape[1]
+    ctrb = np.hstack([np.linalg.matrix_power(A, k) @ B for k in range(n)])
+    if np.linalg.matrix_rank(ctrb) < n:
+        raise ValueError("the pair (A, B) is not controllable")
+
+    if m == 1:
+        # Ackermann: K = e_n^T C^-1 phi(A) — the unique SISO gain
+        b = B.reshape(-1, 1)
+        C = np.hstack([np.linalg.matrix_power(A, k) @ b for k in range(n)])
+        phi = np.real(np.poly(poles))
+        phiA = np.zeros_like(A)
+        for c in phi:
+            phiA = phiA @ A + c * np.eye(n)
+        e = np.zeros((1, n))
+        e[0, -1] = 1.0
+        K = e @ np.linalg.solve(C, phiA)
+        X = None
+        nb_iter = 0
+    else:
+        Q, _ = np.linalg.qr(B, mode="complete")
+        Q1 = Q[:, m:]
+        eye = np.eye(n)
+        bases = {}
+        order = []
+        pair_of = {}
+        seen = {}
+        for i, lam in enumerate(poles):
+            key = complex(np.conj(lam))
+            if key in seen and seen[key] is not None:
+                pair_of[i] = seen[key]
+                seen[key] = None  # each conjugate partner used once
+                continue
+            Mn = Q1.T @ (A - lam * eye)
+            _, _, Vh = np.linalg.svd(Mn)
+            bases[i] = Vh[n - m :, :].conj().T  # (n, m) allowed subspace
+            order.append(i)
+            seen[complex(lam)] = i
+        rng_local = np.random.default_rng(0)
+        best = None
+        nb_iter = 0
+        for _ in range(max(int(maxiter), 1)):
+            nb_iter += 1
+            X = np.zeros((n, n), complex)
+            for i in order:
+                v = bases[i] @ rng_local.normal(size=m)
+                X[:, i] = v / np.linalg.norm(v)
+            for i, j in pair_of.items():
+                X[:, i] = np.conj(X[:, j])
+            cond = np.linalg.cond(X)
+            if best is None or cond < best[0]:
+                best = (cond, X)
+            if best[0] < 1.0 / rtol:
+                break
+        cond, X = best
+        Lam = np.diag(poles)
+        K = np.linalg.lstsq(
+            B, np.real(A - X @ Lam @ np.linalg.inv(X)), rcond=None)[0]
+    computed = np.linalg.eigvals(A - B @ K)
+    return _PlacedPoles(K, computed, poles, X, rtol, nb_iter)

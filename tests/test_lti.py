@@ -380,3 +380,45 @@ class TestReviewFindings:
         w_in = np.array([0.1, 0.5, 1.0, 2.0])
         for g, r in zip(M.dbode(sysd, w=w_in), ss.dbode(sysd, w=w_in)):
             allc(np.asarray(g), np.asarray(r), rtol=1e-9, atol=1e-10)
+
+
+class TestPlacePoles:
+    """place_poles: SISO Ackermann (unique gain — exact scipy parity)
+    and MIMO subspace placement (exact spectrum; gain is a valid
+    placement, not scipy's robustness-optimized one)."""
+
+    def test_siso_exact(self):
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(4, 4))
+        b = rng.normal(size=(4, 1))
+        poles = np.array([-1.0, -2.0, -1.5 + 0.8j, -1.5 - 0.8j])
+        fp = M.place_poles(A, b, poles)
+        sp = ss.place_poles(A, b, poles)
+        allc(fp.gain_matrix, sp.gain_matrix, rtol=1e-8, atol=1e-10)
+        allc(np.sort_complex(fp.computed_poles), np.sort_complex(poles),
+             rtol=1e-7, atol=1e-8)
+
+    def test_mimo_places_spectrum(self):
+        rng = np.random.default_rng(1)
+        for _ in range(3):
+            A = rng.normal(size=(6, 6))
+            B = rng.normal(size=(6, 2))
+            poles = np.array([-1.0, -2.0, -3.0, -4.0, -0.5 + 1j, -0.5 - 1j])
+            fp = M.place_poles(A, B, poles)
+            allc(np.sort_complex(fp.computed_poles), np.sort_complex(poles),
+                 rtol=1e-6, atol=1e-7)
+            assert np.isrealobj(fp.gain_matrix)
+            assert fp.nb_iter >= 1
+
+    def test_validation(self):
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(4, 4))
+        B = rng.normal(size=(4, 2))
+        with pytest.raises(ValueError):
+            M.place_poles(np.zeros((2, 2)), np.zeros((2, 1)), [-1, -2])
+        with pytest.raises(ValueError):
+            M.place_poles(A, B, [-1, -2, -3, -4 + 1j])  # unpaired complex
+        with pytest.raises(ValueError):
+            M.place_poles(A, B, [-1, -2, -3])  # wrong count
+        with pytest.raises(ValueError):
+            M.place_poles(A, B, [-1, -2, -3, -4], method="bogus")
