@@ -10,9 +10,9 @@ slice-geometry bookkeeping is trace-time host math.
 Supported surface: from_window, stft, stft_detrend, spectrogram, istft,
 dual_win/invertible, scale_to/fac_magnitude/fac_psd, the slice-geometry
 properties (p_min/p_max/p_num/k_min/k_max, lower_border_end,
-upper_border_begin, t, f, delta_t, delta_f, extent).  Not implemented:
-the zoom-FFT variants of scipy >= 1.15 (`closest_STFT_dual_window` et
-al.).
+upper_border_begin, t, f, delta_t, delta_f, extent), plus
+closest_STFT_dual_window (per-residue-class affine projection onto the
+valid-dual set, exact scipy parity).
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ import numpy as np
 from godsp_tpu._dtypes import as_complex_array, default_float, put
 from godsp_tpu.fft.core import _fft_jit, _ifft_jit
 
-__all__ = ["ShortTimeFFT"]
+__all__ = ["ShortTimeFFT", "closest_STFT_dual_window"]
 
 _FFT_MODES = ("twosided", "centered", "onesided", "onesided2X")
 _PAD_MODES = {"zeros": "constant", "edge": "edge", "even": "reflect",
@@ -517,3 +517,49 @@ class ShortTimeFFT:
         if lo < 0 or hi > q_num:
             raise ValueError("requested sample range exceeds the slices in S")
         return full[..., lo:hi]
+
+
+def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
+                             scaled: bool = True):
+    """The valid STFT dual window closest to `desired_dual`
+    (scipy.signal.closest_STFT_dual_window): duals of (win, hop) form
+    an affine set — one biorthogonality constraint
+    sum_j win[m+j*hop] conj(d[m+j*hop]) = 1 per residue class m — so
+    the closest point is a per-class orthogonal projection.  With
+    scaled=True the returned pair is (d, alpha) minimizing
+    ||d - alpha*desired_dual|| jointly over valid d and the scalar."""
+    w = np.atleast_1d(np.asarray(win))
+    n = w.shape[0]
+    hop = int(hop)
+    if w.ndim != 1 or n == 0:
+        raise ValueError("win must be a nonempty 1-D array")
+    if not 1 <= hop <= n:
+        raise ValueError("hop must lie in [1, len(win)]")
+    d_des = (np.ones(n) if desired_dual is None
+             else np.atleast_1d(np.asarray(desired_dual)))
+    if d_des.shape != w.shape:
+        raise ValueError("desired_dual must have the window's shape")
+    cplx = np.iscomplexobj(w) or np.iscomplexobj(d_des)
+    dt = complex if cplx else float
+    w = w.astype(dt)
+    d_des = d_des.astype(dt)
+    q = np.zeros(hop, dt)
+    nrm = np.zeros(hop)
+    for m in range(hop):
+        q[m] = np.dot(w[m::hop], np.conj(d_des[m::hop]))
+        nrm[m] = np.real(np.dot(w[m::hop], np.conj(w[m::hop])))
+    if np.any(nrm == 0):
+        raise ValueError("window/hop leaves an all-zero residue class "
+                         "(gap) — no dual exists")
+    if scaled:
+        alpha = np.sum(q / nrm) / np.sum(np.abs(q) ** 2 / nrm)
+        alpha = complex(alpha) if cplx else float(np.real(alpha))
+    else:
+        alpha = 1.0
+    d = alpha * d_des
+    # the alpha*d_des term contributes conj(alpha)*q[m] to the class
+    # constraint sum w conj(d); the projection must close the remainder
+    for m in range(hop):
+        d[m::hop] = d[m::hop] + w[m::hop] * (
+            np.conj(1.0 - np.conj(alpha) * q[m]) / nrm[m])
+    return d, alpha

@@ -187,3 +187,51 @@ class TestZeroEdgeWindows:
         if mine.invertible:
             cmp(np.asarray(mine.istft(mine.stft(x), k1=237)),
                 np.asarray(ref.istft(r, k1=237)), 1e-9)
+
+
+class TestClosestDualWindow:
+    """closest_STFT_dual_window: per-residue-class affine projection —
+    exact scipy parity, real and complex, scaled and not."""
+
+    @pytest.mark.parametrize("scaled", [True, False])
+    def test_scipy_parity(self, scaled):
+        cases = [
+            (sw.hann(16, sym=False), 4, sw.boxcar(16)),
+            (sw.hann(16, sym=False), 4, sw.gaussian(16, 3)),
+            (sw.gaussian(18, 4), 5, None),
+        ]
+        from godsp_tpu.models import closest_STFT_dual_window
+
+        for w, hop, des in cases:
+            g, fa = closest_STFT_dual_window(w, hop, des, scaled=scaled)
+            r, fr = ss.closest_STFT_dual_window(w, hop, des, scaled=scaled)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=0, atol=1e-12)
+            assert abs(fa - fr) < 1e-12
+        wc = sw.gaussian(12, 3) * np.exp(1j * np.linspace(0, 1, 12))
+        g, fa = closest_STFT_dual_window(wc, 3, scaled=scaled)
+        r, fr = ss.closest_STFT_dual_window(wc, 3, scaled=scaled)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=0, atol=1e-12)
+
+    def test_result_is_valid_dual(self):
+        from godsp_tpu.models import ShortTimeFFT, closest_STFT_dual_window
+
+        w = sw.hann(16, sym=False)
+        d, _ = closest_STFT_dual_window(w, 4, sw.gaussian(16, 3))
+        # istft with this dual reconstructs exactly
+        x = np.random.default_rng(0).normal(size=100)
+        S = ShortTimeFFT(w, 4, fs=1.0, dual_win=np.asarray(d))
+        back = np.asarray(S.istft(S.stft(x), k1=100))
+        np.testing.assert_allclose(back, x, rtol=0, atol=1e-9)
+
+    def test_validation(self):
+        from godsp_tpu.models import closest_STFT_dual_window
+
+        with pytest.raises(ValueError):
+            closest_STFT_dual_window(np.ones(8), 0)
+        with pytest.raises(ValueError):
+            closest_STFT_dual_window(np.ones(8), 4, np.ones(7))
+        gap = np.r_[np.ones(2), np.zeros(2)]
+        with pytest.raises(ValueError):
+            closest_STFT_dual_window(np.tile(gap, 2), 4)
