@@ -22,3 +22,6 @@ __version__ = "0.1.0"
 from godsp_tpu import dsputils, fft, spectral, wav, window  # noqa: F401
 
 __all__ = ["dsputils", "fft", "spectral", "wav", "window", "__version__"]
+
+# scipy.signal.windows-style namespace (godsp_tpu.windows)
+from godsp_tpu.window import windows  # noqa: E402,F401

@@ -22,6 +22,7 @@ from godsp_tpu._dtypes import default_float
 __all__ = [
     "apply",
     "extended",
+    "windows",
     "get_window",
     "rectangular",
     "hamming",
@@ -172,3 +173,4 @@ def apply(x, window) -> jnp.ndarray:
 # Extended scipy-compatible window family (full catalogue + dispatcher).
 from godsp_tpu.window import extended  # noqa: E402
 from godsp_tpu.window.extended import get_window  # noqa: E402
+from godsp_tpu.window import windows  # noqa: E402  (scipy-style namespace)

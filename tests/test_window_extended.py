@@ -109,3 +109,43 @@ class TestGetWindow:
             f2, p2 = ss.welch(x, nperseg=256, window=wspec)
             np.testing.assert_allclose(np.asarray(p1), p2, rtol=1e-8,
                                        atol=1e-12)
+
+
+class TestWindowsNamespace:
+    """godsp_tpu.windows — the scipy.signal.windows-style namespace with
+    (M, sym) conventions for every catalogue window."""
+
+    CORE = ["boxcar", "bartlett", "blackman", "blackmanharris", "flattop",
+            "hamming", "hann", "nuttall"]
+
+    @pytest.mark.parametrize("sym", [True, False])
+    def test_core_names(self, sym):
+        from godsp_tpu import windows as W
+
+        for M in (1, 2, 8, 16, 51):
+            for name in self.CORE:
+                g = getattr(W, name)(M, sym=sym)
+                r = getattr(sw, name)(M, sym=sym)
+                allc(g, r, 1e-13)
+            allc(W.kaiser(M, 8.6, sym=sym), sw.kaiser(M, 8.6, sym=sym), 1e-13)
+            allc(W.general_cosine(M, [0.4, 0.5, 0.1], sym=sym),
+                 sw.general_cosine(M, [0.4, 0.5, 0.1], sym=sym), 1e-13)
+            allc(W.general_hamming(M, 0.6, sym=sym),
+                 sw.general_hamming(M, 0.6, sym=sym), 1e-13)
+
+    def test_kbd(self):
+        from godsp_tpu import windows as W
+
+        for M in (2, 8, 16, 50):
+            allc(W.kaiser_bessel_derived(M, 6.0),
+                 sw.kaiser_bessel_derived(M, 6.0), 1e-13)
+        with pytest.raises(ValueError):
+            W.kaiser_bessel_derived(9, 6.0)
+        with pytest.raises(ValueError):
+            W.kaiser_bessel_derived(8, 6.0, sym=False)
+
+    def test_namespace_completeness(self):
+        from godsp_tpu import windows as W
+
+        for name in sw.__all__:
+            assert hasattr(W, name), name
