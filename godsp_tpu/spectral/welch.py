@@ -132,6 +132,28 @@ def _csd_core(fx, fy, w, scale, nfft: int, onesided: bool,
     return p
 
 
+@partial(jax.jit,
+         static_argnames=("nperseg", "nfft", "stride", "interpret"))
+def _csd_fused_jit(x, y, w_ext, scale, nperseg: int, nfft: int, stride: int,
+                   interpret: bool = False):
+    """Fused conj(X)Y accumulation + reorder + doubling/scaling as ONE
+    program."""
+    from godsp_tpu.ops.pallas_csd import csd_power_partials
+    from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
+
+    total_segs = (x.shape[-1] - nperseg) // stride + 1
+    mask = jnp.ones(x.shape[:-1] + (total_segs,), jnp.float32)
+    re_p, im_p = csd_power_partials(x, y, mask, w_ext, nperseg, stride,
+                                    pad=nfft, interpret=interpret)
+    lp = nfft // 2 + 1
+    re = digit_to_natural_bins(re_p.sum(axis=-2), nfft)[..., :lp]
+    im = digit_to_natural_bins(im_p.sum(axis=-2), nfft)[..., :lp]
+    doubler = np.ones(lp)
+    doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+    return (jax.lax.complex(re, im) * jnp.asarray(doubler, re.dtype)
+            * (scale / total_segs))
+
+
 def welch_csd(
     x,
     y,
@@ -212,23 +234,12 @@ def welch_csd(
         if fused_path_eligible(nperseg, nfft, stride):
             # Fused cross-spectral kernel with the zero-extended periodic
             # window (same construction as _welch_fused).
-            from godsp_tpu.ops.pallas_csd import csd_power_partials
-            from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
-
-            total_segs = (x.shape[-1] - nperseg) // stride + 1
             w_ext = np.zeros(nfft)
             w_ext[:nperseg] = wt
-            mask = jnp.ones(x.shape[:-1] + (total_segs,), jnp.float32)
-            re_p, im_p = csd_power_partials(
-                x, y, mask, jnp.asarray(w_ext, fdt), nperseg, stride,
-                pad=nfft)
             lp = nfft // 2 + 1
-            re = digit_to_natural_bins(re_p.sum(axis=-2), nfft)[..., :lp]
-            im = digit_to_natural_bins(im_p.sum(axis=-2), nfft)[..., :lp]
-            doubler = np.ones(lp)
-            doubler[1 : lp - 1 + (nfft % 2)] = 2.0
-            pxy = (jax.lax.complex(re, im) * jnp.asarray(doubler, fdt)
-                   * (scale / total_segs))
+            pxy = _csd_fused_jit(x, y, jnp.asarray(w_ext, fdt),
+                                 jnp.asarray(scale, fdt), nperseg, nfft,
+                                 stride)
             freqs = jnp.arange(lp, dtype=fdt) * (float(fs) / nfft)
             return freqs, (jnp.moveaxis(pxy, -1, axis)
                            if pxy.ndim > 1 else pxy)
@@ -269,24 +280,34 @@ def welch_coherence(
     return freqs, (pxy.real**2 + pxy.imag**2) / (pxx * pyy)
 
 
+@partial(jax.jit,
+         static_argnames=("nperseg", "nfft", "stride", "interpret"))
+def _welch_fused_jit(x, w_ext, scale, nperseg: int, nfft: int, stride: int,
+                     interpret: bool):
+    """Kernel + doubling + scaling as ONE program — eager glue dispatches
+    cost ~0.2 s each on tunneled transports (see CLAUDE.md)."""
+    from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
+
+    total_segs = (x.shape[-1] - nperseg) // stride + 1
+    p = pwelch_power_sum(x, w_ext, nperseg, stride, total_segs, pad=nfft,
+                         interpret=interpret)
+    lp = nfft // 2 + 1
+    doubler = np.ones(lp)
+    doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+    return p * jnp.asarray(doubler, p.dtype) * (scale / total_segs)
+
+
 def _welch_fused(x, wt, nperseg: int, nfft: int, stride: int, scale, fdt,
                  interpret: bool = False):
     """scipy-welch through the fused Pallas Pwelch kernel: the periodic
     nperseg window zero-extended to nfft occupies the kernel's
     pad-length-window slot, reproducing window-then-zero-pad semantics
-    exactly; the kernel returns the one-sided power sum and the scipy
-    doubling/scaling applies outside."""
-    from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
-
-    total_segs = (x.shape[-1] - nperseg) // stride + 1
+    exactly."""
     w_ext = np.zeros(nfft)
     w_ext[:nperseg] = wt
-    p = pwelch_power_sum(x.astype(fdt), jnp.asarray(w_ext, fdt), nperseg,
-                         stride, total_segs, pad=nfft, interpret=interpret)
-    lp = nfft // 2 + 1
-    doubler = np.ones(lp)
-    doubler[1 : lp - 1 + (nfft % 2)] = 2.0
-    return p * jnp.asarray(doubler, fdt) * (scale / total_segs)
+    return _welch_fused_jit(x.astype(fdt), jnp.asarray(w_ext, fdt),
+                            jnp.asarray(scale, fdt), nperseg, nfft, stride,
+                            interpret)
 
 
 
@@ -402,6 +423,23 @@ def _spectrogram_core(frames, w, scale, nfft: int, onesided: bool,
     return p * scale  # psd
 
 
+@partial(jax.jit,
+         static_argnames=("nperseg", "nfft", "step", "n_frames", "interpret"))
+def _spectrogram_fused_jit(x, w_ext, scale, nperseg: int, nfft: int,
+                           step: int, n_frames: int,
+                           interpret: bool = False):
+    """Fused per-segment power + doubling/scaling/transpose as ONE
+    program (eager glue is ~0.2 s/op on tunneled transports)."""
+    from godsp_tpu.ops.pallas_stft import stft_pallas
+
+    p = stft_pallas(x, w_ext, nperseg, step, n_frames, pad=nfft, out="power",
+                    interpret=interpret)
+    lp = nfft // 2 + 1
+    doubler = np.ones(lp)
+    doubler[1 : lp - 1 + (nfft % 2)] = 2.0
+    return jnp.swapaxes(p * jnp.asarray(doubler, p.dtype) * scale, -1, -2)
+
+
 def spectrogram_scipy(
     x,
     fs: float = 1.0,
@@ -461,17 +499,13 @@ def spectrogram_scipy(
         from godsp_tpu.models.stft import _fused_stft_eligible
 
         if _fused_stft_eligible(nperseg, nfft, step):
-            from godsp_tpu.ops.pallas_stft import stft_pallas
-
             w_ext = np.zeros(nfft)
             w_ext[:nperseg] = wt
             n_frames = (x.shape[-1] - nperseg) // step + 1
-            p = stft_pallas(x, jnp.asarray(w_ext, fdt), nperseg, step,
-                            n_frames, pad=nfft, out="power")
             lp = nfft // 2 + 1
-            doubler = np.ones(lp)
-            doubler[1 : lp - 1 + (nfft % 2)] = 2.0
-            sxx = jnp.swapaxes(p * jnp.asarray(doubler, fdt) * scale, -1, -2)
+            sxx = _spectrogram_fused_jit(x, jnp.asarray(w_ext, fdt),
+                                         jnp.asarray(scale, fdt), nperseg,
+                                         nfft, step, n_frames)
             freqs = jnp.arange(lp, dtype=fdt) * (float(fs) / nfft)
             times = (jnp.arange(n_frames, dtype=fdt) * step
                      + nperseg / 2.0) / float(fs)

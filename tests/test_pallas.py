@@ -893,8 +893,8 @@ class TestFusedScipySpectrogram:
     def test_matches_scipy(self, geom):
         import scipy.signal as ss
 
-        from godsp_tpu.ops.pallas_stft import stft_pallas
-        from godsp_tpu.spectral.welch import _periodic_table_np
+        from godsp_tpu.spectral.welch import (_periodic_table_np,
+                                              _spectrogram_fused_jit)
 
         nperseg, nover, nfft = geom
         rng = np.random.default_rng(0)
@@ -904,14 +904,11 @@ class TestFusedScipySpectrogram:
         w_ext = np.zeros(nfft)
         w_ext[:nperseg] = wt
         n_frames = (len(x) - nperseg) // step + 1
-        p = stft_pallas(jnp.asarray(x), jnp.asarray(w_ext, jnp.float32),
-                        nperseg, step, n_frames, pad=nfft, out="power",
-                        interpret=True)
-        lp = nfft // 2 + 1
-        doubler = np.ones(lp)
-        doubler[1 : lp - 1 + (nfft % 2)] = 2.0
         scale = 1.0 / (2.0 * np.sum(wt * wt))
-        sxx = np.swapaxes(np.asarray(p) * doubler * scale, -1, -2)
+        sxx = np.asarray(_spectrogram_fused_jit(
+            jnp.asarray(x), jnp.asarray(w_ext, jnp.float32),
+            jnp.float32(scale), nperseg, nfft, step, n_frames,
+            interpret=True))
         _, _, ref = ss.spectrogram(x.astype(np.float64), fs=2.0,
                                    nperseg=nperseg, noverlap=nover,
                                    nfft=nfft, detrend=False)
@@ -927,9 +924,8 @@ class TestFusedScipyCsd:
     def test_matches_scipy(self, geom):
         import scipy.signal as ss
 
-        from godsp_tpu.ops.pallas_csd import csd_power_partials
-        from godsp_tpu.ops.pallas_pwelch import digit_to_natural_bins
-        from godsp_tpu.spectral.welch import _periodic_table_np
+        from godsp_tpu.spectral.welch import (_csd_fused_jit,
+                                              _periodic_table_np)
 
         nperseg, nover, nfft = geom
         rng = np.random.default_rng(0)
@@ -939,19 +935,10 @@ class TestFusedScipyCsd:
         stride = nperseg - nover
         w_ext = np.zeros(nfft)
         w_ext[:nperseg] = wt
-        total = (len(x) - nperseg) // stride + 1
-        mask = jnp.ones((total,), jnp.float32)
-        re_p, im_p = csd_power_partials(
-            jnp.asarray(x), jnp.asarray(y), mask,
-            jnp.asarray(w_ext, jnp.float32), nperseg, stride, pad=nfft,
-            interpret=True)
-        lp = nfft // 2 + 1
-        re = np.asarray(digit_to_natural_bins(re_p.sum(axis=-2), nfft))[:lp]
-        im = np.asarray(digit_to_natural_bins(im_p.sum(axis=-2), nfft))[:lp]
-        doubler = np.ones(lp)
-        doubler[1 : lp - 1 + (nfft % 2)] = 2.0
         scale = 1.0 / (2.0 * np.sum(wt * wt))
-        pxy = (re + 1j * im) * doubler * scale / total
+        pxy = np.asarray(_csd_fused_jit(
+            jnp.asarray(x), jnp.asarray(y), jnp.asarray(w_ext, jnp.float32),
+            jnp.float32(scale), nperseg, nfft, stride, interpret=True))
         _, ref = ss.csd(x.astype(np.float64), y.astype(np.float64), fs=2.0,
                         nperseg=nperseg, noverlap=nover, nfft=nfft,
                         detrend=False)
