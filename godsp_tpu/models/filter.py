@@ -333,6 +333,64 @@ def choose_conv_method(in1, in2, mode: str = "full", measure: bool = False):
     return "fft", {"fft": time.perf_counter() - t0}
 
 
+@partial(jax.jit, static_argnames=(
+    "n_out", "start", "stop", "squared", "residual", "is_complex"))
+def _envelope_jit(z, n_out: int, start: int, stop: int, squared: bool,
+                  residual, is_complex: bool):
+    """envelope's whole pipeline as ONE program (band select, baseband
+    inverse, magnitude, residual rebuild) — eager glue costs ~0.2 s per
+    op on tunneled transports."""
+    from godsp_tpu.fft.core import ifft as _ifft
+
+    n = z.shape[-1]
+    fak = n_out / n
+    Z = fft(as_complex_array(z))
+    if not is_complex:
+        wgt = np.zeros(n)
+        wgt[: n // 2 + 1] = 1.0
+        if start > 0:
+            wgt[start:stop] = 2.0
+        elif stop > 0:
+            wgt[1:stop] = 2.0
+        Z = Z * jnp.asarray(wgt, Z.real.dtype)
+    idx = np.arange(start, stop) % n
+    band = Z[..., jnp.asarray(idx)]
+    L = band.shape[-1]
+    bpad = jnp.pad(band, [(0, 0)] * (band.ndim - 1) + [(0, n_out - L)])
+    z_bb = _ifft(bpad) * fak
+    z_env = (z_bb.real**2 + z_bb.imag**2) if squared else jnp.abs(z_bb)
+    if residual is None:
+        return z_env
+    mask = np.ones(n)
+    mask[idx] = 0.0
+    if residual == "lowpass":
+        if stop > 0:
+            mask[stop : (n + 1) // 2] = 0.0
+        else:
+            mask[np.arange(start, (n + 1) // 2) % n] = 0.0
+    Zr = Z * jnp.asarray(mask, Z.real.dtype)
+    if is_complex:
+        from godsp_tpu.models.resample import _resample_jit
+
+        z_res = _resample_jit(Zr, n_out, False, None, "freq")
+    else:
+        half = Zr[..., : n // 2 + 1]
+        m = min(n, n_out)
+        if n_out != n and m % 2 == 0:
+            half = half.at[..., m // 2].multiply(2.0 if n_out < n else 0.5)
+        nbins = n_out // 2 + 1
+        if half.shape[-1] < nbins:
+            half = jnp.pad(half,
+                           [(0, 0)] * (half.ndim - 1)
+                           + [(0, nbins - half.shape[-1])])
+        else:
+            half = half[..., :nbins]
+        neg = jnp.conj(half[..., 1 : (n_out + 1) // 2][..., ::-1])
+        full = jnp.concatenate([half, neg], axis=-1)
+        z_res = jnp.real(_ifft(full)) * fak
+    return jnp.stack([z_env, z_res], axis=0)
+
+
 def envelope(z, bp_in: tuple = (1, None), *, n_out: int | None = None,
              squared: bool = False, residual: str | None = "lowpass",
              axis: int = -1):
@@ -355,69 +413,16 @@ def envelope(z, bp_in: tuple = (1, None), *, n_out: int | None = None,
     n_out = n if n_out is None else int(n_out)
     if n_out < 1:
         raise ValueError("n_out must be positive")
-    fak = n_out / n
     start = bp_in[0] if bp_in[0] is not None else -(n // 2)
     stop = bp_in[1] if bp_in[1] is not None else (n + 1) // 2
     if not -(n // 2) <= start < stop <= (n + 1) // 2:
         raise ValueError("need -n//2 <= bp_in[0] < bp_in[1] <= (n+1)//2")
-
-    is_complex = z.dtype.kind == "c"
-    Z = fft(as_complex_array(z))
-    if not is_complex:
-        # real input: zero the negative bins, double the in-band ones
-        # (the analytic-signal weighting restricted to the band)
-        wgt = np.zeros(n)
-        wgt[: n // 2 + 1] = 1.0
-        if start > 0:
-            wgt[start:stop] = 2.0
-        elif stop > 0:
-            wgt[1:stop] = 2.0
-        Z = Z * jnp.asarray(wgt, Z.real.dtype)
-
-    # baseband the selected band (bins start..stop-1, cyclic) and
-    # inverse-transform at length n_out
-    idx = np.arange(start, stop) % n
-    band = Z[..., jnp.asarray(idx)]
-    L = band.shape[-1]
-    if L > n_out:
+    if stop - start > n_out:
         raise ValueError("n_out must be at least the bandwidth of bp_in")
-    bpad = jnp.pad(band, [(0, 0)] * (band.ndim - 1) + [(0, n_out - L)])
-    from godsp_tpu.fft.core import ifft as _ifft
-
-    z_bb = _ifft(bpad) * fak  # reference ifft already includes the 1/N
-    z_env = (z_bb.real**2 + z_bb.imag**2) if squared else jnp.abs(z_bb)
-    z_env = jnp.moveaxis(z_env, -1, axis)
+    out = _envelope_jit(z, n_out, start, stop, bool(squared), residual,
+                        z.dtype.kind == "c")
     if residual is None:
-        return z_env
-
-    # residual spectrum: zero the band; 'lowpass' additionally zeros
-    # everything from the band's top edge up to Nyquist
-    mask = np.ones(n)
-    mask[idx] = 0.0
-    if residual == "lowpass":
-        if stop > 0:
-            mask[stop : (n + 1) // 2] = 0.0
-        else:
-            mask[np.arange(start, (n + 1) // 2) % n] = 0.0
-    Zr = Z * jnp.asarray(mask, Z.real.dtype)
-    if is_complex:
-        from godsp_tpu.models.resample import resample as _resample
-
-        z_res = _resample(Zr, n_out, domain="freq")
-    else:
-        # real inverse from the non-negative bins (irfft(Zr, n_out)*fak)
-        half = Zr[..., : n // 2 + 1]
-        m = min(n, n_out)
-        if n_out != n and m % 2 == 0:
-            half = half.at[..., m // 2].multiply(2.0 if n_out < n else 0.5)
-        nbins = n_out // 2 + 1
-        if half.shape[-1] < nbins:
-            half = jnp.pad(half,
-                           [(0, 0)] * (half.ndim - 1)
-                           + [(0, nbins - half.shape[-1])])
-        else:
-            half = half[..., :nbins]
-        neg = jnp.conj(half[..., 1 : (n_out + 1) // 2][..., ::-1])
-        full = jnp.concatenate([half, neg], axis=-1)
-        z_res = jnp.real(_ifft(full)) * fak
-    return jnp.stack([z_env, jnp.moveaxis(z_res, -1, axis)], axis=0)
+        return jnp.moveaxis(out, -1, axis)
+    # the stacked (env, residual) output has a new leading axis, so a
+    # non-negative target shifts by one
+    return jnp.moveaxis(out, -1, axis + 1 if axis >= 0 else axis)

@@ -56,6 +56,81 @@ def _ola_jit(segs, dual, hop: int, m_num: int, total: int):
         vals.reshape(vals.shape[:-2] + (-1,)))
 
 
+@partial(jax.jit, static_argnames=(
+    "hop", "m_num", "mfft", "p_num", "pad_lo", "pad_hi", "start", "klen",
+    "pad_mode", "odd_reflect", "fft_mode", "f_pts", "p_s", "psd_scaled"))
+def _stft_full_jit(x, win, hop: int, m_num: int, mfft: int, p_num: int,
+                   pad_lo: int, pad_hi: int, start: int, klen: int,
+                   pad_mode: str, odd_reflect: bool, fft_mode: str,
+                   f_pts: int, p_s, psd_scaled: bool):
+    """The whole stft pipeline as ONE program: border pad, frame gather,
+    window, FFT, phase factor, fft-mode shaping, (f, p) layout — eager
+    glue costs ~0.2 s per op on tunneled transports."""
+    if pad_lo or pad_hi:
+        padw = [(0, 0)] * (x.ndim - 1) + [(pad_lo, pad_hi)]
+        kw = {"reflect_type": "odd"} if odd_reflect else {}
+        x = jnp.pad(x, padw, mode=pad_mode, **kw)
+    x = jax.lax.slice_in_dim(x, start, start + klen, axis=-1)
+    idx = (jnp.arange(p_num)[:, None] * hop + jnp.arange(m_num)[None, :])
+    frames = x[..., idx] * win
+    if mfft > m_num:
+        frames = jnp.pad(
+            frames, [(0, 0)] * (frames.ndim - 1) + [(0, mfft - m_num)])
+    S = _fft_jit(as_complex_array(frames))
+    if p_s is not None:
+        k = np.arange(mfft)
+        ph = np.exp(2j * np.pi * p_s * k / mfft)
+        if not np.allclose(ph, 1.0):
+            S = S * jnp.asarray(ph, S.dtype)
+    if fft_mode == "centered":
+        S = jnp.fft.fftshift(S, axes=-1)
+    elif fft_mode in ("onesided", "onesided2X"):
+        S = S[..., :f_pts]
+        if fft_mode == "onesided2X":
+            fac = np.ones(f_pts)
+            hi = f_pts - 1 if mfft % 2 == 0 else f_pts
+            fac[1:hi] = np.sqrt(2) if psd_scaled else 2.0
+            S = S * jnp.asarray(fac, S.real.dtype)
+    return jnp.moveaxis(S, -1, -2)  # (..., f, p)
+
+
+@partial(jax.jit, static_argnames=(
+    "hop", "m_num", "mfft", "fft_mode", "f_pts", "p_s", "psd_scaled",
+    "q_num", "lo", "hi"))
+def _istft_full_jit(S, dual, hop: int, m_num: int, mfft: int, fft_mode: str,
+                    f_pts: int, p_s, psd_scaled: bool, q_num: int,
+                    lo: int, hi: int):
+    """The whole istft pipeline as ONE program: mode undo, Hermitian
+    rebuild, phase divide, inverse FFT, dual-window overlap-add, range
+    slice."""
+    S = jnp.moveaxis(S, -2, -1)  # (..., p, f)
+    if fft_mode == "centered":
+        S = jnp.fft.ifftshift(S, axes=-1)
+    elif fft_mode in ("onesided", "onesided2X"):
+        if fft_mode == "onesided2X":
+            fac = np.ones(f_pts)
+            top = f_pts - 1 if mfft % 2 == 0 else f_pts
+            fac[1:top] = np.sqrt(2) if psd_scaled else 2.0
+            S = S / jnp.asarray(fac, S.real.dtype)
+        neg = jnp.conj(S[..., 1 : (mfft + 1) // 2][..., ::-1])
+        S = jnp.concatenate([S, neg], axis=-1)
+    if p_s is not None:
+        k = np.arange(mfft)
+        ph = np.exp(2j * np.pi * p_s * k / mfft)
+        if not np.allclose(ph, 1.0):
+            S = S / jnp.asarray(ph, S.dtype)
+    segs = _ifft_jit(S)[..., :m_num]
+    if fft_mode in ("onesided", "onesided2X"):
+        segs = jnp.real(segs)
+    vals = segs * dual.astype(segs.dtype)
+    p_num = vals.shape[-2]
+    idx = (jnp.arange(p_num)[:, None] * hop + jnp.arange(m_num)[None, :])
+    out = jnp.zeros(vals.shape[:-2] + (q_num,), vals.dtype)
+    out = out.at[..., idx.reshape(-1)].add(
+        vals.reshape(vals.shape[:-2] + (-1,)))
+    return out[..., lo:hi]
+
+
 class ShortTimeFFT:
     """scipy.signal.ShortTimeFFT-compatible sliding STFT (see module
     docstring; scipy conventions: slice p covers samples
@@ -376,34 +451,15 @@ class ShortTimeFFT:
         k1 = (p1 - 1) * self._hop - self.m_num_mid + self.m_num + k_offset
         pad_lo = max(0, -k0)
         pad_hi = max(0, k1 - n)
-        if pad_lo or pad_hi:
-            padw = [(0, 0)] * (x.ndim - 1) + [(pad_lo, pad_hi)]
-            kw = {}
-            mode = _PAD_MODES[padding]
-            if padding == "odd":
-                kw = {"reflect_type": "odd"}
-            xpad = jnp.pad(x, padw, mode=mode, **kw)
-        else:
-            xpad = x
         start = k0 + pad_lo
-        xsl = xpad[..., start : start + (k1 - k0)] if start or (
-            xpad.shape[-1] != k1 - k0) else xpad
         win = jnp.asarray(self._win, x.real.dtype)
-        S = _frames_fft_jit(xsl, win, self._hop, self.m_num, self._mfft,
-                            p1 - p0)
-        ph = self._phase_factor(p0, p1 - p0)
-        if ph is not None and not np.allclose(ph, 1.0):
-            S = S * jnp.asarray(ph, S.dtype)
-        if self._fft_mode == "centered":
-            S = jnp.fft.fftshift(S, axes=-1)
-        elif self.onesided_fft:
-            S = S[..., : self.f_pts]
-            if self._fft_mode == "onesided2X":
-                fac = np.ones(self.f_pts)
-                hi = self.f_pts - 1 if self._mfft % 2 == 0 else self.f_pts
-                fac[1:hi] = np.sqrt(2) if self._scaling == "psd" else 2.0
-                S = S * jnp.asarray(fac, S.real.dtype)
-        S = jnp.moveaxis(S, -1, -2)  # (..., f, p)
+        p_s = (None if self._phase_shift is None
+               else (self._phase_shift + self.m_num_mid) % self.m_num)
+        S = _stft_full_jit(
+            x, win, self._hop, self.m_num, self._mfft, p1 - p0,
+            pad_lo, pad_hi, start, k1 - k0, _PAD_MODES[padding],
+            padding == "odd", self._fft_mode, self.f_pts, p_s,
+            self._scaling == "psd")
         # scipy layout: f takes the signal axis's position, p goes last
         if S.ndim > 2:
             S = jnp.moveaxis(S, -2, ax)
@@ -490,33 +546,19 @@ class ShortTimeFFT:
         if k1 is None:
             k1 = self.k_min + q_num - (self.m_num - self.m_num_mid - 1) - 1
             k1 = max(k1, k0 + 1)
-        S = jnp.moveaxis(S, -2, -1)  # (..., p, f)
-        if self._fft_mode == "centered":
-            S = jnp.fft.ifftshift(S, axes=-1)
-        elif self.onesided_fft:
-            if self._fft_mode == "onesided2X":
-                fac = np.ones(self.f_pts)
-                hi = self.f_pts - 1 if self._mfft % 2 == 0 else self.f_pts
-                fac[1:hi] = np.sqrt(2) if self._scaling == "psd" else 2.0
-                S = S / jnp.asarray(fac, S.real.dtype)
-            neg = jnp.conj(S[..., 1 : (self._mfft + 1) // 2][..., ::-1])
-            S = jnp.concatenate([S, neg], axis=-1)
-        ph = self._phase_factor(0, p_num)
-        if ph is not None and not np.allclose(ph, 1.0):
-            S = S / jnp.asarray(ph, S.dtype)
-        segs = _ifft_jit(S)[..., : self.m_num]
-        # onesided modes reconstruct a real signal; the twosided/centered
-        # inverses stay complex (scipy returns complex dtype there even
-        # for real inputs)
-        if self.onesided_fft:
-            segs = jnp.real(segs)
-        dual = jnp.asarray(self.dual_win, segs.real.dtype)
-        full = _ola_jit(segs, dual, self._hop, self.m_num, q_num)
         lo = k0 - self.k_min
         hi = k1 - self.k_min
         if lo < 0 or hi > q_num:
             raise ValueError("requested sample range exceeds the slices in S")
-        return full[..., lo:hi]
+        p_s = (None if self._phase_shift is None
+               else (self._phase_shift + self.m_num_mid) % self.m_num)
+        # onesided modes reconstruct a real signal; the twosided/centered
+        # inverses stay complex (scipy returns complex dtype there even
+        # for real inputs)
+        dual = jnp.asarray(self.dual_win)
+        return _istft_full_jit(S, dual, self._hop, self.m_num, self._mfft,
+                               self._fft_mode, self.f_pts, p_s,
+                               self._scaling == "psd", q_num, lo, hi)
 
 
 def closest_STFT_dual_window(win, hop: int, desired_dual=None, *,
