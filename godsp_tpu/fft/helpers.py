@@ -9,6 +9,8 @@ All batched over leading axes and jit-compatible.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,52 +88,56 @@ def hilbert(x, N: int | None = None, axis: int = -1) -> jax.Array:
     return jnp.moveaxis(ifft(X * jnp.asarray(h, dtype=X.real.dtype)), -1, axis)
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _rfft_jit(x, n: int):
+    from godsp_tpu.fft.core import _fft_real_jit
+
+    cur = x.shape[-1]
+    if n < cur:
+        x = x[..., :n]
+    elif n > cur:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - cur)])
+    return _fft_real_jit(x, axis=-1)[..., : n // 2 + 1]
+
+
 def rfft(x, n: int | None = None, axis: int = -1) -> jax.Array:
     """One-sided FFT of real input (scipy.fft.rfft semantics: n//2 + 1
     bins; n pads/truncates before transforming).  Rides the real-input
-    kernel path of fft_real."""
-    from godsp_tpu.fft.core import fft_real
-
+    kernel path; the resize/transform/slice run as one program."""
     x = put(x)
     if x.dtype.kind == "c":
         raise ValueError("rfft expects real input")
     x = jnp.moveaxis(x, axis, -1)
-    if n is not None:
-        n = int(n)
-        if n < 1:
-            raise ValueError("n must be >= 1")
-        cur = x.shape[-1]
-        if n < cur:
-            x = x[..., :n]
-        elif n > cur:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - cur)])
-    m = x.shape[-1]
-    X = fft_real(x)[..., : m // 2 + 1]
-    return jnp.moveaxis(X, -1, axis)
-
-
-def irfft(X, n: int | None = None, axis: int = -1) -> jax.Array:
-    """Real inverse of rfft (scipy.fft.irfft: output length n, default
-    2*(bins-1)); rebuilds the Hermitian spectrum and inverts through the
-    kernel chain."""
-    from godsp_tpu._dtypes import as_complex_array
-    from godsp_tpu.fft.core import ifft
-
-    X = put(X)
-    X = jnp.moveaxis(as_complex_array(X), axis, -1)
-    bins = X.shape[-1]
-    n = 2 * (bins - 1) if n is None else int(n)
+    n = x.shape[-1] if n is None else int(n)
     if n < 1:
         raise ValueError("n must be >= 1")
+    return jnp.moveaxis(_rfft_jit(x, n), -1, axis)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _irfft_jit(X, n: int):
+    from godsp_tpu.fft.core import _ifft_jit
+
     nb = n // 2 + 1
     if X.shape[-1] < nb:
         X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, nb - X.shape[-1])])
     else:
         X = X[..., :nb]
     neg = jnp.conj(X[..., 1 : (n + 1) // 2][..., ::-1])
-    full = jnp.concatenate([X, neg], axis=-1)
-    out = jnp.real(ifft(full))
-    return jnp.moveaxis(out, -1, axis)
+    return jnp.real(_ifft_jit(jnp.concatenate([X, neg], axis=-1)))
+
+
+def irfft(X, n: int | None = None, axis: int = -1) -> jax.Array:
+    """Real inverse of rfft (scipy.fft.irfft: output length n, default
+    2*(bins-1)); Hermitian rebuild + inverse as one program."""
+    from godsp_tpu._dtypes import as_complex_array
+
+    X = put(X)
+    X = jnp.moveaxis(as_complex_array(X), axis, -1)
+    n = 2 * (X.shape[-1] - 1) if n is None else int(n)
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    return jnp.moveaxis(_irfft_jit(X, n), -1, axis)
 
 
 def hfft(x, n: int | None = None, axis: int = -1) -> jax.Array:

@@ -70,6 +70,15 @@ def _spline_filter_jit(x, dc: float, ac: float, lamb: float):
     return idct(dct(x) / den)
 
 
+@partial(jax.jit, static_argnames=("dc", "ac", "lamb"))
+def _spline_filter2d_jit(x, dc: float, ac: float, lamb: float):
+    """Both separable passes in ONE program (no eager transposes)."""
+    c = _spline_filter_jit(x, dc, ac, lamb)
+    c = jnp.swapaxes(c, -1, -2)
+    c = _spline_filter_jit(c, dc, ac, lamb)
+    return jnp.swapaxes(c, -1, -2)
+
+
 def cspline1d(signal, lamb: float = 0.0) -> jax.Array:
     """Cubic-spline coefficients of the trailing axis with
     mirror-symmetric boundary (scipy.signal.cspline1d semantics; the
@@ -106,8 +115,12 @@ def cspline2d(signal, lamb: float = 0.0, precision: float = -1.0) -> jax.Array:
     x = put(signal)
     if x.ndim < 2:
         raise ValueError("cspline2d needs a 2-D input")
-    c = cspline1d(x, lamb)
-    return jnp.swapaxes(cspline1d(jnp.swapaxes(c, -1, -2), lamb), -1, -2)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(default_float())
+    if min(x.shape[-2:]) <= 1:
+        c = cspline1d(x, lamb)
+        return jnp.swapaxes(cspline1d(jnp.swapaxes(c, -1, -2), lamb), -1, -2)
+    return _spline_filter2d_jit(x, 4.0 / 6.0, 2.0 / 6.0, float(lamb))
 
 
 def qspline2d(signal, lamb: float = 0.0, precision: float = -1.0) -> jax.Array:
@@ -115,8 +128,12 @@ def qspline2d(signal, lamb: float = 0.0, precision: float = -1.0) -> jax.Array:
     x = put(signal)
     if x.ndim < 2:
         raise ValueError("qspline2d needs a 2-D input")
-    c = qspline1d(x, lamb)
-    return jnp.swapaxes(qspline1d(jnp.swapaxes(c, -1, -2), lamb), -1, -2)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(default_float())
+    if min(x.shape[-2:]) <= 1:
+        c = qspline1d(x, lamb)
+        return jnp.swapaxes(qspline1d(jnp.swapaxes(c, -1, -2), lamb), -1, -2)
+    return _spline_filter2d_jit(x, 6.0 / 8.0, 2.0 / 8.0, 0.0)
 
 
 def spline_filter(Iin, lmbda: float = 5.0) -> jax.Array:
