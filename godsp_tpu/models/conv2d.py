@@ -53,6 +53,30 @@ def _conv2_full_jit(a, b, mode: str, real_out: bool, flip: bool):
     return jnp.real(full) if real_out else full
 
 
+@partial(jax.jit,
+         static_argnames=("mode", "real_out", "flip", "pad_mode", "fill"))
+def _conv2_boundary_jit(a, b, mode: str, real_out: bool, flip: bool,
+                        pad_mode: str, fill):
+    """Boundary-extended convolution as ONE program: pad, full
+    convolution of the padded problem, cut back to the original full
+    window, then the mode crop."""
+    s1, s2 = a.shape[-2], a.shape[-1]
+    k1, k2 = b.shape[-2], b.shape[-1]
+    padw = [(0, 0)] * (a.ndim - 2) + [(k1 - 1, k1 - 1), (k2 - 1, k2 - 1)]
+    kw = {"constant_values": fill} if pad_mode == "constant" else {}
+    a_p = jnp.pad(a, padw, mode=pad_mode, **kw)
+    full_p = _conv2_full_jit(a_p, b, "full", real_out, flip)
+    full = full_p[..., k1 - 1 : k1 - 1 + s1 + k1 - 1,
+                  k2 - 1 : k2 - 1 + s2 + k2 - 1]
+    if mode == "same":
+        r0 = k1 // 2 if flip else (k1 - 1) // 2
+        c0 = k2 // 2 if flip else (k2 - 1) // 2
+        return full[..., r0 : r0 + s1, c0 : c0 + s2]
+    if mode == "valid":
+        return full[..., k1 - 1 : s1, k2 - 1 : s2]
+    return full
+
+
 def _conv2(in1, in2, mode: str, boundary: str, fillvalue, flip: bool):
     if mode not in ("full", "same", "valid"):
         raise ValueError(f"unknown mode: {mode}")
@@ -76,27 +100,14 @@ def _conv2(in1, in2, mode: str, boundary: str, fillvalue, flip: bool):
     fv = np.asarray(fillvalue)
     if fv.size != 1:
         raise ValueError("fillvalue must be a scalar")
-    pre = boundary != "fill" or bool(fv.ravel()[0] != 0)
-    if pre:
-        padw = [(0, 0)] * (a.ndim - 2) + [(k1 - 1, k1 - 1), (k2 - 1, k2 - 1)]
-        kw = {"constant_values": fillvalue} if boundary == "fill" else {}
-        a_p = jnp.pad(a, padw, mode=_BOUNDARY_PAD[boundary], **kw)
-        # full output of the padded problem, then cut back to the
-        # original full window before applying the mode crop
-        full_p = _conv2_full_jit(a_p, b, "full",
-                                 a.dtype.kind != "c" and b.dtype.kind != "c",
-                                 flip)
-        full = full_p[..., k1 - 1 : k1 - 1 + s1 + k1 - 1,
-                      k2 - 1 : k2 - 1 + s2 + k2 - 1]
-        if mode == "same":
-            r0 = k1 // 2 if flip else (k1 - 1) // 2
-            c0 = k2 // 2 if flip else (k2 - 1) // 2
-            return full[..., r0 : r0 + s1, c0 : c0 + s2]
-        if mode == "valid":
-            return full[..., k1 - 1 : s1, k2 - 1 : s2]
-        return full
-    return _conv2_full_jit(a, b, mode,
-                           a.dtype.kind != "c" and b.dtype.kind != "c", flip)
+    real_out = a.dtype.kind != "c" and b.dtype.kind != "c"
+    if boundary != "fill" or bool(fv.ravel()[0] != 0):
+        f0 = fv.ravel()[0]
+        fill = (complex(f0) if a.dtype.kind == "c" else float(f0.real)) \
+            if boundary == "fill" else 0.0
+        return _conv2_boundary_jit(a, b, mode, real_out, flip,
+                                   _BOUNDARY_PAD[boundary], fill)
+    return _conv2_full_jit(a, b, mode, real_out, flip)
 
 
 def convolve2d(in1, in2, mode: str = "full", boundary: str = "fill",
