@@ -235,3 +235,46 @@ class TestClosestDualWindow:
         gap = np.r_[np.ones(2), np.zeros(2)]
         with pytest.raises(ValueError):
             closest_STFT_dual_window(np.tile(gap, 2), 4)
+
+
+class TestRandomizedConfigSweep:
+    """Seeded random sweep over (window, hop, mfft, mode, padding)
+    configurations — parity of geometry, stft values, and istft round
+    trips against scipy on every draw."""
+
+    def test_sweep(self):
+        rng = np.random.default_rng(1234)
+        x = rng.normal(size=193)
+        modes = ["twosided", "centered", "onesided"]
+        pads = ["zeros", "edge", "even", "odd"]
+        for trial in range(25):
+            wlen = int(rng.integers(4, 24))
+            hop = int(rng.integers(1, wlen + 1))
+            extra = int(rng.integers(0, 9))
+            mfft = wlen + extra
+            mode = modes[int(rng.integers(0, len(modes)))]
+            pad = pads[int(rng.integers(0, len(pads)))]
+            wkind = int(rng.integers(0, 3))
+            w = [sw.gaussian(wlen, wlen / 4, sym=True),
+                 sw.hann(wlen, sym=False) if wlen > 1 else np.ones(1),
+                 sw.triang(wlen)][wkind]
+            pshift = [0, None, min(2, mfft - 1)][int(rng.integers(0, 3))]
+            mine = ShortTimeFFT(w, hop=hop, fs=7.0, fft_mode=mode,
+                                mfft=mfft, phase_shift=pshift)
+            ref = ss.ShortTimeFFT(w, hop=hop, fs=7.0, fft_mode=mode,
+                                  mfft=mfft, phase_shift=pshift)
+            n = len(x)
+            info = (trial, wlen, hop, mfft, mode, pad, wkind, pshift)
+            assert mine.p_min == ref.p_min, info
+            assert mine.p_max(n) == ref.p_max(n), info
+            assert mine.lower_border_end == ref.lower_border_end, info
+            assert mine.upper_border_begin(n) == ref.upper_border_begin(n), \
+                info
+            g = np.asarray(mine.stft(x, padding=pad))
+            r = ref.stft(x, padding=pad)
+            assert g.shape == np.shape(r), info
+            np.testing.assert_allclose(g, r, rtol=0, atol=1e-8, err_msg=str(info))
+            if mine.invertible:
+                back = np.asarray(mine.istft(mine.stft(x), k1=n))
+                np.testing.assert_allclose(back, x, rtol=0, atol=1e-8,
+                                           err_msg=str(info))
