@@ -7,8 +7,8 @@ Kernels: Stockham autosort radix-2 (stockham.py) and Bluestein chirp-z
 
 from godsp_tpu.fft.bluestein import bluestein_fft
 from godsp_tpu.fft.fftlog import fht, fhtoffset, ifht
-from godsp_tpu.fft.czt import CZT, ZoomFFT, czt, czt_points, zoom_fft
-from godsp_tpu.fft.dct import dct, dctn, dst, dstn, idct, idctn, idst, idstn
+from godsp_tpu.fft._czt_impl import CZT, ZoomFFT, czt, czt_points, zoom_fft
+from godsp_tpu.fft._dct_impl import dct, dctn, dst, dstn, idct, idctn, idst, idstn
 from godsp_tpu.fft.core import (
     convolve,
     ensure_radix2_factors,

@@ -115,7 +115,7 @@ def _stft_jit(x, w, nfft: int, hop: int, pad: int, onesided: bool):
 
 
 def _fused_stft_eligible(nfft: int, pad: int, hop: int) -> bool:
-    from godsp_tpu.spectral.pwelch import fused_path_eligible
+    from godsp_tpu.spectral._pwelch_impl import fused_path_eligible
 
     return fused_path_eligible(nfft, pad, hop)
 

@@ -370,7 +370,7 @@ def _envelope_jit(z, n_out: int, start: int, stop: int, squared: bool,
             mask[np.arange(start, (n + 1) // 2) % n] = 0.0
     Zr = Z * jnp.asarray(mask, Z.real.dtype)
     if is_complex:
-        from godsp_tpu.models.resample import _resample_jit
+        from godsp_tpu.models._resample_impl import _resample_jit
 
         z_res = _resample_jit(Zr, n_out, False, None, "freq")
     else:

@@ -294,7 +294,7 @@ def firwin_2d(hsize, window, *, fc=None, fs: float = 2.0,
     separable (outer product of two 1-D firwin designs, window a
     2-tuple of specs) or circularly symmetric (radial linear
     interpolation of an 8x-oversampled 1-D design)."""
-    from godsp_tpu.models.resample import firwin
+    from godsp_tpu.models._resample_impl import firwin
 
     if len(hsize) != 2:
         raise ValueError("hsize must be a 2-element tuple or list")

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from godsp_tpu._dtypes import as_real_array, default_float
-from godsp_tpu.models.stft import (
+from godsp_tpu.models._stft_impl import (
     WindowSpec,
     _fused_stft_eligible,
     _fused_window,

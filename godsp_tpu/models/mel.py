@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from godsp_tpu._dtypes import default_float, put
-from godsp_tpu.fft.dct import dct
-from godsp_tpu.models.stft import WindowSpec, spectrogram
+from godsp_tpu.fft._dct_impl import dct
+from godsp_tpu.models._stft_impl import WindowSpec, spectrogram
 
 __all__ = ["mel_filterbank", "mel_spectrogram", "mfcc", "stream_mel"]
 
@@ -93,7 +93,7 @@ def mel_spectrogram(
     applies ln(mel + eps).
     """
     from godsp_tpu._dtypes import as_real_array
-    from godsp_tpu.models.stft import _fused_stft_eligible, _fused_window, _resolve_window
+    from godsp_tpu.models._stft_impl import _fused_stft_eligible, _fused_window, _resolve_window
 
     fb = mel_filterbank(n_mels, nfft, fs, fmin, fmax, norm)
     x = as_real_array(x)
@@ -118,7 +118,7 @@ def mel_spectrogram(
         and _fused_stft_eligible(nfft, nfft, nfft)
     ):
         # Odd hop: XLA framing + the fused mel kernel at stride == nfft.
-        from godsp_tpu.models.stft import stft_frames
+        from godsp_tpu.models._stft_impl import stft_frames
         from godsp_tpu.ops.pallas_stft import stft_pallas
 
         w = _resolve_window(window, nfft, x.dtype)
@@ -152,12 +152,12 @@ def stream_mel(
 
     The analysis mirror of models.stream_istft for hours-long audio: the
     (< nfft)-sample tail behind each block's last frame start is carried
-    on the host (models.stft._StreamingFramer), so the concatenation of
+    on the host (models._stft_impl._StreamingFramer), so the concatenation of
     the yielded blocks equals mel_spectrogram of the concatenated
     signal exactly.  Block lengths that are a multiple of hop keep one
     compiled program after the first chunk.
     """
-    from godsp_tpu.models.stft import _StreamingFramer
+    from godsp_tpu.models._stft_impl import _StreamingFramer
 
     hop_r = nfft // 2 if hop is None else hop
     if hop_r <= 0:

@@ -22,7 +22,7 @@ from jax.sharding import Mesh
 
 from godsp_tpu import wav as wavmod
 from godsp_tpu.parallel.streaming import StreamingPwelch
-from godsp_tpu.spectral.pwelch import PwelchOptions
+from godsp_tpu.spectral._pwelch_impl import PwelchOptions
 
 __all__ = ["WavPsdResult", "spectra_to_wav", "spectrogram_from_wav", "wav_psd"]
 
@@ -87,7 +87,7 @@ def spectrogram_from_wav(
     Reads up to max_samples (default: all) into one device batch; for
     hours-long inputs use wav_psd's streaming path instead.
     """
-    from godsp_tpu.models.stft import spectrogram
+    from godsp_tpu.models._stft_impl import spectrogram
 
     w = wavmod.read_wav(src)
     n = w.samples if max_samples is None else min(w.samples, max_samples)
@@ -121,7 +121,7 @@ def spectra_to_wav(
     mono file; a single leading channel axis writes multichannel.
     Returns the number of samples (per channel) written.
     """
-    from godsp_tpu.models.stft import stream_istft
+    from godsp_tpu.models._stft_impl import stream_istft
 
     writer = None
     written = 0

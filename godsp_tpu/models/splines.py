@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from godsp_tpu._dtypes import default_float, put
-from godsp_tpu.fft.dct import dct, idct
+from godsp_tpu.fft._dct_impl import dct, idct
 
 __all__ = [
     "cspline1d",

@@ -38,7 +38,7 @@ digit order end-to-end and skip both).
 Geometry: pad = FFT length in ops.pallas_fft.supported_size with the
 lane-slice structure (pad <= 8192), nfft % 128 == 0, lane-aligned hop
 (hop % 128 == 0, nfft % hop == 0).  Anything else falls back to the
-XLA ISTFT (models/stft.py:_istft_jit).
+XLA ISTFT (models/_stft_impl.py:_istft_jit).
 
 The reference library has no synthesis path (spectral/pwelch.go stops
 at PSD); semantics follow models.stft.istft's least-squares
@@ -144,7 +144,7 @@ def _istft_kernel(
         C.append(_karatsuba_g(ar, ai, k1, tabs))
     Y = _dft_slices(C, inverse=True)
     # Natural-order time samples; frames were zero-extended to pad on
-    # analysis, synthesis reads back the first nfft (models/stft.py:135).
+    # analysis, synthesis reads back the first nfft (models/_stft_impl.py:135).
     y = jnp.concatenate([Y[i1][0] for i1 in range(n1f)], axis=1)
     yw = y * w_ref[:]  # (bt, nfft)
 

@@ -6,10 +6,10 @@ parallelism over the time axis ("sp") with halo exchange (ppermute or a
 Pallas remote-DMA ring), and psum periodogram reduction.
 """
 
-from godsp_tpu.parallel.fft_sharded import fft_sharded
+from godsp_tpu.parallel._fft_sharded_impl import fft_sharded
 from godsp_tpu.parallel.halo import ring_halo_pallas
 from godsp_tpu.parallel.mesh import MeshConfig, init_distributed, make_mesh
-from godsp_tpu.parallel.pwelch_sharded import (
+from godsp_tpu.parallel._pwelch_sharded_impl import (
     partial_periodogram,
     pwelch_sharded,
     sharded_partial_step,

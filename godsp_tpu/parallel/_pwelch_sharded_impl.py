@@ -36,8 +36,8 @@ from godsp_tpu import window as win
 from godsp_tpu._dtypes import as_real_array
 from godsp_tpu.dsputils.utils import zero_pad
 from godsp_tpu.fft.core import fft_real
-from godsp_tpu.spectral.pwelch import PwelchOptions
-from godsp_tpu.spectral.segment import num_segments
+from godsp_tpu.spectral._pwelch_impl import PwelchOptions
+from godsp_tpu.spectral._segment_impl import num_segments
 
 __all__ = ["pwelch_sharded", "partial_periodogram", "sharded_partial_step", "resolve_geometry"]
 
@@ -97,7 +97,7 @@ def sharded_partial_step(
     Returns (periodogram_sum, segment_count), psum-reduced over "sp" and
     replicated.
     """
-    from godsp_tpu.spectral.pwelch import fused_path_eligible
+    from godsp_tpu.spectral._pwelch_impl import fused_path_eligible
 
     n_sp = mesh.shape["sp"]
     H = max(nfft - stride, 0)

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from godsp_tpu import window as win
 from godsp_tpu._dtypes import as_real_array, default_float, put
-from godsp_tpu.models.stft import (
+from godsp_tpu.models._stft_impl import (
     WindowSpec,
     _fused_window,
     _istft_fused_eligible,
@@ -71,7 +71,7 @@ def _sharded_power_frames(
         frame_global = sp_idx * frames_per_shard + jnp.arange(frames_per_shard)
         mask = (frame_global < total_frames).astype(ext.dtype)
 
-        from godsp_tpu.spectral.pwelch import fused_path_eligible
+        from godsp_tpu.spectral._pwelch_impl import fused_path_eligible
 
         if fused_path_eligible(nfft, pad, hop):
             from godsp_tpu.ops.pallas_stft import stft_pallas

@@ -30,10 +30,10 @@ from jax.sharding import Mesh
 
 from godsp_tpu import window as win
 from godsp_tpu._dtypes import default_float
-from godsp_tpu.parallel.pwelch_sharded import resolve_geometry, sharded_partial_step
-from godsp_tpu.spectral.pwelch import PwelchOptions
+from godsp_tpu.parallel._pwelch_sharded_impl import resolve_geometry, sharded_partial_step
+from godsp_tpu.spectral._pwelch_impl import PwelchOptions
 
-__all__ = ["StreamingPwelch", "stream_pwelch"
+__all__ = ["StreamingPwelch", "stream_pwelch",
     "stream_welch",
 ]
 
@@ -409,7 +409,7 @@ def stream_welch(
     scaling."""
     if scaling not in ("density", "spectrum"):
         raise ValueError("scaling must be 'density' or 'spectrum'")
-    from godsp_tpu.spectral.welch import _periodic_table_np
+    from godsp_tpu.spectral._welch_impl import _periodic_table_np
 
     nperseg = int(nperseg)
     noverlap = nperseg // 2 if noverlap is None else int(noverlap)

@@ -6,10 +6,10 @@ embarrassingly parallel; here it is one batched frame->window->FFT->|.|^2
 godsp_tpu.parallel) shards over a device mesh.
 """
 
-from godsp_tpu.spectral.csd import coherence, csd
-from godsp_tpu.spectral.pwelch import PwelchOptions, periodogram, pwelch, pwelch_from_frames
-from godsp_tpu.spectral.segment import num_segments, segment
-from godsp_tpu.spectral.welch import (
+from godsp_tpu.spectral._csd_impl import coherence, csd
+from godsp_tpu.spectral._pwelch_impl import PwelchOptions, periodogram, pwelch, pwelch_from_frames
+from godsp_tpu.spectral._segment_impl import num_segments, segment
+from godsp_tpu.spectral._welch_impl import (
     lombscargle,
     spectrogram_scipy,
     welch,

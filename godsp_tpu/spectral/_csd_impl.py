@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from godsp_tpu import window as win
 from godsp_tpu._dtypes import as_real_array, default_float
 from godsp_tpu.dsputils.utils import zero_pad
-from godsp_tpu.spectral.pwelch import PwelchOptions
+from godsp_tpu.spectral._pwelch_impl import PwelchOptions
 
 __all__ = ["csd", "coherence"]
 
@@ -76,7 +76,7 @@ def csd(
     if enable_scaling:
         w_norm = w_norm * jnp.asarray(fs, dtype=fdt)
 
-    from godsp_tpu.spectral.pwelch import fused_path_eligible
+    from godsp_tpu.spectral._pwelch_impl import fused_path_eligible
 
     doubler = jnp.ones(lp, dtype=fdt).at[1 : lp - 1].set(2.0)
     total_segs = (x.shape[-1] - nfft) // stride + 1
@@ -96,7 +96,7 @@ def csd(
         freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)
         return pxy, freqs
 
-    from godsp_tpu.spectral.segment import segment
+    from godsp_tpu.spectral._segment_impl import segment
 
     if total_segs > 0 and fused_path_eligible(nfft, fft_len, nfft):
         # Unsupported stride: frame in XLA, run the fused cross kernel on
@@ -145,7 +145,7 @@ def coherence(
     Requires overlap/averaging over multiple segments to be meaningful
     (with one segment Cxy is identically 1).
     """
-    from godsp_tpu.spectral.pwelch import pwelch
+    from godsp_tpu.spectral._pwelch_impl import pwelch
 
     pxy, freqs = csd(x, y, fs, options)
     pxx, _ = pwelch(x, fs, options)

@@ -35,7 +35,7 @@ from godsp_tpu import window as win
 from godsp_tpu._dtypes import as_real_array, default_float
 from godsp_tpu.dsputils.utils import zero_pad
 from godsp_tpu.fft.core import fft_real
-from godsp_tpu.spectral.segment import segment
+from godsp_tpu.spectral._segment_impl import segment
 
 __all__ = ["PwelchOptions", "pwelch", "pwelch_from_frames", "periodogram"]
 

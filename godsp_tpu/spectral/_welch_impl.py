@@ -19,7 +19,7 @@ import numpy as np
 
 from godsp_tpu._dtypes import as_complex_array, default_float, put
 from godsp_tpu.fft.core import fft, fft_real
-from godsp_tpu.spectral.segment import segment
+from godsp_tpu.spectral._segment_impl import segment
 
 __all__ = ["lombscargle", "spectrogram_scipy", "welch", "welch_coherence", "welch_csd"]
 
@@ -229,7 +229,7 @@ def welch_csd(
     stride = nperseg - noverlap
     if (onesided and average == "mean"
             and (detrend is False or detrend is None)):
-        from godsp_tpu.spectral.pwelch import fused_path_eligible
+        from godsp_tpu.spectral._pwelch_impl import fused_path_eligible
 
         if fused_path_eligible(nperseg, nfft, stride):
             # Fused cross-spectral kernel with the zero-extended periodic
@@ -368,7 +368,7 @@ def welch(
     stride = nperseg - noverlap
     if (onesided and average == "mean"
             and (detrend is False or detrend is None)):
-        from godsp_tpu.spectral.pwelch import fused_path_eligible
+        from godsp_tpu.spectral._pwelch_impl import fused_path_eligible
 
         if fused_path_eligible(nperseg, nfft, stride):
             pxx = _welch_fused(x, wt, nperseg, nfft, stride, scale, fdt)
@@ -496,7 +496,7 @@ def spectrogram_scipy(
         # Fused per-segment power path: frame->window->FFT->|.|^2 in one
         # Pallas kernel; the zero-extended periodic window reproduces
         # scipy's window-then-pad semantics (same trick as _welch_fused).
-        from godsp_tpu.models.stft import _fused_stft_eligible
+        from godsp_tpu.models._stft_impl import _fused_stft_eligible
 
         if _fused_stft_eligible(nperseg, nfft, step):
             w_ext = np.zeros(nfft)

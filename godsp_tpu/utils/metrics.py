@@ -25,6 +25,7 @@ __all__ = [
     "hbm_bandwidth_gbs",
     "fft_flops",
     "fft_bytes",
+    "copy_split_pallas",
 ]
 
 # Peak HBM bandwidth per chip, GB/s.  v5e (TPU v5 lite): 819 GB/s;
@@ -201,6 +202,55 @@ def time_chained(
     # tunnel-RTT jitter (see BASELINE.md's bogus shallow-chain roofline).
     per = time_chain_diff(make, x, k_lo=8, k_hi=max(chain, 24), iters=iters)
     return BenchResult(name=name, wall_s=per, flops=flops, bytes_moved=bytes_moved)
+
+
+def copy_split_pallas(
+    xr, xi, batch_tile: int = 256, interpret: bool = False
+):
+    """Whole-block two-plane copy kernel: the HBM-traffic twin of
+    ops.pallas_fft.fft_pow2_split (read 2 f32 planes + write 2 f32
+    planes, zero compute).
+
+    Its measured GB/s under the SAME chain-differential timing is the
+    session's practical copy ceiling — the physically achievable bound
+    the FFT roofline fraction should be judged against (the nominal
+    819 GB/s datasheet number is not sustained by a pure copy on the
+    bimodal-clock chip; see BASELINE.md round-2 analysis).  Recorded
+    next to the flagship FFT in bench.py so the "structure-bound at the
+    copy floor" claim is self-evidencing in the artifact.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert xr.ndim == 2 and xr.shape == xi.shape
+    b, n = xr.shape
+    assert b % batch_tile == 0
+
+    def kern(xr_ref, xi_ref, yr_ref, yi_ref):
+        yr_ref[:] = xr_ref[:]
+        yi_ref[:] = xi_ref[:]
+
+    spec = pl.BlockSpec(
+        (batch_tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b // batch_tile,),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(xr.shape, xr.dtype),
+            jax.ShapeDtypeStruct(xi.shape, xi.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=int(4 * b * n * 4), transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(xr, xi)
 
 
 def roofline(n: int, batch: int, wall_s: float, bytes_per_element: int = 8) -> dict:

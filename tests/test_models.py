@@ -338,7 +338,7 @@ def test_mel_odd_hop_semi_fused(monkeypatch):
 
     from jax.experimental.pallas import tpu as pltpu
 
-    mstft = importlib.import_module("godsp_tpu.models.stft")
+    mstft = importlib.import_module("godsp_tpu.models._stft_impl")
     from godsp_tpu.models import mel_spectrogram
 
     rng = np.random.default_rng(80)
@@ -505,7 +505,7 @@ class TestStreamingISTFT:
 
         from jax.experimental.pallas import tpu as pltpu
 
-        mstft = importlib.import_module("godsp_tpu.models.stft")
+        mstft = importlib.import_module("godsp_tpu.models._stft_impl")
         from godsp_tpu.models import stream_istft
 
         nfft, hop = 256, 128

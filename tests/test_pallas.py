@@ -289,7 +289,7 @@ class TestPallasPwelch:
 
         from godsp_tpu import spectral
 
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
         rng = np.random.default_rng(12)
         opts = spectral.PwelchOptions(nfft=256, pad=1024, noverlap=128)
         x = rng.normal(size=10_000).astype(np.float32)
@@ -309,7 +309,7 @@ class TestPallasSTFT:
     """Fused STFT/spectrogram kernel vs the XLA models path."""
 
     def test_complex_matches_models_stft(self):
-        from godsp_tpu.models.stft import _stft_jit
+        from godsp_tpu.models._stft_impl import _stft_jit
         from godsp_tpu import window as win
         from godsp_tpu.ops.pallas_stft import stft_pallas
 
@@ -370,7 +370,7 @@ class TestPallasSTFT:
     def test_pad_gt_nfft_window_semantics(self):
         """models.stft pads AFTER windowing: the fused path must match
         the XLA path exactly (nfft window zero-extended to pad)."""
-        from godsp_tpu.models.stft import _fused_window, _stft_jit
+        from godsp_tpu.models._stft_impl import _fused_window, _stft_jit
         from godsp_tpu import window as win
         from godsp_tpu.ops.pallas_stft import stft_pallas
 
@@ -523,7 +523,7 @@ class TestSemiFused:
 
         from godsp_tpu import spectral
 
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
         rng = np.random.default_rng(50)
         nfft, noverlap = 256, 100  # stride 156: not kernel-frameable
         opts = spectral.PwelchOptions(nfft=nfft, noverlap=noverlap)
@@ -545,7 +545,7 @@ class TestSemiFused:
 
         from jax.experimental.pallas import tpu as pltpu
 
-        mstft = importlib.import_module("godsp_tpu.models.stft")
+        mstft = importlib.import_module("godsp_tpu.models._stft_impl")
         rng = np.random.default_rng(51)
         x = rng.normal(size=5000).astype(np.float32)
         ref = np.asarray(mstft.stft(x, 256, hop=100))  # XLA path
@@ -691,7 +691,7 @@ class TestPallasCSD:
 
         from godsp_tpu import spectral
 
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
         rng = np.random.default_rng(61)
         opts = spectral.PwelchOptions(nfft=256, noverlap=128)
         x = rng.normal(size=8000).astype(np.float32)
@@ -825,7 +825,7 @@ class TestPallasISTFT:
 
         from jax.experimental.pallas import tpu as pltpu
 
-        mstft = importlib.import_module("godsp_tpu.models.stft")
+        mstft = importlib.import_module("godsp_tpu.models._stft_impl")
         rng = np.random.default_rng(70)
         nfft, hop = 256, 128
         x = rng.normal(size=hop * 40 + nfft).astype(np.float32)
@@ -868,7 +868,7 @@ class TestFusedScipyWelch:
     def test_matches_scipy(self, geom):
         import scipy.signal as ss
 
-        from godsp_tpu.spectral.welch import _periodic_table_np, _welch_fused
+        from godsp_tpu.spectral._welch_impl import _periodic_table_np, _welch_fused
 
         nperseg, nover, nfft = geom
         rng = np.random.default_rng(0)
@@ -893,7 +893,7 @@ class TestFusedScipySpectrogram:
     def test_matches_scipy(self, geom):
         import scipy.signal as ss
 
-        from godsp_tpu.spectral.welch import (_periodic_table_np,
+        from godsp_tpu.spectral._welch_impl import (_periodic_table_np,
                                               _spectrogram_fused_jit)
 
         nperseg, nover, nfft = geom
@@ -924,7 +924,7 @@ class TestFusedScipyCsd:
     def test_matches_scipy(self, geom):
         import scipy.signal as ss
 
-        from godsp_tpu.spectral.welch import (_csd_fused_jit,
+        from godsp_tpu.spectral._welch_impl import (_csd_fused_jit,
                                               _periodic_table_np)
 
         nperseg, nover, nfft = geom

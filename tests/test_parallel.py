@@ -143,7 +143,7 @@ class TestShardedFusedKernel:
 
         from godsp_tpu.ops import pallas_fft
 
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
         # Lane-slice kernels hang under shard_map + interpret mode (see
         # pallas_fft.set_laneslice_enabled); exercise the sharded data
         # plumbing through the batched-3D structure.
@@ -503,7 +503,7 @@ class TestFusedHalo:
         from godsp_tpu.parallel import pwelch_sharded
 
         monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
 
         opts = spectral.PwelchOptions(nfft=256, noverlap=128)
         stride = 128
@@ -547,7 +547,7 @@ class TestFusedHalo:
         from godsp_tpu.parallel import pwelch_sharded
 
         monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
 
         opts = spectral.PwelchOptions(nfft=256, noverlap=128)
         stride = 128
@@ -593,7 +593,7 @@ class TestFusedHalo:
         from godsp_tpu.parallel import pwelch_sharded
 
         monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
 
         # noverlap > 0 makes the last shard's final segment straddle the
         # global end: it must be masked, not filled with wrapped data.
@@ -643,7 +643,7 @@ class TestStreamingFusedHalo:
         from godsp_tpu.parallel.streaming import stream_pwelch as spw
 
         monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
 
         opts = spectral.PwelchOptions(nfft=256, noverlap=128)
         L = 8 * 128 * 16 * 3 + 7000  # three chunks + ragged remainder
@@ -671,7 +671,7 @@ class TestStreamingFusedHalo:
         from godsp_tpu.parallel.streaming import StreamingPwelch
 
         monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
-        spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
 
         opts = spectral.PwelchOptions(nfft=256, noverlap=128)
         L = 8 * 128 * 16 * 2 + 5000

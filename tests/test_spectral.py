@@ -314,7 +314,7 @@ def test_csd_semi_fused_odd_stride(monkeypatch):
 
     from godsp_tpu.dsputils import snr_db
 
-    spwelch = importlib.import_module("godsp_tpu.spectral.pwelch")
+    spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
     rng = np.random.default_rng(70)
     opts = spectral.PwelchOptions(nfft=256, noverlap=100)  # stride 156
     x = rng.normal(size=8000).astype(np.float32)
