@@ -35,9 +35,12 @@ def _loggamma(z):
     z = np.asarray(z, complex)
     reflect = z.real < 0.5
     zr = np.where(reflect, 1.0 - z, z)
+    # No [None, :] on the coefficient axis: scalar z must stay 0-d
+    # (the (1, 8) form promoted scalars to shape (1,), tripping numpy's
+    # array-to-scalar deprecation in fhtoffset's float()).
     x = _LANCZOS[0] + np.sum(
-        _LANCZOS[1:][None, :]
-        / (zr[..., None] + np.arange(len(_LANCZOS) - 1)[None, :]), axis=-1)
+        _LANCZOS[1:] / (zr[..., None] + np.arange(len(_LANCZOS) - 1)),
+        axis=-1)
     t = zr + _LANCZOS_G - 0.5
     lg = 0.5 * np.log(2 * np.pi) + (zr - 0.5) * np.log(t) - t + np.log(x)
     with np.errstate(all="ignore"):

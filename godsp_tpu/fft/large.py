@@ -88,20 +88,50 @@ def large_supported(n: int) -> bool:
     return n2 <= _KERNEL_MAX and (n1 <= _DIRECT_MAX or 256 <= n1 <= _KERNEL_MAX)
 
 
+_TW_SPLIT = 128  # lane factor of the factored twiddle (balanced splits)
+
+
 @lru_cache(maxsize=None)
 def _tables(n: int, inverse: bool):
-    """(F1 planes | None, twiddle planes) as float64 numpy (the analogue
-    of radix2.go:26-69's cache; on-the-fly f32 angle computation would
-    lose the 120 dB bound at these N).  Cast to the plane dtype at use.
+    """(F1 planes | None, twiddle) as float64 numpy (the analogue of
+    radix2.go:26-69's cache; on-the-fly f32 angle computation would lose
+    the 120 dB bound at these N).  Cast to the plane dtype at use.
+
+    Direct splits (n1 <= 128) keep the dense (n1, n2) table — it is
+    small and single-rounded.  Balanced splits factor it: with
+    i2 = a*S + b (S = _TW_SPLIT),
+
+        T[k1, i2] = W_N^{k1 i2} = W_N^{k1 a S} * W_N^{k1 b}
+                  = T_hi[k1, a] * T_lo[k1, b],
+
+    two (n1, n2/S) / (n1, S) tables whose on-device product XLA fuses
+    into the twiddle multiply — the N-sized table (4.3 GB host / 2 GB
+    device at 2^28) never exists.  Angle products k1*a*S < 2^53 stay
+    exact in f64; the one extra f32 rounding of the device-side complex
+    product costs ~2-3 dB against a ~135 dB measurement.
+    Twiddle shape is ("dense", re, im) or ("fac", (hr, hi), (lr, li)).
     """
     n1, n2 = _split(n)
-    t = twiddle_2d(n1, n2)
     f1 = dft_matrix(n1) if n1 <= _DIRECT_MAX else None
-    if inverse:
-        t = np.conj(t)
-        f1 = None if f1 is None else np.conj(f1)
-    f1p = None if f1 is None else (f1.real.copy(), f1.imag.copy())
-    return f1p, (t.real.copy(), t.imag.copy())
+    if f1 is not None:
+        t = twiddle_2d(n1, n2)
+        if inverse:
+            t = np.conj(t)
+            f1 = np.conj(f1)
+        return (
+            (f1.real.copy(), f1.imag.copy()),
+            ("dense", t.real.copy(), t.imag.copy()),
+        )
+    s = _TW_SPLIT
+    sign = 2j * np.pi if inverse else -2j * np.pi
+    k1 = np.arange(n1, dtype=np.float64)
+    th = np.exp(sign * np.outer(k1, np.arange(n2 // s, dtype=np.float64) * s) / n)
+    tl = np.exp(sign * np.outer(k1, np.arange(s, dtype=np.float64)) / n)
+    return None, (
+        "fac",
+        (th.real.copy(), th.imag.copy()),
+        (tl.real.copy(), tl.imag.copy()),
+    )
 
 
 def _kernel_fft_digit(xr, xi, inverse, interpret=False):
@@ -138,7 +168,7 @@ def fft_large_split(
     x3i = xi.reshape(b, n1, n2)
     fdt = x3r.dtype  # f32 on TPU; f64 under the CPU x64 parity tests
 
-    f1p, (twr, twi) = _tables(n, inverse)
+    f1p, tw = _tables(n, inverse)
 
     # ---- Step 1: DFT over i1 (middle axis) ----
     if f1p is not None:
@@ -163,10 +193,24 @@ def fft_large_split(
         ai = jnp.swapaxes(ati, 1, 2)
 
     # ---- Step 2: twiddle W_N^{k1 i2} (fused elementwise) ----
-    twr = jnp.asarray(twr, dtype=fdt)
-    twi = jnp.asarray(twi, dtype=fdt)
-    br = ar * twr - ai * twi
-    bi = ar * twi + ai * twr
+    if tw[0] == "dense":
+        twr = jnp.asarray(tw[1], dtype=fdt)
+        twi = jnp.asarray(tw[2], dtype=fdt)
+        br = ar * twr - ai * twi
+        bi = ar * twi + ai * twr
+    else:
+        _, (thr, thi), (tlr, tli) = tw
+        s = tlr.shape[1]
+        thr = jnp.asarray(thr, dtype=fdt)[:, :, None]
+        thi = jnp.asarray(thi, dtype=fdt)[:, :, None]
+        tlr = jnp.asarray(tlr, dtype=fdt)[:, None, :]
+        tli = jnp.asarray(tli, dtype=fdt)[:, None, :]
+        twr = thr * tlr - thi * tli  # (n1, n2/s, s) — fused, never stored
+        twi = thr * tli + thi * tlr
+        a4r = ar.reshape(b, n1, n2 // s, s)
+        a4i = ai.reshape(b, n1, n2 // s, s)
+        br = (a4r * twr - a4i * twi).reshape(b, n1, n2)
+        bi = (a4r * twi + a4i * twr).reshape(b, n1, n2)
 
     # ---- Step 3 + 4: kernel FFT over i2 (digit order out) and ONE
     # combined transpose to natural: kernel row position k1'*128 + k2'

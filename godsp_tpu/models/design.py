@@ -393,6 +393,14 @@ def tf2zpk(b, a):
     nz = np.flatnonzero(b)
     if nz.size == 0:
         return np.array([], complex), np.roots(a), 0.0
+    if nz[0] > 0:
+        import warnings
+
+        # scipy parity: tf2zpk routes through normalize() and warns on
+        # a badly conditioned (leading-zero) numerator.
+        warnings.warn("Badly conditioned filter coefficients (numerator): "
+                      "the results may be meaningless", BadCoefficients,
+                      stacklevel=2)
     b = b[nz[0] :]
     return np.roots(b / b[0]), np.roots(a / a[0]), float(b[0] / a[0])
 

@@ -620,8 +620,18 @@ class TestConversions:
         from godsp_tpu.models import normalize
 
         for bb, aa in [([0, 2, 4], [2, 1]), ([3, 6], [2, 4, 8])]:
-            g = normalize(bb, aa)
-            r = ss.normalize(bb, aa)
+            if bb[0] == 0:
+                # Leading-zero numerator: BOTH sides must warn their
+                # BadCoefficients (scipy parity includes the warning).
+                from godsp_tpu.models import BadCoefficients
+
+                with pytest.warns(BadCoefficients):
+                    g = normalize(bb, aa)
+                with pytest.warns(ss.BadCoefficients):
+                    r = ss.normalize(bb, aa)
+            else:
+                g = normalize(bb, aa)
+                r = ss.normalize(bb, aa)
             allc(g[0], r[0])
             allc(g[1], r[1])
         with pytest.raises(ValueError):
@@ -1057,8 +1067,12 @@ class TestReviewRegressions:
         np.testing.assert_array_equal(p1, p2)
 
     def test_tf2zpk_leading_zero_gain(self):
-        z1, p1, k1 = tf2zpk([0.0, 2.0, 4.0], [1.0, 0.5])
-        z2, p2, k2 = ss.tf2zpk([0.0, 2.0, 4.0], [1.0, 0.5])
+        from godsp_tpu.models import BadCoefficients
+
+        with pytest.warns(BadCoefficients):
+            z1, p1, k1 = tf2zpk([0.0, 2.0, 4.0], [1.0, 0.5])
+        with pytest.warns(ss.BadCoefficients):
+            z2, p2, k2 = ss.tf2zpk([0.0, 2.0, 4.0], [1.0, 0.5])
         allc(np.sort_complex(np.atleast_1d(z1)),
              np.sort_complex(np.atleast_1d(z2)))
         assert abs(k1 - k2) < 1e-12
