@@ -23,12 +23,21 @@ Round-3 contract (VERDICT r2 items 2, 5, 8):
   * giant-N rows (2^24, 2^28) carry parity via an exact closed-form
     multi-tone oracle evaluated on device.
 
+Two-phase structure (wall-clock discipline): the axon remote-compile
+service parallelizes near-perfectly (measured 4.8x with 4 threads,
+tools/probe_compile_parallel.py), so phase 1 REGISTERS every chain and
+AOT-compiles them on a thread pool (jit(f).lower(x).compile() — no
+device execution, no contention), plus runs the one-shot parity oracles
+concurrently; phase 2 then measures serially on the quiet chip.  The
+serial form of this bench measured ~45 min of wall, ~80% of it compile.
+
 Timing notes (see utils.metrics): on tunneled TPU transports
 block_until_ready is unreliable, so each measurement is a jitted
 data-dependent chain of K applications ending in a scalar readback,
 timed at TWO chain depths — the difference cancels dispatch/RTT fixed
-costs exactly (time_chain_diff).  Complex operands are placed via
-_dtypes.put (split-plane transfer).
+costs exactly.  Heavy depths only (k_lo>=8, k_hi>=24 at flagship size):
+shallow chains are flattered by RTT jitter.  Complex operands are
+placed via _dtypes.put (split-plane transfer).
 """
 
 from __future__ import annotations
@@ -36,12 +45,23 @@ from __future__ import annotations
 import json
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+_TLAST = [0.0]
+
+
+def tick(section: str) -> None:
+    now = time.perf_counter() - _T0
+    log(f"  [t={now:7.1f}s +{now-_TLAST[0]:6.1f}s] after {section}")
+    _TLAST[0] = now
 
 
 def med(xs):
@@ -122,10 +142,13 @@ def main() -> None:
         return
 
     import jax
+    import jax.numpy as jnp
 
     from godsp_tpu import fft, spectral
+    from godsp_tpu import window as win
     from godsp_tpu._dtypes import put
     from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.ops.pallas_fft import fft_pow2_split
     from godsp_tpu.parallel import MeshConfig, make_mesh, stream_pwelch
     from godsp_tpu.utils.host import to_host
     from godsp_tpu.utils.metrics import (
@@ -134,7 +157,6 @@ def main() -> None:
         fft_flops,
         hbm_bandwidth_gbs,
         measure_rtt,
-        time_chained,
     )
 
     dev = jax.devices()[0]
@@ -145,21 +167,123 @@ def main() -> None:
     results = {}
     rng = np.random.default_rng(0)
 
-    # --- Pallas fused-FFT kernel roofline (the headline metric) --------
-    # Chained kernel applications with small inputs keep magnitudes
-    # bounded; alternation of the planes breaks CSE without extra passes.
-    import jax.numpy as jnp
+    # ------------------------------------------------------------------
+    # Device inputs FIRST: complex put() compiles a per-shape combine
+    # program on the MAIN thread — once the pool is saturated with heavy
+    # chain compiles, that tiny compile queues for minutes (observed
+    # hang).  All host->device placement happens before any submission.
+    # ------------------------------------------------------------------
+    n_f, b_f = 1024, 16384
+    SIZES = ((4096, 4096), (8192, 2048), (16384, 1024))
+    pw_specs = ((1024, 512), (256, 256))
 
-    from godsp_tpu.ops.pallas_fft import fft_pow2_split
+    xr_f = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
+    xi_f = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
+    xr_c = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
+    xi_c = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
+    size_inputs = {
+        n: (
+            put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32)),
+            put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32)),
+        )
+        for n, batch in SIZES
+    }
+    xh_p = (
+        rng.normal(size=(b_f, n_f)) + 1j * rng.normal(size=(b_f, n_f))
+    ).astype(np.complex64)
+    x_p = put(xh_p)
+    xr_sp = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
+    xi_sp = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
+    n20 = 1 << 20
+    z20h = (
+        (rng.normal(size=n20) + 1j * rng.normal(size=n20)).astype(np.complex64)
+        * 0.01
+    )
+    z20 = put(z20h)
+    pw_inputs = {}
+    for nfft, stride in pw_specs:
+        segs = (1 << 23) // stride
+        L = (segs - 1) * stride + nfft
+        pw_inputs[(nfft, stride)] = (
+            put(rng.normal(size=L).astype(np.float32)), segs, L
+        )
+    nfft_m, hop_m = 1024, 512
+    L_m = hop_m * 4096 + nfft_m
+    sigh_m = rng.normal(size=L_m).astype(np.float32)
+    sig_m = put(sigh_m)
+    nfft_i, hop_i, F_i = 1024, 512, 4096
+    L_i = (F_i - 1) * hop_i + nfft_i
+    xwh_i = rng.normal(size=L_i).astype(np.float32)
+    xw_i = put(xwh_i)
+    Lfh = 512 * 4096
+    sig_fh_h = rng.normal(size=Lfh).astype(np.float32)
+    sig_fh = put(sig_fh_h)
+    stride_sd, segs_sd = 512, 4096
+    chunk_len = segs_sd * stride_sd
+    halo_sd, lp_sd = 512, 513
+    ext_sd = put(rng.normal(size=chunk_len + halo_sd).astype(np.float32))
+    log("device inputs placed")
+    tick("input placement")
 
-    from godsp_tpu.utils.metrics import time_chain_diff
+    # ------------------------------------------------------------------
+    # Phase-1 infrastructure: registered chains AOT-compile on a pool.
+    # 4 workers: the measured parallel speedup is ~4.8x at 4 (probe),
+    # and wider pools risk thrashing the remote compile helpers (the
+    # tunnel went catatonic for ~an hour after an 8-worker experiment);
+    # stray main-thread compiles (giant-N setup, streaming warm) also
+    # need service headroom.
+    # ------------------------------------------------------------------
+    pool = ThreadPoolExecutor(max_workers=4)
+    CH = {}      # name -> chain-pair record
+    TASKS = {}   # name -> future of a one-shot (parity oracle etc.)
 
-    def bench_pallas(n, batch, k_lo=10, k_hi=26):
-        xr = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
-        xi = put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32))
+    def reg(name, make, x, k_lo, k_hi, iters=8):
+        """Register a chain pair; both depths compile concurrently."""
+        CH[name] = {
+            "x": x, "diff": k_hi - k_lo, "iters": iters,
+            "lo": pool.submit(lambda: make(k_lo).lower(x).compile()),
+            "hi": pool.submit(lambda: make(k_hi).lower(x).compile()),
+        }
 
-        # Rescale every 4th application (1/n^2 undoes four sqrt(n) RMS
-        # growths) so the extra VPU pass dilutes to 1/4 per measured app.
+    def task(name, fn):
+        TASKS[name] = pool.submit(fn)
+
+    def task_result(name, default=None):
+        fut = TASKS.get(name)
+        if fut is None:
+            return default
+        try:
+            return fut.result()
+        except Exception as e:  # pragma: no cover
+            log(f"task {name} failed:", repr(e))
+            return default
+
+    def measure(name, drop_input=False):
+        """Serial-phase timing of a registered pair (no compiles)."""
+        d = CH[name]
+        lo, hi = d["lo"].result(), d["hi"].result()
+        x = d["x"]
+        if "warm" not in d:
+            for f in (lo, hi):
+                float(np.asarray(f(x)))  # first exec (program load)
+            d["warm"] = True
+        best_lo = best_hi = float("inf")
+        for _ in range(d["iters"]):
+            t0 = time.perf_counter()
+            float(np.asarray(lo(x)))
+            best_lo = min(best_lo, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(np.asarray(hi(x)))
+            best_hi = min(best_hi, time.perf_counter() - t0)
+        if drop_input:
+            CH[name] = None  # release executables + input buffer
+        return max((best_hi - best_lo) / d["diff"], 1e-9)
+
+    # ------------------------------------------------------------------
+    # Phase 1: registrations (chains) + concurrent one-shot oracles.
+    # ------------------------------------------------------------------
+
+    def make_fft_chain(xi, n, scale_every=4):
         s = np.float32(1.0 / (float(n) * float(n)))
 
         def make(K):
@@ -169,16 +293,29 @@ def main() -> None:
                 for k in range(K):
                     r, i = fft_pow2_split(r, i, order="digit")
                     r, i = i, r
-                    if k % 4 == 3:
+                    if k % scale_every == scale_every - 1:
                         r, i = r * s, i * s
                 return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
 
             return chain
 
-        # Heavy depth: shallow chains are flattered by tunnel-RTT noise.
-        per = time_chain_diff(make, xr, k_lo=k_lo, k_hi=k_hi, iters=8)
-        gbs = 4 * batch * n * 4 / per / 1e9
-        return per, gbs, make, xr
+        return make
+
+    # Flagship + its co-measured copy twin (identical traffic).
+    reg("flagship", make_fft_chain(xi_f, n_f), xr_f, 10, 26)
+
+    def make_copy(K):
+        @jax.jit
+        def chain(r):
+            i = xi_c
+            for _ in range(K):
+                r, i = copy_split_pallas(r, i)
+                r, i = i, r
+            return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
+
+        return chain
+
+    reg("copy", make_copy, xr_c, 10, 26)
 
     def kernel_snr(n, rows=64):
         """Digit-order kernel output vs float64 numpy oracle."""
@@ -194,326 +331,233 @@ def main() -> None:
         )
         return float(snr_db(got, want))
 
-    # The chip clock is BIMODAL across minutes-long windows (the same
-    # program measured 0.36 and 0.54 ms in one session), so the flagship
-    # takes reps SPACED ACROSS the whole bench run; each rep co-measures
-    # the copy ceiling immediately after it, so the per-rep
-    # fft-vs-copy-ceiling ratio cancels the clock mode.
-    flagship_reps = []
-    copy_reps = []
-    _flagship = {}
-    _copy = {}
+    task("snr_1024", lambda: kernel_snr(1024))
 
-    def bench_copy(n=1024, batch=16384):
-        if "make" not in _copy:
-            _copy["xr"] = put(
-                (rng.normal(size=(batch, n)) * 0.01).astype(np.float32)
-            )
-            _copy["xi"] = put(
-                (rng.normal(size=(batch, n)) * 0.01).astype(np.float32)
-            )
+    # Per-size rows: same total elements, so cross-size per-element cost
+    # ratios are plain wall ratios (the 16384-vs-8192 comparison of
+    # VERDICT r2 item 3 is derived below).
+    for n, batch in SIZES:
+        xr_s, xi_s = size_inputs[n]
+        reg(f"fft{n}", make_fft_chain(xi_s, n), xr_s, 10, 26)
+        task(f"snr_{n}", lambda n=n: kernel_snr(n, rows=32))
 
-            def make(K):
-                @jax.jit
-                def chain(r):
-                    i = _copy["xi"]
-                    for _ in range(K):
-                        r, i = copy_split_pallas(r, i)
-                        r, i = i, r
-                    return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
+    # Public APIs at n=1024 (VERDICT r2 item 4): the c64 convenience API
+    # (extract planes + kernel + recombine — three passes by construction;
+    # complex is not a TPU-native dtype and cannot cross this transport),
+    # the planes-native fft_split (kernel-only traffic, the natural-order
+    # hot path), and the conversion roundtrip measured behind a pallas
+    # fusion barrier (a pure conversion chain fuses to ONE pass).
+    s_pub = np.float32(1.0 / np.sqrt(n_f))
 
-                return chain
+    def make_pub(K):
+        @jax.jit
+        def chain(z):
+            for _ in range(K):
+                z = fft.fft(z) * s_pub
+            return jnp.sum(jnp.abs(z[0]))
 
-            _copy["make"] = make
-        return time_chain_diff(
-            _copy["make"], _copy["xr"], k_lo=10, k_hi=26, iters=8
-        )
+        return chain
 
-    def _update_flagship():
-        n, batch = 1024, 16384
-        per = med(flagship_reps)
-        gbs = 4 * batch * n * 4 / per / 1e9
-        copy_per = med(copy_reps)
-        copy_gbs = 4 * batch * n * 4 / copy_per / 1e9
-        ratios = [c / f for f, c in zip(flagship_reps, copy_reps)]
-        results["pallas_fft1024_precise"] = {
-            "wall_s": per,
-            "wall_s_reps": list(flagship_reps),
-            "wall_s_best": min(flagship_reps),
-            "gbs": gbs,
-            "roofline_fraction": gbs / peak if peak else None,
-            "copy_ceiling_wall_s_reps": list(copy_reps),
-            "copy_ceiling_gbs": copy_gbs,
-            "fraction_of_copy_ceiling": med(ratios),
-            "fraction_of_copy_ceiling_reps": ratios,
-            "snr_db": _flagship.get("snr"),
-        }
+    reg("public_fft", make_pub, x_p, 8, 24)
 
-    def flagship_rep():
-        try:
-            per = time_chain_diff(
-                _flagship["make"], _flagship["x"], k_lo=10, k_hi=26, iters=8
-            )
-            per_copy = bench_copy()
-        except Exception as e:  # pragma: no cover
-            log("flagship rep failed:", e)
-            return
-        flagship_reps.append(per)
-        copy_reps.append(per_copy)
-        _update_flagship()
-        log(
-            f"  flagship rep: {per*1e3:.3f} ms, copy {per_copy*1e3:.3f} ms "
-            f"(ratio {per_copy/per:.3f})"
-        )
+    def pub_snr():
+        got = to_host(fft.fft(x_p[:32]))
+        return float(snr_db(got, np.fft.fft(xh_p[:32].astype(np.complex128))))
 
-    try:
-        per, gbs, mk, xr0 = bench_pallas(1024, 16384)
-        flagship_reps.append(per)
-        copy_reps.append(bench_copy())
-        _flagship.update(make=mk, x=xr0, snr=kernel_snr(1024))
-        _update_flagship()
-        d = results["pallas_fft1024_precise"]
-        log(
-            f"pallas fft n=1024 b=16384: {per*1e3:.3f} ms {gbs:.0f} GB/s "
-            f"roofline={d['roofline_fraction']:.3f} "
-            f"copy_ceiling={d['copy_ceiling_gbs']:.0f} GB/s "
-            f"of_ceiling={d['fraction_of_copy_ceiling']:.3f} "
-            f"snr={d['snr_db']:.1f} dB"
-        )
-    except Exception as e:  # pragma: no cover
-        log("flagship 1024 section failed:", e)
+    task("snr_public", pub_snr)
 
-    for n, batch in ((4096, 4096), (16384, 1024)):
-        try:
-            per, gbs, _, _ = bench_pallas(n, batch)
-            frac = gbs / peak if peak else None
-            s = kernel_snr(n, rows=32)
-            results[f"pallas_fft{n}_precise"] = {
-                "wall_s": per,
-                "wall_s_reps": [per],
-                "gbs": gbs,
-                "roofline_fraction": frac,
-                "snr_db": s,
-            }
-            log(
-                f"pallas fft n={n} batch={batch}: {per*1e3:.3f} ms  "
-                f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}  "
-                f"snr={s:.1f} dB"
-            )
-        except Exception as e:  # pragma: no cover
-            log(f"pallas fft {n} section failed:", e)
+    s_spl = np.float32(1.0 / (float(n_f) * float(n_f)))
 
-    # --- public fft() API on c64 (kernel + complex<->plane conversions) --
-    try:
-        n, batch = 1024, 16384
-        xh = (
-            rng.normal(size=(batch, n)) + 1j * rng.normal(size=(batch, n))
-        ).astype(np.complex64)
-        x = put(xh)
-        reps = []
-        for _ in range(3):
-            r = time_chained(
-                fft.fft,
-                x,
-                chain=12,
-                name=f"fft{n}",
-                flops=fft_flops(n, batch),
-                bytes_moved=fft_bytes(n, batch, 8),
-            )
-            reps.append(r.wall_s)
-        per = med(reps)
-        gbs = fft_bytes(n, batch, 8) / per / 1e9
-        frac = gbs / peak if peak else None
-        got = to_host(fft.fft(x[:32]))
-        pub_snr = float(snr_db(got, np.fft.fft(xh[:32].astype(np.complex128))))
-        results[f"public_fft{n}"] = {
-            "wall_s": per,
-            "wall_s_reps": reps,
-            "gflops": fft_flops(n, batch) / per / 1e9,
-            "gbs": gbs,
-            "roofline_fraction": frac,
-            "snr_db": pub_snr,
-        }
-        log(
-            f"public fft() n={n} batch={batch}: {per*1e3:.3f} ms  "
-            f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}  "
-            f"snr={pub_snr:.1f} dB"
-        )
-    except Exception as e:  # pragma: no cover
-        log("public fft section failed:", e)
+    def make_split(K):
+        @jax.jit
+        def chain(r):
+            i = xi_sp
+            for k in range(K):
+                r, i = fft.fft_split(r, i)
+                r, i = i, r
+                if k % 4 == 3:
+                    r, i = r * s_spl, i * s_spl
+            return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
 
-    # --- XLA built-in FFT for comparison --------------------------------
-    try:
-        n, batch = 1024, 16384
-        x = put(
-            (rng.normal(size=(batch, n)) + 1j * rng.normal(size=(batch, n))).astype(
-                np.complex64
-            )
-        )
-        r = time_chained(
-            jnp.fft.fft, x, chain=8, name="jnpfft",
-            bytes_moved=fft_bytes(n, batch, 8),
-        )
-        log(f"jnp.fft.fft n={n}: {r.wall_s*1e3:.3f} ms  {r.gbs:.0f} GB/s")
-        results["jnp_fft1024"] = {"wall_s": r.wall_s, "gbs": r.gbs}
-    except Exception as e:  # pragma: no cover
-        log("jnp.fft comparison failed:", e)
+        return chain
 
-    # --- large-N FFT (guarded: a failure here must not lose
-    # the summary JSON; see commit 7655643's contract) --------
-    try:
-        # --- large-N FFT: the reference's benchmark workload (a single
-        # 2^20-point complex FFT, fft/fft_test.go:262-280) through the
-        # kernel four-step (fft/large.py), vs XLA's built-in FFT. ---------
-        n20 = 1 << 20
-        z20h = (
-            (rng.normal(size=n20) + 1j * rng.normal(size=n20)).astype(np.complex64)
-            * 0.01
-        )
-        z20 = put(z20h)
-        s20 = np.float32(1.0 / n20)
+    reg("fft_split", make_split, xr_sp, 10, 26)
 
-        def mk_large(f):
-            def make(K):
-                @jax.jit
-                def chain(z):
-                    for k in range(K):
-                        z = f(z)
-                        if k % 2 == 1:
-                            z = z * s20
-                    zf = z.reshape(-1)
-                    return jnp.abs(jnp.real(zf[0])) + jnp.abs(jnp.imag(zf[0]))
-
-                return chain
-
-            return make
-
-        reps20 = [
-            time_chain_diff(mk_large(fft.fft), z20, k_lo=16, k_hi=64, iters=8)
-            for _ in range(2)
-        ]
-        per = med(reps20)
-        snr20 = float(snr_db(
-            to_host(fft.fft(z20)), np.fft.fft(z20h.astype(np.complex128))
+    def split_snr():
+        rh = np.asarray(to_host(xr_sp)[:32], np.float64)
+        ih = np.asarray(to_host(xi_sp)[:32], np.float64)
+        sr, si = fft.fft_split(xr_sp[:32], xi_sp[:32])
+        return float(snr_db(
+            np.asarray(to_host(sr), np.float64)
+            + 1j * np.asarray(to_host(si), np.float64),
+            np.fft.fft(rh + 1j * ih),
         ))
-        results["fft_2pow20"] = {
-            "wall_s": per, "wall_s_reps": reps20, "snr_db": snr20
-        }
-        log(f"fft 2^20 single: {per*1e3:.3f} ms  snr={snr20:.1f} dB")
-        try:
-            # Shallower chain: a 64-deep jnp.fft.fft program is too large for
-            # the remote compile service.  Median-of-2 on both sides.
-            reps_jnp = [
-                time_chain_diff(mk_large(jnp.fft.fft), z20, k_lo=8, k_hi=24, iters=6)
-                for _ in range(2)
-            ]
-            per_jnp = med(reps_jnp)
-            results["fft_2pow20"]["jnp_wall_s"] = per_jnp
-            results["fft_2pow20"]["speedup_vs_jnp"] = per_jnp / per
-            log(f"  vs jnp.fft.fft: {per_jnp*1e3:.3f} ms ({per_jnp/per:.2f}x)")
-        except Exception as e:  # pragma: no cover
-            log("jnp 2^20 comparison failed:", e)
-    except Exception as e:  # pragma: no cover
-        log("large-N 2^20 section failed:", e)
 
-    # --- giant-N FFT: 2^24 and 2^28 through the two-level kernel
-    # four-step (fft/large.py:55-62).  Parity via an EXACT closed-form
-    # multi-tone oracle (X[k] = N*a_j*e^{2 pi i ph_j} at integer tone
-    # bins, 0 elsewhere), built and checked on device — no giant host
-    # transfers and no giant host FFT (VERDICT r2 item 9).
-    for log2n in (24, 28):
-        try:
-            N = 1 << log2n
-            tones = [(3, 0.5, 0.1), (12345, 0.25, -0.3),
-                     ((N >> 1) + 7, 0.125, 0.7)]
+    task("snr_split", split_snr)
+
+    def make_conv(K):
+        @jax.jit
+        def chain(z):
+            for _ in range(K):
+                r, i = jnp.real(z), jnp.imag(z)
+                r, i = copy_split_pallas(r, i)
+                z = jax.lax.complex(i, r)
+            return jnp.abs(jnp.real(z[0, 0])) + jnp.abs(jnp.imag(z[0, 0]))
+
+        return chain
+
+    reg("conv_plus_copy", make_conv, x_p, 10, 26)
+
+    # XLA built-in FFT comparison.
+    def make_jnpfft(K):
+        @jax.jit
+        def chain(z):
+            for _ in range(K):
+                z = jnp.fft.fft(z) * s_pub
+            return jnp.sum(jnp.abs(z[0]))
+
+        return chain
+
+    reg("jnp_fft", make_jnpfft, x_p, 8, 24, iters=6)
+
+    # Large-N: the reference's benchmark workload (a single 2^20-point
+    # complex FFT, fft/fft_test.go:262-280) through the kernel four-step.
+    s20 = np.float32(1.0 / n20)
+
+    def mk_large(f):
+        def make(K):
+            @jax.jit
+            def chain(z):
+                for k in range(K):
+                    z = f(z)
+                    if k % 2 == 1:
+                        z = z * s20
+                zf = z.reshape(-1)
+                return jnp.abs(jnp.real(zf[0])) + jnp.abs(jnp.imag(zf[0]))
+
+            return chain
+
+        return make
+
+    reg("fft_2pow20", mk_large(fft.fft), z20, 16, 48, iters=10)
+    reg("jnp_2pow20", mk_large(jnp.fft.fft), z20, 8, 24, iters=8)
+    task("snr_2pow20", lambda: float(snr_db(
+        to_host(fft.fft(z20)), np.fft.fft(z20h.astype(np.complex128))
+    )))
+
+    # Giant-N: 2^24 and 2^28 through the two-level kernel four-step
+    # (fft/large.py).  Parity via an EXACT closed-form multi-tone oracle
+    # (X[k] = N*a_j*e^{2 pi i ph_j} at integer tone bins, 0 elsewhere),
+    # built and checked on device — no giant host transfers (VERDICT r2
+    # item 9).  The 2^28 input builds lazily inside its phase-2 slot to
+    # bound resident HBM.
+    def giant_setup(log2n):
+        N = 1 << log2n
+        tones = [(3, 0.5, 0.1), (12345, 0.25, -0.3),
+                 ((N >> 1) + 7, 0.125, 0.7)]
+        hi_len, lo_len = N >> 14, 1 << 14
+        amps = [t[1] for t in tones]
+        phi_his, phi_los = [], []
+        for f, a, ph in tones:
             # Exact phases from host-f64 index splits: n = a*2^14 + b, so
             # frac(f*n/N) = frac(frac(f*a*2^14/N) + frac(f*b/N)); each
-            # factor is exact in f64 and small enough for f32 trig args.
-            hi_len, lo_len = N >> 14, 1 << 14
-            amps, phs = [t[1] for t in tones], [t[2] for t in tones]
-            phi_his, phi_los = [], []
-            for f, a, ph in tones:
-                phi_hi = np.mod(
-                    np.arange(hi_len, dtype=np.float64)
-                    * float((f * lo_len) % N) / N,
-                    1.0,
-                )
-                phi_lo = np.mod(
-                    np.arange(lo_len, dtype=np.float64) * f / N + ph, 1.0
-                )
-                phi_his.append(jnp.asarray(phi_hi.astype(np.float32)))
-                phi_los.append(jnp.asarray(phi_lo.astype(np.float32)))
-
-            @jax.jit
-            def build_tones(phis_hi, phis_lo):
-                zr = jnp.zeros((hi_len, lo_len), jnp.float32)
-                zi = jnp.zeros((hi_len, lo_len), jnp.float32)
-                for a, ph, plo in zip(amps, phis_hi, phis_lo):
-                    arg = 2.0 * np.pi * (ph[:, None] + plo[None, :])
-                    zr = zr + np.float32(a) * jnp.cos(arg)
-                    zi = zi + np.float32(a) * jnp.sin(arg)
-                return (zr + 1j * zi).reshape(N)
-
-            z = build_tones(phi_his, phi_los)
-            z.block_until_ready()
-
-            @jax.jit
-            def tone_err(zf):
-                X = fft.fft(zf)
-                tot = jnp.sum(jnp.real(X) ** 2 + jnp.imag(X) ** 2)
-                sig = 0.0
-                err_at = 0.0
-                for (f, a, ph) in tones:
-                    want = N * a * jnp.exp(2j * np.pi * ph)
-                    got = X[f]
-                    sig = sig + jnp.abs(want) ** 2
-                    err_at = err_at + jnp.abs(got - want) ** 2
-                    tot = tot - jnp.real(got) ** 2 - jnp.imag(got) ** 2
-                return sig, tot + err_at
-
-            sig_e, err_e = (float(v) for v in tone_err(z))
-            snr_big = float(10.0 * np.log10(sig_e / max(err_e, 1e-300)))
-
-            sN = np.float32(1.0 / N)
-
-            def make_big(K):
-                @jax.jit
-                def chain(zz):
-                    for k in range(K):
-                        zz = fft.fft(zz)
-                        if k % 2 == 1:
-                            zz = zz * sN
-                    return jnp.abs(jnp.real(zz[0])) + jnp.abs(jnp.imag(zz[0]))
-
-                return chain
-
-            k_hi = 12 if log2n <= 24 else 6
-            per = time_chain_diff(make_big, z, k_lo=2, k_hi=k_hi, iters=4)
-            results[f"fft_2pow{log2n}"] = {
-                "wall_s": per,
-                "wall_s_reps": [per],
-                "gbs": 2 * N * 8 / per / 1e9,
-                "snr_db": snr_big,
-            }
-            log(
-                f"fft 2^{log2n} single: {per*1e3:.3f} ms  "
-                f"{2*N*8/per/1e9:.0f} GB/s  snr={snr_big:.1f} dB (multi-tone)"
+            # factor is exact in f64.
+            phi_hi = np.mod(
+                np.arange(hi_len, dtype=np.float64)
+                * float((f * lo_len) % N) / N,
+                1.0,
             )
-        except Exception as e:  # pragma: no cover
-            log(f"giant-N 2^{log2n} section failed:", e)
+            phi_lo = np.mod(
+                np.arange(lo_len, dtype=np.float64) * f / N + ph, 1.0
+            )
+            phi_his.append(jnp.asarray(phi_hi.astype(np.float32)))
+            phi_los.append(jnp.asarray(phi_lo.astype(np.float32)))
 
-    # --- fused Pallas Pwelch kernel (frame->window->FFT->|.|^2->sum) -----
-    from godsp_tpu import window as win
+        @jax.jit
+        def build_tones(phis_hi, phis_lo):
+            # Angle-ADDITION form via the product formulas: per-factor
+            # trig keeps the build at ~2^-23 relative (~135 dB ceiling);
+            # summing phases in f32 first would cost ~110 dB.
+            zr = jnp.zeros((hi_len, lo_len), jnp.float32)
+            zi = jnp.zeros((hi_len, lo_len), jnp.float32)
+            for a, ph, plo in zip(amps, phis_hi, phis_lo):
+                ah = 2.0 * np.pi * ph
+                al = 2.0 * np.pi * plo
+                ch, sh = jnp.cos(ah)[:, None], jnp.sin(ah)[:, None]
+                cl, sl = jnp.cos(al)[None, :], jnp.sin(al)[None, :]
+                zr = zr + np.float32(a) * (ch * cl - sh * sl)
+                zi = zi + np.float32(a) * (sh * cl + ch * sl)
+            return (zr + 1j * zi).reshape(N)
+
+        z = build_tones(phi_his, phi_los)
+        z.block_until_ready()
+
+        @jax.jit
+        def tone_err(zf):
+            # Residual-spectrum form: zero the tone bins FIRST, then sum
+            # — subtracting two ~N^2-sized f32 energies bottoms out at
+            # the f32 cancellation floor (~72 dB at 2^24) regardless of
+            # the FFT's real accuracy.
+            X = fft.fft(zf)
+            sig = 0.0
+            err_at = 0.0
+            for (f, a, ph) in tones:
+                want = N * a * jnp.exp(2j * np.pi * ph)
+                got = X[f]
+                sig = sig + jnp.abs(want) ** 2
+                err_at = err_at + jnp.abs(got - want) ** 2
+                X = X.at[f].set(0.0)
+            resid = jnp.sum(jnp.real(X) ** 2 + jnp.imag(X) ** 2)
+            return sig, resid + err_at
+
+        sig_e, err_e = (float(v) for v in tone_err(z))
+        snr_big = float(10.0 * np.log10(sig_e / max(err_e, 1e-300)))
+
+        snr_rt = None
+        if log2n <= 24:  # 2^28's fft+ifft-in-one-program compile is
+            # minutes of wall for a belt-and-braces number; the tone
+            # oracle above is the parity evidence.
+
+            @jax.jit
+            def rt_err(zf):
+                y = fft.ifft(fft.fft(zf))
+                d = y - zf
+                return (
+                    jnp.sum(jnp.real(zf) ** 2 + jnp.imag(zf) ** 2),
+                    jnp.sum(jnp.real(d) ** 2 + jnp.imag(d) ** 2),
+                )
+
+            sig_r, err_r = (float(v) for v in rt_err(z))
+            snr_rt = float(10.0 * np.log10(sig_r / max(err_r, 1e-300)))
+        return z, snr_big, snr_rt
+
+    def giant_chain(z, log2n):
+        N = 1 << log2n
+        sN = np.float32(1.0 / N)
+
+        def make(K):
+            @jax.jit
+            def chain(zz):
+                for k in range(K):
+                    zz = fft.fft(zz)
+                    if k % 2 == 1:
+                        zz = zz * sN
+                return jnp.abs(jnp.real(zz[0])) + jnp.abs(jnp.imag(zz[0]))
+
+            return chain
+
+        return make
+
+    task("giant24_setup", lambda: giant_setup(24))
+
+    # Fused Pallas Pwelch kernel (frame->window->FFT->|.|^2->sum).
     from godsp_tpu.ops.pallas_pwelch import pwelch_power_sum
 
-    for nfft, stride in ((1024, 512), (256, 256)):
-      try:
-        segs = (1 << 23) // stride
-        L = (segs - 1) * stride + nfft
-        sig = put(rng.normal(size=L).astype(np.float32))
+    for nfft, stride in pw_specs:
+        sig, segs, L = pw_inputs[(nfft, stride)]
         w = jnp.asarray(win.window_table_np("hann", nfft), jnp.float32)
 
-        def make(K, nfft=nfft, stride=stride, segs=segs, w=w):
+        def make_pw(K, nfft=nfft, stride=stride, segs=segs, w=w):
             @jax.jit
             def chain(xx):
                 acc = 0.0
@@ -525,42 +569,32 @@ def main() -> None:
 
             return chain
 
-        per = time_chain_diff(make, sig, k_lo=6, k_hi=22, iters=8)
-        msps = L / per / 1e6
-        # Parity on a smaller slice through the PUBLIC path vs the f64
-        # numpy reference-semantics oracle.
-        noverlap = nfft - stride
-        Ls = stride * 2048 + nfft
-        xs = rng.normal(size=Ls).astype(np.float32)
-        p_dev, _ = spectral.pwelch(
-            jnp.asarray(xs), 2.0,
-            spectral.PwelchOptions(nfft=nfft, noverlap=noverlap),
-        )
-        p_ref = _pwelch_np(xs.astype(np.float64), 2.0, nfft, noverlap)
-        s = float(snr_db(np.asarray(p_dev), p_ref))
-        results[f"pallas_pwelch{nfft}_s{stride}"] = {
-            "wall_s": per,
-            "wall_s_reps": [per],
-            "msamples_per_s": msps,
-            "snr_db": s,
+        CH[f"pwelch{nfft}_s{stride}"] = {
+            "x": sig, "diff": 16, "iters": 8, "L": L,
+            "lo": pool.submit(
+                lambda mk=make_pw, s=sig: mk(6).lower(s).compile()
+            ),
+            "hi": pool.submit(
+                lambda mk=make_pw, s=sig: mk(22).lower(s).compile()
+            ),
         }
-        log(
-            f"pallas pwelch nfft={nfft} stride={stride}: {per*1e3:.3f} ms  "
-            f"{msps:.0f} Msamples/s on-device  snr={s:.1f} dB"
-        )
-      except Exception as e:  # pragma: no cover
-        log("pwelch kernel section failed:", e)
 
-    flagship_rep()  # spaced clock-window sample
+        def pw_parity(nfft=nfft, stride=stride):
+            noverlap = nfft - stride
+            Ls = stride * 2048 + nfft
+            xs = rng.normal(size=Ls).astype(np.float32)
+            p_dev, _ = spectral.pwelch(
+                jnp.asarray(xs), 2.0,
+                spectral.PwelchOptions(nfft=nfft, noverlap=noverlap),
+            )
+            p_ref = _pwelch_np(xs.astype(np.float64), 2.0, nfft, noverlap)
+            return float(snr_db(np.asarray(p_dev), p_ref))
 
-    # --- fused mel front end (frame->window->FFT->|.|^2->filterbank) ----
+        task(f"snr_pwelch{nfft}_s{stride}", pw_parity)
+
+    # Fused mel front end (frame->window->FFT->|.|^2->filterbank).
     from godsp_tpu.models import mel_spectrogram
     from godsp_tpu.models.mel import _filterbank_np
-
-    nfft, hop = 1024, 512
-    L = hop * 4096 + nfft
-    sigh = rng.normal(size=L).astype(np.float32)
-    sig = put(sigh)
 
     def make_mel(K):
         @jax.jit
@@ -568,136 +602,426 @@ def main() -> None:
             acc = 0.0
             for k in range(K):
                 acc = acc + mel_spectrogram(
-                    z * (1.0 + 1e-6 * k), 44100.0, nfft=nfft, hop=hop, n_mels=80
+                    z * (1.0 + 1e-6 * k), 44100.0, nfft=nfft_m, hop=hop_m,
+                    n_mels=80,
                 )[0, 0]
             return acc
 
         return chain
 
-    try:
-        per = time_chain_diff(make_mel, sig, k_lo=4, k_hi=12, iters=8)
-        # f64 host oracle on a slice: frames -> hann -> rfft -> power -> fb.
-        Lm = hop * 255 + nfft
-        xm = sigh[:Lm].astype(np.float64)
-        nfr = (Lm - nfft) // hop + 1
-        idx = np.arange(nfr)[:, None] * hop + np.arange(nfft)[None, :]
-        wm = win.window_table_np("hann", nfft)
+    reg("mel", make_mel, sig_m, 4, 12)
+
+    def mel_parity():
+        Lm = hop_m * 255 + nfft_m
+        xm = sigh_m[:Lm].astype(np.float64)
+        nfr = (Lm - nfft_m) // hop_m + 1
+        idx = np.arange(nfr)[:, None] * hop_m + np.arange(nfft_m)[None, :]
+        wm = win.window_table_np("hann", nfft_m)
         Xm = np.fft.rfft(xm[idx] * wm, axis=-1)
         pm = Xm.real**2 + Xm.imag**2
-        fbm = _filterbank_np(80, nfft, 44100.0, 0.0, 22050.0, None)
+        fbm = _filterbank_np(80, nfft_m, 44100.0, 0.0, 22050.0, None)
         mel_ref = pm @ fbm.T
         mel_got = np.asarray(
             mel_spectrogram(
-                jnp.asarray(sigh[:Lm]), 44100.0, nfft=nfft, hop=hop, n_mels=80
+                jnp.asarray(sigh_m[:Lm]), 44100.0, nfft=nfft_m, hop=hop_m,
+                n_mels=80,
             )
         )
-        s = float(snr_db(mel_got, mel_ref))
-        results["mel_frontend_1024"] = {
-            "wall_s": per,
-            "wall_s_reps": [per],
-            "msamples_per_s": L / per / 1e6,
-            "snr_db": s,
-        }
-        log(
-            f"fused mel front end: {per*1e3:.3f} ms  "
-            f"{L/per/1e6:.0f} Msamples/s  snr={s:.1f} dB"
-        )
-    except Exception as e:  # pragma: no cover
-        log("mel section failed:", e)
+        return float(snr_db(mel_got, mel_ref))
 
-    # --- fused ISTFT (IFFT + window + matmul overlap-add in VMEM) -------
-    try:
-        import godsp_tpu.models._stft_impl as mstft
+    task("snr_mel", mel_parity)
 
-        nfft_i, hop_i, F_i = 1024, 512, 4096
-        L_i = (F_i - 1) * hop_i + nfft_i
-        xwh = rng.normal(size=L_i).astype(np.float32)
-        xw = put(xwh)
-        w_i = mstft._resolve_window("hann", nfft_i, jnp.float32)
-        spec_i = mstft.stft(xw, nfft_i, hop=hop_i, window="hann")
-        spec_i.block_until_ready()
-        out_len = (F_i - 1) * hop_i + nfft_i
+    # Fused ISTFT (IFFT + window + matmul overlap-add in VMEM).
+    import godsp_tpu.models._stft_impl as mstft
 
-        def make_istft(K, fused=True):
+    w_i = mstft._resolve_window("hann", nfft_i, jnp.float32)
+    out_len_i = (F_i - 1) * hop_i + nfft_i
+
+    def make_istft(fused):
+        def make(K):
             @jax.jit
             def chain(s):
                 acc = 0.0
                 for k in range(K):
                     acc = acc + mstft._istft_jit(
-                        s * (1.0 + 1e-6 * k), w_i, nfft_i, hop_i, out_len,
+                        s * (1.0 + 1e-6 * k), w_i, nfft_i, hop_i, out_len_i,
                         True, nfft_i, fused=fused,
                     )[0]
                 return acc
 
             return chain
 
-        # Heavy depths per the repo's timing discipline (CLAUDE.md:
-        # shallow chains are flattered by tunnel-RTT jitter).
-        per_f = time_chain_diff(
-            lambda K: make_istft(K, True), spec_i, k_lo=8, k_hi=24, iters=6
-        )
-        per_x = time_chain_diff(
-            lambda K: make_istft(K, False), spec_i, k_lo=8, k_hi=24, iters=4
-        )
-        # Round-trip parity: istft(stft(x)) interior == x (COLA at 50%).
+        return make
+
+    def istft_setup():
+        # The STFT producing the chain input is itself a compile; run the
+        # whole setup (stft + chain registration + parity) in one task so
+        # it all overlaps the other compiles.
+        spec = mstft.stft(xw_i, nfft_i, hop=hop_i, window="hann")
+        spec.block_until_ready()
+        reg("istft_fused", make_istft(True), spec, 8, 24, iters=6)
+        reg("istft_xla", make_istft(False), spec, 8, 24, iters=4)
         y_rt = np.asarray(
-            mstft.istft(spec_i, nfft_i, hop=hop_i, window="hann")
+            mstft.istft(spec, nfft_i, hop=hop_i, window="hann")
         )
-        snr_rt = float(snr_db(
-            y_rt[nfft_i:-nfft_i], xwh[nfft_i : len(y_rt) - nfft_i]
+        return float(snr_db(
+            y_rt[nfft_i:-nfft_i], xwh_i[nfft_i : len(y_rt) - nfft_i]
         ))
+
+    task("snr_istft", istft_setup)
+
+    # Fused-halo sharded Pwelch (RDMA inside the kernel; 1-device "sp"
+    # self-ring validates and times the compiled remote-DMA kernel).
+    from jax.sharding import Mesh
+
+    from godsp_tpu.parallel import pwelch_sharded
+
+    opts_fh = spectral.PwelchOptions(nfft=1024, noverlap=512)
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("sp",))
+
+    def make_fh(K):
+        @jax.jit
+        def chain(z):
+            acc = 0.0
+            for k in range(K):
+                p, _ = pwelch_sharded(
+                    z * (1.0 + 1e-6 * k), 2.0, opts_fh, mesh=mesh1,
+                    halo_impl=("fused", False),
+                )
+                acc = acc + p[0]
+            return acc
+
+        return chain
+
+    reg("fused_halo", make_fh, sig_fh, 6, 18, iters=6)
+
+    def fh_parity():
+        p_fh, _ = pwelch_sharded(
+            sig_fh, 2.0, opts_fh, mesh=mesh1, halo_impl=("fused", False)
+        )
+        return float(snr_db(
+            np.asarray(p_fh),
+            _pwelch_np(sig_fh_h.astype(np.float64), 2.0, 1024, 512),
+        ))
+
+    task("snr_fused_halo", fh_parity)
+
+    # Streaming: the driver's REAL per-chunk program on a pre-staged
+    # device chunk (compute-bound; what local-PCIe ingest would see).
+    from godsp_tpu.parallel.streaming import _chunk_accumulate
+
+    mesh1d = make_mesh(MeshConfig(dp=1, sp=1), jax.devices()[:1])
+    w_pad_sd = jnp.asarray(win.window_table_np("hann", 1024), jnp.float32)
+    z_sd = jnp.zeros((1, lp_sd), jnp.float32)
+
+    def make_stream(K):
+        @jax.jit
+        def chain(ext):
+            s, c = z_sd, z_sd
+            for k in range(K):
+                s, c = _chunk_accumulate(
+                    ext * (1.0 + 1e-6 * k), w_pad_sd, s, c,
+                    jnp.int32(segs_sd),
+                    mesh1d, 1024, 1024, stride_sd, segs_sd, lp_sd,
+                    ("ppermute", False), 1, chunk_len,
+                )
+            return s[0, 0] + c[0, 0]
+
+        return chain
+
+    reg("stream_ondevice", make_stream, ext_sd, 6, 18, iters=10)
+
+    log(f"phase 1: {len(CH)} chain pairs + {len(TASKS)} oracle tasks "
+        "registered; compiling concurrently...")
+    tick("phase-1 registration")
+
+    # ------------------------------------------------------------------
+    # Phase 2: serial measurement on the quiet chip.
+    # ------------------------------------------------------------------
+    flagship_reps = []
+    copy_reps = []
+
+    def _update_flagship():
+        per = med(flagship_reps)
+        gbs = 4 * b_f * n_f * 4 / per / 1e9
+        copy_per = med(copy_reps)
+        copy_gbs = 4 * b_f * n_f * 4 / copy_per / 1e9
+        ratios = [c / f for f, c in zip(flagship_reps, copy_reps)]
+        results["pallas_fft1024_precise"] = {
+            "wall_s": per,
+            "wall_s_reps": list(flagship_reps),
+            "wall_s_best": min(flagship_reps),
+            "gbs": gbs,
+            "roofline_fraction": gbs / peak if peak else None,
+            "copy_ceiling_wall_s_reps": list(copy_reps),
+            "copy_ceiling_gbs": copy_gbs,
+            "fraction_of_copy_ceiling": med(ratios),
+            "fraction_of_copy_ceiling_reps": ratios,
+            "snr_db": task_result("snr_1024"),
+        }
+
+    def flagship_rep(label):
+        try:
+            per = measure("flagship")
+            per_copy = measure("copy")
+        except Exception as e:  # pragma: no cover
+            log("flagship rep failed:", e)
+            return
+        flagship_reps.append(per)
+        copy_reps.append(per_copy)
+        _update_flagship()
+        log(
+            f"  flagship rep ({label}): {per*1e3:.3f} ms, "
+            f"copy {per_copy*1e3:.3f} ms (ratio {per_copy/per:.3f})"
+        )
+
+    flagship_rep("start")
+    try:
+        d = results["pallas_fft1024_precise"]
+        log(
+            f"pallas fft n=1024 b=16384: {d['wall_s']*1e3:.3f} ms "
+            f"{d['gbs']:.0f} GB/s roofline={d['roofline_fraction']:.3f} "
+            f"copy_ceiling={d['copy_ceiling_gbs']:.0f} GB/s "
+            f"of_ceiling={d['fraction_of_copy_ceiling']:.3f} "
+            f"snr={d['snr_db'] and round(d['snr_db'], 1)} dB"
+        )
+        tick("flagship 1024")
+    except Exception as e:  # pragma: no cover
+        log("flagship 1024 section failed:", e)
+
+    for n, batch in SIZES:
+        try:
+            per = measure(f"fft{n}", drop_input=True)
+            gbs = 4 * batch * n * 4 / per / 1e9
+            frac = gbs / peak if peak else None
+            s = task_result(f"snr_{n}")
+            results[f"pallas_fft{n}_precise"] = {
+                "wall_s": per,
+                "wall_s_reps": [per],
+                "gbs": gbs,
+                "roofline_fraction": frac,
+                "snr_db": s,
+            }
+            log(
+                f"pallas fft n={n} batch={batch}: {per*1e3:.3f} ms  "
+                f"{gbs:.0f} GB/s  roofline={frac and f'{frac:.3f}'}  "
+                f"snr={s and f'{s:.1f}'} dB"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"pallas fft {n} section failed:", e)
+    tick("per-size ffts")
+    try:
+        r16 = results.get("pallas_fft16384_precise")
+        r8 = results.get("pallas_fft8192_precise")
+        if r16 and r8:
+            # Same total elements at both sizes, so the per-element cost
+            # ratio is just the wall ratio.
+            results["fft16384_vs_8192_per_element"] = {
+                "ratio": r16["wall_s"] / r8["wall_s"],
+                "target": "<= 1.3",
+            }
+            log(
+                "per-element 16384/8192 cost ratio: "
+                f"{r16['wall_s']/r8['wall_s']:.3f}"
+            )
+    except Exception as e:  # pragma: no cover
+        log("per-element ratio computation failed:", e)
+
+    # Public APIs.
+    try:
+        per = measure("public_fft")
+        gbs = fft_bytes(n_f, b_f, 8) / per / 1e9
+        frac = gbs / peak if peak else None
+        pub_snr = task_result("snr_public")
+        results["public_fft1024"] = {
+            "wall_s": per,
+            "wall_s_reps": [per],
+            "gflops": fft_flops(n_f, b_f) / per / 1e9,
+            "gbs": gbs,
+            "roofline_fraction": frac,
+            "snr_db": pub_snr,
+        }
+        log(
+            f"public fft() n=1024: {per*1e3:.3f} ms  {gbs:.0f} GB/s  "
+            f"roofline={frac and f'{frac:.3f}'}  snr={pub_snr and f'{pub_snr:.1f}'} dB"
+        )
+
+        per_s = measure("fft_split")
+        gbs_s = 4 * b_f * n_f * 4 / per_s / 1e9
+        split_snr = task_result("snr_split")
+        results["public_fft_split1024"] = {
+            "wall_s": per_s,
+            "wall_s_reps": [per_s],
+            "gbs": gbs_s,
+            "roofline_fraction": gbs_s / peak if peak else None,
+            "snr_db": split_snr,
+        }
+        log(
+            f"public fft_split() n=1024: {per_s*1e3:.3f} ms  {gbs_s:.0f} GB/s  "
+            f"roofline={gbs_s/peak:.3f}  snr={split_snr and f'{split_snr:.1f}'} dB"
+        )
+
+        per_cc = measure("conv_plus_copy", drop_input=True)
+        per_copy_ref = measure("copy")
+        per_c = max(per_cc - per_copy_ref, 0.0)
+        results["c64_conversion_roundtrip"] = {
+            "wall_s": per_c,
+            "wall_s_reps": [per_c],
+            "conv_plus_copy_s": per_cc,
+            "copy_ref_s": per_copy_ref,
+            "public_fft_floor_check": {
+                "fft_split_plus_conversions_s": per_s + per_c,
+                "public_fft_s": per,
+            },
+        }
+        log(
+            f"c64 extract+recombine roundtrip: {per_c*1e3:.3f} ms "
+            f"(conv+copy {per_cc*1e3:.3f} - copy {per_copy_ref*1e3:.3f}; "
+            f"fft_split + conversions = {(per_s+per_c)*1e3:.3f} ms "
+            f"vs public {per*1e3:.3f} ms)"
+        )
+        tick("public fft / split / conversion")
+    except Exception as e:  # pragma: no cover
+        log("public fft section failed:", e)
+
+    try:
+        per_j = measure("jnp_fft", drop_input=False)
+        results["jnp_fft1024"] = {
+            "wall_s": per_j, "gbs": fft_bytes(n_f, b_f, 8) / per_j / 1e9
+        }
+        log(f"jnp.fft.fft n=1024: {per_j*1e3:.3f} ms  "
+            f"{fft_bytes(n_f, b_f, 8)/per_j/1e9:.0f} GB/s")
+        tick("jnp.fft comparison")
+    except Exception as e:  # pragma: no cover
+        log("jnp.fft comparison failed:", e)
+
+    try:
+        per = measure("fft_2pow20")
+        snr20 = task_result("snr_2pow20")
+        results["fft_2pow20"] = {
+            "wall_s": per, "wall_s_reps": [per], "snr_db": snr20
+        }
+        log(f"fft 2^20 single: {per*1e3:.3f} ms  "
+            f"snr={snr20 and f'{snr20:.1f}'} dB")
+        per_jnp = measure("jnp_2pow20", drop_input=True)
+        results["fft_2pow20"]["jnp_wall_s"] = per_jnp
+        results["fft_2pow20"]["speedup_vs_jnp"] = per_jnp / per
+        log(f"  vs jnp.fft.fft: {per_jnp*1e3:.3f} ms ({per_jnp/per:.2f}x)")
+        tick("2^20 section")
+    except Exception as e:  # pragma: no cover
+        log("large-N 2^20 section failed:", e)
+
+    flagship_rep("mid")
+
+    # Giant-N rows: setup for 2^24 ran concurrently in phase 1; its
+    # timing chains compile here (shapes exist only now).  2^28 runs
+    # fully serial in this slot to bound resident HBM.
+    for log2n in (24, 28):
+        try:
+            N = 1 << log2n
+            if log2n == 24:
+                setup = task_result("giant24_setup")
+                if setup is None:
+                    raise RuntimeError("giant24 setup failed")
+                z, snr_big, snr_rt = setup
+            else:
+                z, snr_big, snr_rt = giant_setup(log2n)
+            k_hi = 8 if log2n <= 24 else 4
+            mk = giant_chain(z, log2n)
+            f_lo, f_hi = mk(2), mk(k_hi)
+            lo_c = pool.submit(lambda: f_lo.lower(z).compile())
+            hi_c = pool.submit(lambda: f_hi.lower(z).compile())
+            lo, hi = lo_c.result(), hi_c.result()
+            for f in (lo, hi):
+                float(np.asarray(f(z)))
+            best_lo = best_hi = float("inf")
+            for _ in range(4):
+                t0 = time.perf_counter()
+                float(np.asarray(lo(z)))
+                best_lo = min(best_lo, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(np.asarray(hi(z)))
+                best_hi = min(best_hi, time.perf_counter() - t0)
+            per = max((best_hi - best_lo) / (k_hi - 2), 1e-9)
+            del z, lo, hi, f_lo, f_hi
+            results[f"fft_2pow{log2n}"] = {
+                "wall_s": per,
+                "wall_s_reps": [per],
+                "gbs": 2 * N * 8 / per / 1e9,
+                "snr_db": snr_big,
+                "roundtrip_snr_db": snr_rt,
+            }
+            log(
+                f"fft 2^{log2n} single: {per*1e3:.3f} ms  "
+                f"{2*N*8/per/1e9:.0f} GB/s  snr={snr_big:.1f} dB (multi-tone)"
+                + (f"  roundtrip={snr_rt:.1f} dB" if snr_rt is not None else "")
+            )
+            tick(f"giant-N 2^{log2n}")
+        except Exception as e:  # pragma: no cover
+            log(f"giant-N 2^{log2n} section failed:", e)
+
+    for nfft, stride in pw_specs:
+        try:
+            name = f"pwelch{nfft}_s{stride}"
+            L = CH[name]["L"]
+            per = measure(name, drop_input=True)
+            msps = L / per / 1e6
+            s = task_result(f"snr_{name}")
+            results[f"pallas_pwelch{nfft}_s{stride}"] = {
+                "wall_s": per,
+                "wall_s_reps": [per],
+                "msamples_per_s": msps,
+                "snr_db": s,
+            }
+            log(
+                f"pallas pwelch nfft={nfft} stride={stride}: {per*1e3:.3f} ms  "
+                f"{msps:.0f} Msamples/s on-device  snr={s and f'{s:.1f}'} dB"
+            )
+        except Exception as e:  # pragma: no cover
+            log("pwelch kernel section failed:", e)
+    tick("pwelch kernels")
+
+    try:
+        per = measure("mel", drop_input=True)
+        s = task_result("snr_mel")
+        results["mel_frontend_1024"] = {
+            "wall_s": per,
+            "wall_s_reps": [per],
+            "msamples_per_s": L_m / per / 1e6,
+            "snr_db": s,
+        }
+        log(
+            f"fused mel front end: {per*1e3:.3f} ms  "
+            f"{L_m/per/1e6:.0f} Msamples/s  snr={s and f'{s:.1f}'} dB"
+        )
+        tick("mel front end")
+    except Exception as e:  # pragma: no cover
+        log("mel section failed:", e)
+
+    try:
+        snr_rt = task_result("snr_istft")  # also gates chain registration
+        per_f = measure("istft_fused")
+        per_x = measure("istft_xla", drop_input=True)
         results["istft_fused_1024"] = {
             "wall_s": per_f,
             "wall_s_reps": [per_f],
-            "msamples_per_s": out_len / per_f / 1e6,
+            "msamples_per_s": out_len_i / per_f / 1e6,
             "xla_wall_s": per_x,
             "speedup_vs_xla": per_x / per_f,
             "snr_db": snr_rt,
         }
         log(
             f"fused istft 1024/512: {per_f*1e3:.3f} ms "
-            f"({out_len/per_f/1e6:.0f} Msamples/s), XLA path {per_x*1e3:.3f} ms "
-            f"-> {per_x/per_f:.2f}x  roundtrip snr={snr_rt:.1f} dB"
+            f"({out_len_i/per_f/1e6:.0f} Msamples/s), XLA path {per_x*1e3:.3f} ms "
+            f"-> {per_x/per_f:.2f}x  roundtrip snr={snr_rt and f'{snr_rt:.1f}'} dB"
         )
+        tick("istft")
     except Exception as e:  # pragma: no cover
         log("istft section failed:", e)
 
-    # --- fused-halo sharded Pwelch (RDMA inside the kernel) -------------
-    # Single chip = a 1-device "sp" ring (self-send): validates and times
-    # the compiled remote-DMA kernel; multi-chip overlap needs a pod.
     try:
-        from jax.sharding import Mesh
-
-        from godsp_tpu.parallel import pwelch_sharded
-
-        opts_fh = spectral.PwelchOptions(nfft=1024, noverlap=512)
-        Lfh = 512 * 4096
-        sig_fh_h = rng.normal(size=Lfh).astype(np.float32)
-        sig_fh = put(sig_fh_h)
-        mesh1 = Mesh(np.array(jax.devices()[:1]), ("sp",))
-
-        def make_fh(K):
-            @jax.jit
-            def chain(z):
-                acc = 0.0
-                for k in range(K):
-                    p, _ = pwelch_sharded(
-                        z * (1.0 + 1e-6 * k), 2.0, opts_fh, mesh=mesh1,
-                        halo_impl=("fused", False),
-                    )
-                    acc = acc + p[0]
-                return acc
-
-            return chain
-
-        per = time_chain_diff(make_fh, sig_fh, k_lo=6, k_hi=18, iters=6)
-        p_fh, _ = pwelch_sharded(
-            sig_fh, 2.0, opts_fh, mesh=mesh1, halo_impl=("fused", False)
-        )
-        snr_fh = float(snr_db(
-            np.asarray(p_fh),
-            _pwelch_np(sig_fh_h.astype(np.float64), 2.0, 1024, 512),
-        ))
+        per = measure("fused_halo", drop_input=True)
+        snr_fh = task_result("snr_fused_halo")
         results["pwelch_fused_halo"] = {
             "wall_s": per,
             "wall_s_reps": [per],
@@ -706,61 +1030,28 @@ def main() -> None:
         }
         log(
             f"fused-halo sharded pwelch (1-dev ring): {per*1e3:.3f} ms  "
-            f"{Lfh/per/1e6:.0f} Msamples/s on-device  snr={snr_fh:.1f} dB"
+            f"{Lfh/per/1e6:.0f} Msamples/s on-device  snr={snr_fh and f'{snr_fh:.1f}'} dB"
         )
+        tick("fused-halo")
     except Exception as e:  # pragma: no cover
         log("fused-halo bench failed:", e)
 
-    # --- Pwelch streaming: ON-DEVICE compute-bound rate ------------------
-    # The h2d number below is transport-bound (tunnel); this one times the
-    # driver's REAL per-chunk program (parallel/streaming._chunk_accumulate:
-    # halo slice -> sharded partial step -> Neumaier accumulate) on a
-    # pre-staged device chunk — the rate a production host with local
-    # PCIe/DMA ingest would see (VERDICT r2 item 5).
     try:
-        from godsp_tpu.parallel.streaming import _chunk_accumulate
-
-        mesh1d = make_mesh(MeshConfig(dp=1, sp=1), jax.devices()[:1])
-        stride_sd, segs_sd = 512, 4096
-        chunk_len = segs_sd * stride_sd
-        halo_sd, lp_sd = 512, 513
-        w_pad_sd = jnp.asarray(win.window_table_np("hann", 1024), jnp.float32)
-        ext_sd = put(rng.normal(size=chunk_len + halo_sd).astype(np.float32))
-        z_sd = jnp.zeros((1, lp_sd), jnp.float32)
-
-        def make_stream(K):
-            @jax.jit
-            def chain(ext):
-                s, c = z_sd, z_sd
-                for k in range(K):
-                    s, c = _chunk_accumulate(
-                        ext * (1.0 + 1e-6 * k), w_pad_sd, s, c,
-                        jnp.int32(segs_sd),
-                        mesh1d, 1024, 1024, stride_sd, segs_sd, lp_sd,
-                        ("ppermute", False), 1, chunk_len,
-                    )
-                return s[0, 0] + c[0, 0]
-
-            return chain
-
-        reps_sd = [
-            time_chain_diff(make_stream, ext_sd, k_lo=6, k_hi=18, iters=6)
-            for _ in range(2)
-        ]
-        per = med(reps_sd)
+        per = measure("stream_ondevice", drop_input=True)
         results["pwelch_stream_ondevice"] = {
             "wall_s": per,
-            "wall_s_reps": reps_sd,
+            "wall_s_reps": [per],
             "msamples_per_s": chunk_len / per / 1e6,
         }
         log(
             f"pwelch streaming (on-device chunk program): {per*1e3:.3f} ms/chunk  "
             f"{chunk_len/per/1e6:.0f} Msamples/s"
         )
+        tick("on-device streaming")
     except Exception as e:  # pragma: no cover
         log("on-device streaming section failed:", e)
 
-    # --- Pwelch streaming throughput incl. host->device transfer --------
+    # Streaming incl. host->device transfer (tunnel-bound).
     fs = 44100.0
     opts = spectral.PwelchOptions(nfft=1024, noverlap=512)
     total = 1 << 24  # ~16.8 M samples
@@ -791,10 +1082,12 @@ def main() -> None:
             f"pwelch streaming (h2d-bound): {msps:.1f} Msamples/s "
             f"(reps {'/'.join(f'{w:.2f}s' for w in walls)} for {total} samples)"
         )
+        tick("h2d streaming")
     except Exception as e:  # pragma: no cover
         log("streaming section failed:", e)
 
-    flagship_rep()  # final clock-window sample
+    flagship_rep("end")
+    pool.shutdown(wait=False)
 
     # --- summary line ----------------------------------------------------
     fl = results.get("pallas_fft1024_precise", {})

@@ -354,6 +354,20 @@ def _natural_slices_mxu(C, p, n1: int):
     return out
 
 
+# Rows per in-kernel chunk (None = whole block at once).  The VPU
+# butterfly network and the MXU G matmuls have a serial dependency
+# within one row set; chunking the block's rows lets the hardware run
+# chunk j+1's network on the VPU while chunk j's matmuls occupy the MXU
+# (in-order issue, async MXU).  Probed on v5e before enabling.
+_LS_CHUNK_ROWS = None
+
+
+def set_ls_chunk_rows(rows: int | None) -> None:
+    """Set the lane-slice kernel's internal row-chunk size (None = off)."""
+    global _LS_CHUNK_ROWS
+    _LS_CHUNK_ROWS = rows
+
+
 def _fft_kernel_ls(
     *refs, n1: int, inverse: bool, real_input: bool = False,
     natural_out: bool = False,
@@ -376,29 +390,33 @@ def _fft_kernel_ls(
 
     xr = xr_ref[:]
     xi = None if real_input else xi_ref[:]
-    pairs = [
-        (
-            xr[:, k * LANES : (k + 1) * LANES],
-            None if real_input else xi[:, k * LANES : (k + 1) * LANES],
-        )
-        for k in range(n1)
-    ]
-    A = _dft_slices(pairs, inverse)
-    C = [_karatsuba_g(A[k1][0], A[k1][1], k1, tabs) for k1 in range(n1)]
-    if not natural_out:
-        for k1 in range(n1):
-            yr_ref[:, k1 * LANES : (k1 + 1) * LANES] = C[k1][0]
-            yi_ref[:, k1 * LANES : (k1 + 1) * LANES] = C[k1][1]
-        return
-    p = p_ref[:]
-    for g, (gr, gi) in enumerate(
-        zip(
-            _natural_slices_mxu([c[0] for c in C], p, n1),
-            _natural_slices_mxu([c[1] for c in C], p, n1),
-        )
-    ):
-        yr_ref[:, g * LANES : (g + 1) * LANES] = gr
-        yi_ref[:, g * LANES : (g + 1) * LANES] = gi
+    bt = xr.shape[0]
+    cs = _LS_CHUNK_ROWS or bt
+    p = p_ref[:] if natural_out else None
+    for j in range(0, bt, cs):
+        rows = slice(j, min(j + cs, bt))
+        pairs = [
+            (
+                xr[rows, k * LANES : (k + 1) * LANES],
+                None if real_input else xi[rows, k * LANES : (k + 1) * LANES],
+            )
+            for k in range(n1)
+        ]
+        A = _dft_slices(pairs, inverse)
+        C = [_karatsuba_g(A[k1][0], A[k1][1], k1, tabs) for k1 in range(n1)]
+        if not natural_out:
+            for k1 in range(n1):
+                yr_ref[rows, k1 * LANES : (k1 + 1) * LANES] = C[k1][0]
+                yi_ref[rows, k1 * LANES : (k1 + 1) * LANES] = C[k1][1]
+            continue
+        for g, (gr, gi) in enumerate(
+            zip(
+                _natural_slices_mxu([c[0] for c in C], p, n1),
+                _natural_slices_mxu([c[1] for c in C], p, n1),
+            )
+        ):
+            yr_ref[rows, g * LANES : (g + 1) * LANES] = gr
+            yi_ref[rows, g * LANES : (g + 1) * LANES] = gi
 
 
 def _ifft_digit_in_kernel_ls(*refs, n1: int):
