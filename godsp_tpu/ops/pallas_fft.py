@@ -58,6 +58,7 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -74,6 +75,7 @@ __all__ = [
 
 _F32 = jnp.float32
 _BF16 = jnp.bfloat16
+_np_bf16 = ml_dtypes.bfloat16
 _HI = jax.lax.Precision.HIGHEST
 LANES = 128
 
@@ -199,6 +201,37 @@ def _ls_tables(n: int, inverse: bool, digit_in: bool, scale: float = 1.0):
 
     gs = g.real + g.imag
     return {"gr": c32(g.real), "gi": c32(g.imag), "gs": c32(gs)}
+
+
+_SHARED_ORDER = [
+    "tr", "ti",
+    "f2r_h", "f2r_m", "f2r_l",
+    "f2i_h", "f2i_m", "f2i_l",
+    "f2s_h", "f2s_m", "f2s_l",
+]
+
+
+@lru_cache(maxsize=None)
+def _ls_tables_shared(n: int, inverse: bool, cs: int, scale: float = 1.0):
+    """Tables for the shared-F2 lane-slice kernel (see the shared-F2
+    block comment above _limb3): the twiddle T repeated to the stacked
+    (n1*cs, 128) row layout, and F2 / i·F2 / (F2r+F2i) as trace-time
+    3-limb bf16 splits (so DEFAULT-precision matmuls against them are
+    exact per limb).  scale folds into F2."""
+    n1 = n // LANES
+    t = twiddle_2d(n1, LANES)
+    f2 = dft_matrix(LANES) * scale
+    if inverse:
+        t, f2 = np.conj(t), np.conj(f2)
+    t_big = np.repeat(t, cs, axis=0)  # rows [k1*cs, (k1+1)*cs) = T[k1]
+    c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    out = {"tr": c32(t_big.real), "ti": c32(t_big.imag)}
+    for name, mat in (
+        ("f2r", f2.real), ("f2i", f2.imag), ("f2s", f2.real + f2.imag)
+    ):
+        for suffix, limb in zip("hml", _limb3_np(mat)):
+            out[f"{name}_{suffix}"] = limb
+    return out
 
 
 @lru_cache(maxsize=None)
@@ -354,6 +387,65 @@ def _natural_slices_mxu(C, p, n1: int):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Shared-F2 contraction (round-3 structure, probed on v5e).
+#
+# The per-slice fused tables G[k1] = diag(T[k1]) @ F2 make every grid
+# step issue n1 x 3 SMALL (bt, 128)@(128, 128) matmuls with DIFFERENT
+# weights — and the round-2/3 anatomy probes show the kernel is bound by
+# exactly that: matmul count/weight swaps, not FLOPs (DEFAULT precision
+# measures the same as 6-pass HIGHEST; see BASELINE.md).  So un-fold the
+# twiddle back out of the contraction:
+#     C[k1] = (A[k1] * T[k1]) @ F2          (same math, associativity)
+# The twiddle multiply is a cheap VPU elementwise pass in VMEM (the
+# round-1 reason for folding — an extra HBM pass — never applied inside
+# the kernel), and the F2 contraction now has ONE weight matrix shared
+# by every slice: stack the n1 twiddled slices along sublanes into
+# (n1*cs, 128) and contract once.  HIGHEST-equivalent precision is
+# hand-rolled: split the stacked data into its 3 bf16 limbs (exact,
+# 8+8+8 of f32's 24 mantissa bits), precompute F2's limbs at trace time,
+# and accumulate the 6 >=2^-16 cross products — 6 big matmuls per
+# Karatsuba product, 18 per grid step, vs 18*n1 small weight-swapping
+# passes before.  Same FLOPs, ~n1x fewer weight loads.
+# ---------------------------------------------------------------------------
+
+_C6 = ((0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (2, 0))  # limb pairs >= 2^-16
+
+
+def _limb3(x):
+    """Exact 3-limb bf16 decomposition of f32 (hi + mid + lo == x)."""
+    hi = x.astype(_BF16).astype(_F32)
+    r = x - hi
+    mid = r.astype(_BF16).astype(_F32)
+    return hi, mid, r - mid
+
+
+def _limb3_np(a: np.ndarray):
+    """Trace-time 3-limb split of a table: round to f32, then the exact
+    bf16 limb decomposition (hi + mid + lo == the f32 value; lo's
+    remaining <=8 mantissa bits are bf16-representable by construction).
+    """
+    x = np.asarray(a, np.float32)
+    hi = x.astype(_np_bf16).astype(np.float32)
+    r = x - hi
+    mid = r.astype(_np_bf16).astype(np.float32)
+    return hi, mid, r - mid
+
+
+def _mm_limbs(zl, fl, combos=_C6):
+    """sum of zl[a] @ fl[b] over limb pairs — the hand-rolled HIGHEST."""
+    dn = (((1,), (0,)), ((), ()))
+    mm = partial(
+        jax.lax.dot_general, dimension_numbers=dn,
+        preferred_element_type=_F32,
+    )
+    acc = None
+    for a, b in combos:
+        t = mm(zl[a], fl[b])
+        acc = t if acc is None else acc + t
+    return acc
+
+
 # Rows per in-kernel chunk (None = whole block at once).  The VPU
 # butterfly network and the MXU G matmuls have a serial dependency
 # within one row set; chunking the block's rows lets the hardware run
@@ -366,6 +458,99 @@ def set_ls_chunk_rows(rows: int | None) -> None:
     """Set the lane-slice kernel's internal row-chunk size (None = off)."""
     global _LS_CHUNK_ROWS
     _LS_CHUNK_ROWS = rows
+
+
+# Shared-F2 structure toggle (complex input only; real-input and
+# batched-3D paths keep the fused-G form).
+_LS_SHARED = False
+
+
+def set_ls_shared_f2(on: bool) -> None:
+    """Select the lane-slice contraction structure: True = shared-F2
+    (separate VPU twiddle + one weight matrix for every slice, 18 big
+    limb matmuls per grid step), False = per-slice fused G tables."""
+    global _LS_SHARED
+    _LS_SHARED = bool(on)
+
+
+def _fft_kernel_ls_shared(
+    *refs, n1: int, inverse: bool, natural_out: bool, cs: int,
+):
+    """Lane-slice forward (or natural-in inverse) kernel, shared-F2
+    contraction (see the block comment above _limb3).  Digit output, or
+    natural via the stacked shared-P MXU permutation.  cs = rows per
+    chunk (divides the block's bt); the twiddle table is pre-repeated to
+    the (n1*cs, 128) stacked layout."""
+    xr_ref, xi_ref, *rest = refs
+    *tabs, yr_ref, yi_ref = rest
+    if natural_out:
+        *tabs, p_ref = tabs
+    tr_ref, ti_ref, *f2refs = tabs
+    tr, ti = tr_ref[:], ti_ref[:]
+    f2r = tuple(r[:] for r in f2refs[0:3])
+    f2i = tuple(r[:] for r in f2refs[3:6])
+    f2s = tuple(r[:] for r in f2refs[6:9])
+    p = p_ref[:] if natural_out else None
+    pc = ((0, 0), (1, 0), (2, 0))  # data limbs against the one-hot P
+
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    bt = xr.shape[0]
+    m = LANES // n1
+    for j in range(0, bt, cs):
+        rows = slice(j, j + cs)
+        pairs = [
+            (
+                xr[rows, k * LANES : (k + 1) * LANES],
+                xi[rows, k * LANES : (k + 1) * LANES],
+            )
+            for k in range(n1)
+        ]
+        A = _dft_slices(pairs, inverse)
+        ar = jnp.concatenate([A[k][0] for k in range(n1)], axis=0)
+        ai = jnp.concatenate([A[k][1] for k in range(n1)], axis=0)
+        zr = ar * tr - ai * ti
+        zi = ar * ti + ai * tr
+        m1 = _mm_limbs(_limb3(zr), f2r)
+        m2 = _mm_limbs(_limb3(zi), f2i)
+        m3 = _mm_limbs(_limb3(zr + zi), f2s)
+        cr = m1 - m2
+        ci = m3 - m1 - m2
+        if not natural_out:
+            for k1 in range(n1):
+                yr_ref[rows, k1 * LANES : (k1 + 1) * LANES] = (
+                    cr[k1 * cs : (k1 + 1) * cs]
+                )
+                yi_ref[rows, k1 * LANES : (k1 + 1) * LANES] = (
+                    ci[k1 * cs : (k1 + 1) * cs]
+                )
+            continue
+        # Natural slice g = lane-interleave of column window g of every
+        # digit slice; stack all g along sublanes for ONE shared-P
+        # 3-limb multiply (exact, cf. _permute_lanes_mxu).
+        def _stack_windows(c):
+            return jnp.concatenate(
+                [
+                    jnp.concatenate(
+                        [
+                            c[k1 * cs : (k1 + 1) * cs, g * m : (g + 1) * m]
+                            for k1 in range(n1)
+                        ],
+                        axis=1,
+                    )
+                    for g in range(n1)
+                ],
+                axis=0,
+            )
+        pr = _mm_limbs(_limb3(_stack_windows(cr)), (p,), combos=pc)
+        pi = _mm_limbs(_limb3(_stack_windows(ci)), (p,), combos=pc)
+        for g in range(n1):
+            yr_ref[rows, g * LANES : (g + 1) * LANES] = (
+                pr[g * cs : (g + 1) * cs]
+            )
+            yi_ref[rows, g * LANES : (g + 1) * LANES] = (
+                pi[g * cs : (g + 1) * cs]
+            )
 
 
 def _fft_kernel_ls(
@@ -443,6 +628,48 @@ def _ifft_digit_in_kernel_ls(*refs, n1: int):
         yi_ref[:, i1 * LANES : (i1 + 1) * LANES] = (
             jnp.zeros_like(yr) if yi is None else yi
         )
+
+
+def _ifft_digit_in_kernel_ls_shared(*refs, n1: int, cs: int):
+    """Digit-in inverse, shared-F2 contraction: B = Astack @ F2c (one
+    shared weight, 18 big limb matmuls), then the per-slice twiddle as a
+    VPU column multiply (G[k1] = F2c . diag-ish Tc[k1] factored back
+    out), then the conjugate slice network emits natural i1 order."""
+    xr_ref, xi_ref, *rest = refs
+    *tabs, yr_ref, yi_ref = rest
+    tr_ref, ti_ref, *f2refs = tabs
+    tr, ti = tr_ref[:], ti_ref[:]
+    f2r = tuple(r[:] for r in f2refs[0:3])
+    f2i = tuple(r[:] for r in f2refs[3:6])
+    f2s = tuple(r[:] for r in f2refs[6:9])
+    xr, xi = xr_ref[:], xi_ref[:]
+    bt = xr.shape[0]
+    for j in range(0, bt, cs):
+        rows = slice(j, j + cs)
+        ar = jnp.concatenate(
+            [xr[rows, k * LANES : (k + 1) * LANES] for k in range(n1)], axis=0
+        )
+        ai = jnp.concatenate(
+            [xi[rows, k * LANES : (k + 1) * LANES] for k in range(n1)], axis=0
+        )
+        m1 = _mm_limbs(_limb3(ar), f2r)
+        m2 = _mm_limbs(_limb3(ai), f2i)
+        m3 = _mm_limbs(_limb3(ar + ai), f2s)
+        br = m1 - m2
+        bi = m3 - m1 - m2
+        cr = br * tr - bi * ti
+        ci = br * ti + bi * tr
+        C = [
+            (cr[k1 * cs : (k1 + 1) * cs], ci[k1 * cs : (k1 + 1) * cs])
+            for k1 in range(n1)
+        ]
+        Y = _dft_slices(C, inverse=True)
+        for i1 in range(n1):
+            yr, yi_ = Y[i1]
+            yr_ref[rows, i1 * LANES : (i1 + 1) * LANES] = yr
+            yi_ref[rows, i1 * LANES : (i1 + 1) * LANES] = (
+                jnp.zeros_like(yr) if yi_ is None else yi_
+            )
 
 
 def _step_a_real_vpu(x3, n1: int):
@@ -725,7 +952,20 @@ def fft_pow2_split(
     grid = (xr2.shape[0] // bt,)
 
     natural_fused = False
-    if _use_laneslice(n1):
+    if _LS_SHARED and not real_input and _use_laneslice(n1):
+        cs = _LS_CHUNK_ROWS or bt
+        if cs > bt or bt % cs:
+            cs = bt
+        tabs = _ls_tables_shared(n, inverse, cs, scale)
+        tables = [jnp.asarray(tabs[k]) for k in _SHARED_ORDER]
+        natural_fused = order == "natural" and _natural_fused
+        if natural_fused:
+            tables.append(jnp.asarray(_natural_perm_np(n1)))
+        kern = partial(
+            _fft_kernel_ls_shared, n1=n1, inverse=inverse,
+            natural_out=natural_fused, cs=cs,
+        )
+    elif _use_laneslice(n1):
         tabs = _ls_tables(n, inverse, False, scale)
         tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
         natural_fused = order == "natural" and _natural_fused
@@ -816,7 +1056,14 @@ def ifft_pow2_digit_split(
         i2 = jnp.pad(i2, ((0, pad), (0, 0)))
     grid = (r2.shape[0] // bt,)
 
-    if _use_laneslice(n1):
+    if _LS_SHARED and _use_laneslice(n1):
+        cs = _LS_CHUNK_ROWS or bt
+        if cs > bt or bt % cs:
+            cs = bt
+        tabs = _ls_tables_shared(n, True, cs, scale)  # conjugated
+        tables = [jnp.asarray(tabs[k]) for k in _SHARED_ORDER]
+        kern = partial(_ifft_digit_in_kernel_ls_shared, n1=n1, cs=cs)
+    elif _use_laneslice(n1):
         tabs = _ls_tables(n, True, True, scale)  # conjugated, column-scaled
         tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
         kern = partial(_ifft_digit_in_kernel_ls, n1=n1)

@@ -112,6 +112,54 @@ class TestPallasFFT:
             np.testing.assert_array_equal(np.asarray(yr1), np.asarray(yr0))
             np.testing.assert_array_equal(np.asarray(yi1), np.asarray(yi0))
 
+    def test_shared_f2_structure(self):
+        """Shared-F2 contraction (separate VPU twiddle + hand-rolled
+        6-term limb matmuls against one shared F2): same transform, same
+        digit layout, >=120 dB, all orders/chunks/inverses."""
+        import godsp_tpu.ops.pallas_fft as pf
+
+        rng = np.random.default_rng(12)
+        n, b, n1 = 1024, 6, 8
+        x = (rng.normal(size=(b, n)) + 1j * rng.normal(size=(b, n))).astype(
+            np.complex64
+        )
+        a, c = _split(x)
+        ref = np.fft.fft(x.astype(np.complex128))
+        ref_digit = np.transpose(
+            ref.reshape(b, 128, n1), (0, 2, 1)
+        ).reshape(b, n)
+        # chunk=128 -> two unrolled chunk bodies per block (bt=256);
+        # tiny chunks explode the unroll count and the compile time.
+        for chunk in (None, 128):
+            pf.set_ls_shared_f2(True)
+            pf.set_ls_chunk_rows(chunk)
+            try:
+                yr, yi = fft_pow2_split(a, c, order="digit", interpret=True)
+                got = np.asarray(yr) + 1j * np.asarray(yi)
+                assert snr_db(got, ref_digit) >= 120.0
+                yr, yi = fft_pow2_split(a, c, order="natural", interpret=True)
+                got = np.asarray(yr) + 1j * np.asarray(yi)
+                assert snr_db(got, ref) >= 120.0
+                # natural-in inverse with folded 1/N scale
+                zr, zi = fft_pow2_split(
+                    yr, yi, inverse=True, interpret=True, scale=1.0 / n
+                )
+                back = np.asarray(zr) + 1j * np.asarray(zi)
+                assert snr_db(back, x) >= 120.0
+                # digit-in inverse (the convolve-chain tail)
+                from godsp_tpu.ops.pallas_fft import ifft_pow2_digit_split
+
+                dr = jnp.asarray(ref_digit.real.astype(np.float32))
+                di = jnp.asarray(ref_digit.imag.astype(np.float32))
+                zr, zi = ifft_pow2_digit_split(
+                    dr, di, interpret=True, scale=1.0 / n
+                )
+                back = np.asarray(zr) + 1j * np.asarray(zi)
+                assert snr_db(back, x) >= 120.0
+            finally:
+                pf.set_ls_shared_f2(False)
+                pf.set_ls_chunk_rows(None)
+
     def test_supported_size(self):
         assert supported_size(256) and supported_size(16384)
         assert not supported_size(128)
