@@ -99,8 +99,13 @@ def _probe_devices(timeout_s: float = 180.0):
 
 def _digit_np(F: np.ndarray, n1: int) -> np.ndarray:
     """Natural-order spectrum rows -> the kernel's digit order
-    (bin k1 + n1*k2 stored at position k1*128 + k2)."""
+    (bin k1 + n1*k2 stored at position k1*128 + k2; n = 16384 uses the
+    split-digit layout — ops/pallas_fft.py natural_to_digit)."""
     b, n = F.shape
+    if n == 16384:
+        return np.ascontiguousarray(
+            F.reshape(b, 128, 64, 2).transpose(0, 3, 2, 1).reshape(b, n)
+        )
     return np.ascontiguousarray(
         F.reshape(b, n // n1, n1).swapaxes(-1, -2).reshape(b, n)
     )

@@ -220,11 +220,28 @@ def fft_large_split(
     # (b, N1, N2/128, 128).  Folding the kernel's digit fix into the
     # four-step's own reorder saves a full memory pass.
     if row_fft is None:
+        from godsp_tpu.ops.pallas_fft import _split2_active
+
         yr, yi = _kernel_fft_digit(br, bi, inverse, interpret)
-        m = n2 // 128
-        perm = (0, 3, 2, 1)
-        yr = jnp.transpose(yr.reshape(b, n1, m, 128), perm).reshape(*lead, n)
-        yi = jnp.transpose(yi.reshape(b, n1, m, 128), perm).reshape(*lead, n)
+        if _split2_active(n2):
+            # Split-digit rows (n2 = 16384): position half*8192 +
+            # k1q*128 + k2q holds row-bin 2*k1q + 128*k2q + half; bin
+            # k = k1 + N1*k2 lives at k2*N1 + k1, so natural is the
+            # (b, k2q, k1q, half, N1) view of the (b, N1, half, k1q,
+            # k2q) digit view — still ONE fused transpose.
+            shp = (b, n1, 2, n2 // 256, 128)
+            perm = (0, 4, 3, 2, 1)
+            yr = jnp.transpose(yr.reshape(shp), perm).reshape(*lead, n)
+            yi = jnp.transpose(yi.reshape(shp), perm).reshape(*lead, n)
+        else:
+            m = n2 // 128
+            perm = (0, 3, 2, 1)
+            yr = jnp.transpose(yr.reshape(b, n1, m, 128), perm).reshape(
+                *lead, n
+            )
+            yi = jnp.transpose(yi.reshape(b, n1, m, 128), perm).reshape(
+                *lead, n
+            )
     else:
         yr, yi = row_fft(br, bi, inverse)  # (b, k1, k2) natural rows
         yr = jnp.swapaxes(yr, 1, 2).reshape(*lead, n)

@@ -94,18 +94,14 @@ def pow2_circular_filter(x: jax.Array, h: jax.Array, scale: float = 1.0) -> jax.
     n = x.shape[-1]
     if _pallas_eligible(x.dtype, n):
         from godsp_tpu.ops.pallas_fft import (
-            LANES,
             fft_pow2_split,
             ifft_pow2_digit_split,
+            natural_to_digit,
         )
 
-        n1 = n // LANES
-        # natural -> digit: position k1*128 + k2 holds bin k1 + n1*k2.
-        hd = (
-            h.reshape(*h.shape[:-1], LANES, n1)
-            .swapaxes(-1, -2)
-            .reshape(*h.shape[:-1], n)
-        )
+        # natural -> the kernel's digit layout for this size (the
+        # split-digit form at n=16384; k1*128+k2 <-> k1+n1*k2 below).
+        hd = natural_to_digit(h, n)
         xr, xi = fft_pow2_split(jnp.real(x), jnp.imag(x), order="digit")
         hr, hi = jnp.real(hd), jnp.imag(hd)
         pr = xr * hr - xi * hi

@@ -222,26 +222,19 @@ def _ola_unnorm_fused(spec, w, nfft: int, hop: int, pad: int,
         si = jnp.concatenate([si, ti], axis=-1)
     from godsp_tpu.ops import pallas_fft as _pf
 
-    if _pf._natural_fused:
+    n1 = pad // 128
+    if _pf._natural_fused and n1 <= _pf._NATURAL_FUSED_MAX_N1:
         # The kernel permutes natural -> digit on the MXU in-VMEM; no
         # XLA transpose pass (the input twin of the forward kernel's
-        # natural-order emission).
+        # natural-order emission).  Size-gated like the forward: the
+        # permute is n1^2 lane concats (round-3 probes).
         return istft_overlap_add(
             sr, si, w.astype(jnp.float32), nfft, hop, natural_in=True,
         ).astype(fdt)
 
-    n1 = pad // 128
-    lead = sr.shape[:-1]
-
-    def to_digit(p):
-        # digit position k1*128 + k2 holds bin k1 + n1*k2, i.e. the
-        # (128, n1) transpose of the natural row (ops.pallas_fft layout).
-        return (
-            p.reshape(*lead, 128, n1).swapaxes(-1, -2).reshape(*lead, pad)
-        )
-
     return istft_overlap_add(
-        to_digit(sr), to_digit(si), w.astype(jnp.float32), nfft, hop,
+        _pf.natural_to_digit(sr, pad), _pf.natural_to_digit(si, pad),
+        w.astype(jnp.float32), nfft, hop,
     ).astype(fdt)
 
 

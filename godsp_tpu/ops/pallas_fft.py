@@ -169,7 +169,13 @@ def _use_laneslice(n1: int) -> bool:
 # Natural-order emission inside the lane-slice kernel (the MXU permute,
 # see _permute_lanes_mxu).  Toggleable so the chip benchmark can compare
 # against the XLA digit->natural transpose it replaces.
+#
+# Size gate (round-3 chip probes): the in-kernel permute builds each of
+# the n1 natural slices from n1 column windows — n1^2 lane concats — so
+# its cost explodes with n1: n=1024 fused 0.67 ms vs 0.87 digit+XLA
+# (WIN), n=4096 fused 2.31 vs 1.28 (LOSS), n=8192 fused ~5 ms (LOSS).
 _natural_fused = True
+_NATURAL_FUSED_MAX_N1 = 8
 
 
 def set_natural_fused(on: bool) -> None:
@@ -460,6 +466,22 @@ def set_ls_chunk_rows(rows: int | None) -> None:
     _LS_CHUNK_ROWS = rows
 
 
+# Grid-dimension semantics for the FFT kernels.  The grid axis is pure
+# batch (no cross-step accumulation, unlike the Pwelch/ISTFT kernels),
+# so "parallel" is semantically valid and lets Mosaic overlap grid
+# steps; the round-2 anatomy probe measured it ~9% faster than
+# "arbitrary" on v5e (0.502 vs 0.550 ms full kernel).
+_DIM_SEM = ("arbitrary",)
+
+
+def set_fft_dim_semantics(sem: str) -> None:
+    """Set the FFT kernels' grid semantics: "parallel" or "arbitrary"."""
+    global _DIM_SEM
+    if sem not in ("parallel", "arbitrary"):
+        raise ValueError(f"unknown dimension semantics: {sem}")
+    _DIM_SEM = (sem,)
+
+
 # Shared-F2 structure toggle (complex input only; real-input and
 # batched-3D paths keep the fused-G form).
 _LS_SHARED = False
@@ -628,6 +650,146 @@ def _ifft_digit_in_kernel_ls(*refs, n1: int):
         yi_ref[:, i1 * LANES : (i1 + 1) * LANES] = (
             jnp.zeros_like(yr) if yi is None else yi
         )
+
+
+# ---------------------------------------------------------------------------
+# n = 16384 split-DIF structure (round 3).
+#
+# At n1 = 128 both alternatives collapse: the lane-slice structure's
+# in-kernel cost explodes (chip probe: 9.2 ms vs batched-3D's 1.8 at
+# b=1024) and the four-step split pays two transpose passes (5.6 ms).
+# Instead run ONE radix-2 DIF stage over the block IN VMEM —
+#     u = x[:, :8192] + x[:, 8192:]
+#     v = (x[:, :8192] - x[:, 8192:]) * W,   W[j] = e^{-2 pi i j/16384}
+# — and push u and v through the PROVEN n1=64 lane-slice pipeline
+# (even/odd bins of the 16384 transform are the 8192-point transforms
+# of u and v).  No extra HBM pass; the butterfly + twiddle are VPU
+# elementwise ops on VMEM-resident halves.
+#
+# Digit order at 16384 is therefore DEFINED as the split-digit layout:
+#     position  half*8192 + k1*128 + k2   holds bin 2*(k1 + 64*k2) + half
+# with the matching digit-in inverse below; natural order is one
+# composed XLA transpose (digit16384_to_natural).  Consumers go through
+# natural_to_digit()/the wrapper so the definition lives in one place.
+# ---------------------------------------------------------------------------
+
+_N_SPLIT2 = 16384
+_HALF = _N_SPLIT2 // 2
+_SPLIT2_N1 = _HALF // LANES  # 64
+
+
+def _split2_active(n: int) -> bool:
+    return n == _N_SPLIT2 and _ls_enabled
+
+
+@lru_cache(maxsize=None)
+def _split2_w(inverse: bool):
+    """W[j] = exp(-+2 pi i j / 16384) for j in [0, 8192), as (64, 128)
+    f32 planes matching the half's lane-slice layout."""
+    j = np.arange(_HALF, dtype=np.float64)
+    sign = 1.0 if inverse else -1.0
+    w = np.exp(sign * 2j * np.pi * j / _N_SPLIT2).reshape(_SPLIT2_N1, LANES)
+    c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    return c32(w.real), c32(w.imag)
+
+
+def _fft_kernel_split2(*refs, inverse: bool):
+    """Forward (or unnormalized-inverse) 16384 kernel: in-VMEM DIF
+    stage + two n1=64 lane-slice pipelines.  Split-digit output."""
+    xr_ref, xi_ref, *rest = refs
+    wr_ref, wi_ref, *gtabs = rest
+    *tabs, yr_ref, yi_ref = gtabs
+
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    wr, wi = wr_ref[:], wi_ref[:]
+    n1 = _SPLIT2_N1
+    for half in range(2):
+        pairs = []
+        for k in range(n1):
+            lo = slice(k * LANES, (k + 1) * LANES)
+            hi = slice(_HALF + k * LANES, _HALF + (k + 1) * LANES)
+            if half == 0:
+                pairs.append((xr[:, lo] + xr[:, hi], xi[:, lo] + xi[:, hi]))
+            else:
+                dr = xr[:, lo] - xr[:, hi]
+                di = xi[:, lo] - xi[:, hi]
+                twr, twi = wr[k : k + 1], wi[k : k + 1]
+                pairs.append((dr * twr - di * twi, dr * twi + di * twr))
+        A = _dft_slices(pairs, inverse)
+        C = [_karatsuba_g(A[k1][0], A[k1][1], k1, tabs) for k1 in range(n1)]
+        base = half * _HALF
+        for k1 in range(n1):
+            sl = slice(base + k1 * LANES, base + (k1 + 1) * LANES)
+            yr_ref[:, sl] = C[k1][0]
+            yi_ref[:, sl] = C[k1][1]
+
+
+def _ifft_kernel_split2(*refs):
+    """Digit-in inverse of _fft_kernel_split2 (scale folded into the
+    half tables): two n1=64 digit-in inverse pipelines, then the DIT
+    recombination a = u + v*conj(W), b = u - v*conj(W) — exactly
+    undoing the forward's in-VMEM DIF stage (16384*a = u~ + v~*W^-1
+    with u~, v~ the unnormalized half inverses; the /16384 rides the
+    table scale)."""
+    xr_ref, xi_ref, *rest = refs
+    wr_ref, wi_ref, *gtabs = rest
+    *tabs, yr_ref, yi_ref = gtabs
+
+    xr = xr_ref[:]
+    xi = xi_ref[:]
+    wr, wi = wr_ref[:], wi_ref[:]  # conj(W) tables (inverse=True)
+    n1 = _SPLIT2_N1
+    halves = []
+    for half in range(2):
+        base = half * _HALF
+        C = []
+        for k1 in range(n1):
+            sl = slice(base + k1 * LANES, base + (k1 + 1) * LANES)
+            C.append(_karatsuba_g(xr[:, sl], xi[:, sl], k1, tabs))
+        halves.append(_dft_slices(C, inverse=True))
+    U, V = halves
+    for i1 in range(n1):
+        ur, ui = U[i1]
+        vr, vi = V[i1]
+        ui = jnp.zeros_like(ur) if ui is None else ui
+        vi = jnp.zeros_like(vr) if vi is None else vi
+        twr, twi = wr[i1 : i1 + 1], wi[i1 : i1 + 1]
+        cr = vr * twr - vi * twi
+        ci = vr * twi + vi * twr
+        lo = slice(i1 * LANES, (i1 + 1) * LANES)
+        hi = slice(_HALF + i1 * LANES, _HALF + (i1 + 1) * LANES)
+        yr_ref[:, lo] = ur + cr
+        yi_ref[:, lo] = ui + ci
+        yr_ref[:, hi] = ur - cr
+        yi_ref[:, hi] = ui - ci
+
+
+def digit16384_to_natural(y: jax.Array) -> jax.Array:
+    """Split-digit (..., 16384) -> natural bin order (one transpose)."""
+    lead = y.shape[:-1]
+    v = y.reshape(*lead, 2, _SPLIT2_N1, LANES)
+    nd = v.ndim
+    perm = tuple(range(nd - 3)) + (nd - 1, nd - 2, nd - 3)
+    return jnp.transpose(v, perm).reshape(*lead, _N_SPLIT2)
+
+
+def natural_to_digit(h: jax.Array, n: int) -> jax.Array:
+    """Natural bin order -> the kernel's digit order for size n (the
+    trace-time twin of the kernels' layout; pow2.py permutes constant
+    frequency responses through this)."""
+    lead = h.shape[:-1]
+    if _split2_active(n):
+        v = h.reshape(*lead, LANES, _SPLIT2_N1, 2)
+        nd = v.ndim
+        perm = tuple(range(nd - 3)) + (nd - 1, nd - 2, nd - 3)
+        return jnp.transpose(v, perm).reshape(*lead, n)
+    n1 = n // LANES
+    return (
+        h.reshape(*lead, LANES, n1)
+        .swapaxes(-1, -2)
+        .reshape(*lead, n)
+    )
 
 
 def _ifft_digit_in_kernel_ls_shared(*refs, n1: int, cs: int):
@@ -952,13 +1114,24 @@ def fft_pow2_split(
     grid = (xr2.shape[0] // bt,)
 
     natural_fused = False
-    if _LS_SHARED and not real_input and _use_laneslice(n1):
+    split2 = _split2_active(n) and not real_input
+    if split2:
+        tabs = _ls_tables(_HALF, inverse, False, scale)
+        w2r, w2i = _split2_w(inverse)
+        tables = [jnp.asarray(w2r), jnp.asarray(w2i)] + [
+            jnp.asarray(tabs[k]) for k in _LS_ORDER
+        ]
+        kern = partial(_fft_kernel_split2, inverse=inverse)
+    elif _LS_SHARED and not real_input and _use_laneslice(n1):
         cs = _LS_CHUNK_ROWS or bt
         if cs > bt or bt % cs:
             cs = bt
         tabs = _ls_tables_shared(n, inverse, cs, scale)
         tables = [jnp.asarray(tabs[k]) for k in _SHARED_ORDER]
-        natural_fused = order == "natural" and _natural_fused
+        natural_fused = (
+            order == "natural" and _natural_fused
+            and n1 <= _NATURAL_FUSED_MAX_N1
+        )
         if natural_fused:
             tables.append(jnp.asarray(_natural_perm_np(n1)))
         kern = partial(
@@ -968,7 +1141,10 @@ def fft_pow2_split(
     elif _use_laneslice(n1):
         tabs = _ls_tables(n, inverse, False, scale)
         tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
-        natural_fused = order == "natural" and _natural_fused
+        natural_fused = (
+            order == "natural" and _natural_fused
+            and n1 <= _NATURAL_FUSED_MAX_N1
+        )
         if natural_fused:
             tables.append(jnp.asarray(_natural_perm_np(n1)))
         kern = partial(
@@ -1010,14 +1186,17 @@ def fft_pow2_split(
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20,
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=_DIM_SEM,
         ),
         interpret=interpret,
     )(*data, *tables)
 
     if order == "natural" and not natural_fused:
-        yr = _digit_to_natural(yr, n1)
-        yi = _digit_to_natural(yi, n1)
+        if split2:
+            yr, yi = digit16384_to_natural(yr), digit16384_to_natural(yi)
+        else:
+            yr = _digit_to_natural(yr, n1)
+            yi = _digit_to_natural(yi, n1)
     if pad:
         yr, yi = yr[:b], yi[:b]
     return yr.reshape(*lead, n), yi.reshape(*lead, n)
@@ -1056,7 +1235,18 @@ def ifft_pow2_digit_split(
         i2 = jnp.pad(i2, ((0, pad), (0, 0)))
     grid = (r2.shape[0] // bt,)
 
-    if _LS_SHARED and _use_laneslice(n1):
+    vmem_cap = 64 << 20
+    if _split2_active(n):
+        tabs = _ls_tables(_HALF, True, True, scale)  # digit-in halves
+        w2r, w2i = _split2_w(True)  # conj(W)
+        tables = [jnp.asarray(w2r), jnp.asarray(w2i)] + [
+            jnp.asarray(tabs[k]) for k in _LS_ORDER
+        ]
+        kern = _ifft_kernel_split2
+        # Both halves' pipelines are live across the DIT recombination;
+        # Mosaic's stack estimate lands ~78 MB at bt=32 (v5e VMEM: 128).
+        vmem_cap = 100 << 20
+    elif _LS_SHARED and _use_laneslice(n1):
         cs = _LS_CHUNK_ROWS or bt
         if cs > bt or bt % cs:
             cs = bt
@@ -1073,7 +1263,11 @@ def ifft_pow2_digit_split(
         kern = partial(_ifft_digit_in_kernel, n1=n1)
     data_spec = pl.BlockSpec((bt, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     const_specs = [
-        pl.BlockSpec(t.shape, lambda i: (0,) * t.ndim, memory_space=pltpu.VMEM)
+        # nd default-bound per table: a plain closure would late-bind to
+        # the LAST t (mixed-rank tables, e.g. split2's W + G, miscount).
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
         for t in tables
     ]
     vma = getattr(jax.typeof(r2), "vma", None) or frozenset()
@@ -1092,8 +1286,8 @@ def ifft_pow2_digit_split(
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 << 20,
-            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_cap,
+            dimension_semantics=_DIM_SEM,
         ),
         interpret=interpret,
     )(r2, i2, *tables)

@@ -218,9 +218,13 @@ def stft_pallas(
     from godsp_tpu.ops import pallas_fft as _pf
 
     # Natural-order emission in-kernel (MXU permute): lane-slice tables
-    # only (the batched-3D structure keeps the XLA transpose).
+    # only (the batched-3D structure keeps the XLA transpose), and only
+    # while the permute's n1^2 lane concats stay cheap (round-3 probes:
+    # the fused emission loses to the XLA transpose past n1 = 8).
     natural_kernel = (
-        out in ("power", "complex") and _pf._natural_fused and len(order) == 3
+        out in ("power", "complex") and _pf._natural_fused
+        and len(order) == 3
+        and pad // LANES <= _pf._NATURAL_FUSED_MAX_N1
     )
     for key in order:
         t = jnp.asarray(tabs[key])

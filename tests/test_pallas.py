@@ -160,6 +160,29 @@ class TestPallasFFT:
                 pf.set_ls_shared_f2(False)
                 pf.set_ls_chunk_rows(None)
 
+    def test_split2_16384_layout_helpers(self):
+        """Split-digit <-> natural permutations are mutual inverses and
+        match the documented index formula (position half*8192 +
+        k1*128 + k2 holds bin 2*(k1 + 64*k2) + half)."""
+        from godsp_tpu.ops.pallas_fft import (
+            digit16384_to_natural,
+            natural_to_digit,
+        )
+
+        nat = jnp.arange(16384, dtype=jnp.float32)[None]
+        dig = np.asarray(natural_to_digit(nat, 16384))[0]
+        for q in (0, 1, 127, 128, 8191, 8192, 16383, 5000):
+            half, r = divmod(q, 8192)
+            k1, k2 = divmod(r, 128)
+            assert dig[q] == 2 * (k1 + 64 * k2) + half
+        back = np.asarray(digit16384_to_natural(jnp.asarray(dig)[None]))[0]
+        np.testing.assert_array_equal(back, np.asarray(nat)[0])
+
+    # The n=16384 split-DIF kernel itself is chip-validated (verify
+    # drive + bench.py's per-size kernel_snr row): its statically
+    # unrolled body (two n1=64 pipelines) makes interpret-mode CPU
+    # compiles run minutes, like the plain 8192 kernel body before it.
+
     def test_supported_size(self):
         assert supported_size(256) and supported_size(16384)
         assert not supported_size(128)

@@ -54,21 +54,26 @@ def main() -> None:
     s = np.float32(1.0 / (float(n) * float(n)))  # defeat chain overflow
     nbytes = 2 * batch * n * 4  # both planes, one direction
 
+    cbt = min(256, (1 << 25) // (32 * n))  # 64 MB scoped-vmem cap
+
     def copy_ref():
         def make(K):
             @jax.jit
             def chain(r):
                 i = xi
                 for _ in range(K):
-                    r, i = copy_split_pallas(r, i)
+                    r, i = copy_split_pallas(r, i, batch_tile=cbt)
                     r, i = i, r
                 return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
             return chain
         return time_chain_diff(make, xr, k_lo=10, k_hi=26, iters=6) * 1e3
 
+    nat_fused = os.environ.get("NAT_FUSED", "1") != "0"
+
     def fft_ms(chunk, natural, bt, shared):
         pf.set_ls_chunk_rows(chunk)
         pf.set_ls_shared_f2(shared)
+        pf.set_natural_fused(nat_fused)
         order = "natural" if natural else "digit"
 
         def make(K):
@@ -88,6 +93,7 @@ def main() -> None:
         finally:
             pf.set_ls_chunk_rows(None)
             pf.set_ls_shared_f2(False)
+            pf.set_natural_fused(True)
 
     for chunk, bt, shared in specs:
         for natural in (False, True):
