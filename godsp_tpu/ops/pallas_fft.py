@@ -133,8 +133,9 @@ _TABLE_ORDER = ["f1r", "f1i", "f1s", "tr", "ti", "f2r", "f2i", "f2s"]
 #     dims, no separate twiddle pass.
 # Measured on v5e (HIGHEST, heavy-depth timing): n=1024 0.52 ms vs
 # 1.05 ms for the batched-3D structure (~0.63 of HBM roofline at
-# ~138 dB); n=8192 0.73 vs 1.06 ms.  At n1=128 (n=16384) the G tables +
-# small tiles erase the win, so that size keeps the batched-3D path.
+# ~138 dB); n=8192 0.73 vs 1.06 ms.  At n1=128 (n=16384) the lane-slice
+# form collapses (9.2 ms on chip), so that size runs the split-DIF
+# structure below (two n1=64 pipelines behind an in-VMEM butterfly).
 # ---------------------------------------------------------------------------
 
 _LS_MAX_N1 = 64
@@ -469,9 +470,11 @@ def set_ls_chunk_rows(rows: int | None) -> None:
 # Grid-dimension semantics for the FFT kernels.  The grid axis is pure
 # batch (no cross-step accumulation, unlike the Pwelch/ISTFT kernels),
 # so "parallel" is semantically valid and lets Mosaic overlap grid
-# steps; the round-2 anatomy probe measured it ~9% faster than
-# "arbitrary" on v5e (0.502 vs 0.550 ms full kernel).
-_DIM_SEM = ("arbitrary",)
+# steps.  Probed on v5e: same-window anatomy 0.502 vs 0.550 ms; across
+# the round-3 sweeps parallel gave the best flagship number (0.436 ms
+# digit at n=1024) and cut split2-16384 digit 0.76 -> 0.67 ms, washes
+# elsewhere — default parallel, knob for A/B.
+_DIM_SEM = ("parallel",)
 
 
 def set_fft_dim_semantics(sem: str) -> None:

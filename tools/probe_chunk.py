@@ -69,11 +69,13 @@ def main() -> None:
         return time_chain_diff(make, xr, k_lo=10, k_hi=26, iters=6) * 1e3
 
     nat_fused = os.environ.get("NAT_FUSED", "1") != "0"
+    dimsem = os.environ.get("DIMSEM", "arbitrary")
 
     def fft_ms(chunk, natural, bt, shared):
         pf.set_ls_chunk_rows(chunk)
         pf.set_ls_shared_f2(shared)
         pf.set_natural_fused(nat_fused)
+        pf.set_fft_dim_semantics(dimsem)
         order = "natural" if natural else "digit"
 
         def make(K):
@@ -94,6 +96,7 @@ def main() -> None:
             pf.set_ls_chunk_rows(None)
             pf.set_ls_shared_f2(False)
             pf.set_natural_fused(True)
+            pf.set_fft_dim_semantics("arbitrary")
 
     for chunk, bt, shared in specs:
         for natural in (False, True):
