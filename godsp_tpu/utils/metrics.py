@@ -14,6 +14,7 @@ from dataclasses import asdict, dataclass
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 
 __all__ = [
     "BenchResult",
@@ -26,6 +27,7 @@ __all__ = [
     "fft_flops",
     "fft_bytes",
     "copy_split_pallas",
+    "gmm_floor_pallas",
 ]
 
 # Peak HBM bandwidth per chip, GB/s.  v5e (TPU v5 lite): 819 GB/s;
@@ -251,6 +253,81 @@ def copy_split_pallas(
         ),
         interpret=interpret,
     )(xr, xi)
+
+
+def gmm_floor_pallas(
+    xr, xi, batch_tile: int = 256, interpret: bool = False
+):
+    """MXU-floor twin of the fused-G FFT kernel: the IDENTICAL
+    contraction stream (n1 Karatsuba G-matmul triples per grid step at
+    HIGHEST — 18 bf16 limb passes per slice, the provable minimum for
+    >=120 dB on this MXU) with the step-1 butterfly network removed.
+
+    Its wall clock under the same chain-differential timing is the
+    session's practical MXU-precision floor for this transform; the
+    flagship records fraction_of_gmm_floor next to
+    fraction_of_copy_ceiling so "the kernel is structure-bound at the
+    HIGHEST matmul floor" (BASELINE.md round-3) is checkable from the
+    bench artifact alone.  (Round-3 probes: DEFAULT == HIGHEST in time,
+    G-only == full kernel, shared-weight and block-diagonal
+    restructures measure equal or catastrophically worse — the floor is
+    real, not a scheduling artifact.)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from godsp_tpu.ops.pallas_fft import (
+        LANES,
+        _karatsuba_g,
+        _ls_tables,
+        _LS_ORDER,
+    )
+
+    assert xr.ndim == 2 and xr.shape == xi.shape
+    b, n = xr.shape
+    assert b % batch_tile == 0
+    n1 = n // LANES
+    tabs = _ls_tables(n, False, False)
+    tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
+
+    def kern(xr_ref, xi_ref, gr, gi, gs, yr_ref, yi_ref):
+        x = xr_ref[:]
+        y = xi_ref[:]
+        for k1 in range(n1):
+            sl = slice(k1 * LANES, (k1 + 1) * LANES)
+            cr, ci = _karatsuba_g(x[:, sl], y[:, sl], k1, (gr, gi, gs))
+            yr_ref[:, sl] = cr
+            yi_ref[:, sl] = ci
+
+    spec = pl.BlockSpec(
+        (batch_tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    const_specs = [
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for t in tables
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(b // batch_tile,),
+        in_specs=[spec, spec] + const_specs,
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(xr.shape, xr.dtype),
+            jax.ShapeDtypeStruct(xi.shape, xi.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(18 * 2 * b * n * LANES),
+            bytes_accessed=int(4 * b * n * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xr, xi, *tables)
 
 
 def roofline(n: int, batch: int, wall_s: float, bytes_per_element: int = 8) -> dict:
