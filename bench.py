@@ -167,7 +167,17 @@ def main() -> None:
 
     dev = jax.devices()[0]
     peak = hbm_bandwidth_gbs(dev)
-    rtt = measure_rtt()
+    rtt = float("nan")
+    for attempt in range(3):
+        # Purely informational, and the first device touch: transient
+        # backend errors right after another process released the chip
+        # (observed FAILED_PRECONDITION) must not kill the artifact.
+        try:
+            rtt = measure_rtt()
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"measure_rtt attempt {attempt + 1} failed: {e!r}")
+            time.sleep(20.0)
     log(f"device: {dev.device_kind}, peak HBM {peak} GB/s, readback RTT {rtt*1e3:.1f} ms")
 
     results = {}
@@ -321,24 +331,26 @@ def main() -> None:
 
         return chain
 
-    reg("copy", make_copy, xr_c, 10, 26)
+    reg("copy", make_copy, xr_c, 10, 50, iters=12)
 
     # The MXU-precision floor twin: the flagship's exact HIGHEST
-    # G-matmul stream with the VPU network removed (metrics docstring).
-    s_g = np.float32(1.0 / 128.0)
-
+    # G-matmul stream with the VPU network removed (metrics docstring;
+    # a 1/128 table scale keeps the chain bounded with no extra pass).
     def make_gmm(K):
         @jax.jit
         def chain(r):
             i = xi_c
             for _ in range(K):
                 r, i = gmm_floor_pallas(r, i)
-                r, i = i * s_g, r * s_g
+                r, i = i, r
             return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
 
         return chain
 
-    reg("gmm_floor", make_gmm, xr_c, 10, 26)
+    # Copy/gmm links are ~0.3 ms — a (10, 26) pair leaves only ~5 ms of
+    # differential against ~1 ms tunnel-RTT jitter (one recorded rep hit
+    # an impossible 2572 GB/s "ceiling").  Deeper chains + more iters.
+    reg("gmm_floor", make_gmm, xr_c, 10, 50, iters=12)
 
     def kernel_snr(n, rows=64):
         """Digit-order kernel output vs float64 numpy oracle."""

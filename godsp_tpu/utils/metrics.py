@@ -287,7 +287,10 @@ def gmm_floor_pallas(
     b, n = xr.shape
     assert b % batch_tile == 0
     n1 = n // LANES
-    tabs = _ls_tables(n, False, False)
+    # 1/128 folded into the tables: chains of this op stay bounded with
+    # ZERO extra passes (an external per-link scale would add two
+    # elementwise HBM passes and corrupt the floor measurement).
+    tabs = _ls_tables(n, False, False, 1.0 / LANES)
     tables = [jnp.asarray(tabs[k]) for k in _LS_ORDER]
 
     def kern(xr_ref, xi_ref, gr, gi, gs, yr_ref, yi_ref):
