@@ -7,8 +7,13 @@ design math is trace-time float64 numpy — the same discipline as the
 FFT twiddle caches (fft/stockham.py) — producing (b, a) / zpk / sos
 coefficient constants for the device-side parallel-scan filters.
 
-Design pipeline (the standard analog-prototype route, same semantics as
-scipy.signal but implemented from the textbook formulas):
+Design pipeline (the standard analog-prototype route).  Semantics and
+API follow scipy.signal so coefficients interchange; the implementations
+are this repo's own (e.g. zpk2sos uses a different pairing algorithm,
+cont2discrete a self-contained Pade-13 expm), EXCEPT where behavioral
+compatibility forces scipy's exact choices — those spots (findfreqs'
+decade-bracketing constants, bessel norm conventions) say so in their
+docstrings:
 
   analog lowpass prototype (buttap/cheb1ap/cheb2ap/besselap)
     -> frequency transform (lp2lp/lp2hp/lp2bp/lp2bs on zpk)
@@ -1111,30 +1116,39 @@ freqz_sos = sosfreqz
 
 
 def findfreqs(num, den, N: int, kind: str = "ba") -> np.ndarray:
-    """Log-spaced frequency grid bracketing a system's interesting range
-    (scipy.signal.findfreqs conventions: decades from the pole/zero
-    magnitudes, with integrators pinned near their imaginary parts)."""
+    """Log-spaced frequency grid bracketing an analog system's
+    interesting range, from its pole/zero positions.
+
+    Grid-compatible with scipy.signal.findfreqs (BSD-3): the decade
+    bracketing heuristic — 3x|real| + 1.5x imag for the top edge,
+    |real| + 2x imag over 10 for the bottom, half-decade rounding, the
+    1e-10 origin snap and 1e5 far-zero cutoff — follows scipy's
+    constants verbatim, because freqs()/freqs_zpk() callers with an
+    integer worN expect the exact same default grids.
+    """
     if kind == "ba":
-        ep = np.atleast_1d(np.roots(np.asarray(den, np.float64)) + 0j)
-        tz = np.atleast_1d(np.roots(np.asarray(num, np.float64)) + 0j)
+        poles = np.atleast_1d(np.roots(np.asarray(den, np.float64)) + 0j)
+        zeros = np.atleast_1d(np.roots(np.asarray(num, np.float64)) + 0j)
     elif kind == "zp":
-        ep = np.atleast_1d(np.asarray(den, complex))
-        tz = np.atleast_1d(np.asarray(num, complex))
+        poles = np.atleast_1d(np.asarray(den, complex))
+        zeros = np.atleast_1d(np.asarray(num, complex))
     else:
         raise ValueError("kind must be 'ba' or 'zp'")
-    if len(ep) == 0:
-        ep = np.atleast_1d(-1000.0 + 0j)
-    ez = np.concatenate([
-        ep[ep.imag >= 0],
-        tz[(np.abs(tz) < 1e5) & (tz.imag >= 0)],
+    if poles.size == 0:
+        poles = np.array([-1000.0 + 0j])
+    # Upper-half-plane features only (conjugate symmetry), ignoring
+    # far-away zeros that would inflate the range.
+    feats = np.concatenate([
+        poles[poles.imag >= 0],
+        zeros[(zeros.imag >= 0) & (np.abs(zeros) < 1e5)],
     ])
-    integ = np.abs(ez) < 1e-10
-    hfreq = np.round(
-        np.log10(np.max(3.0 * np.abs(ez.real + integ) + 1.5 * ez.imag)) + 0.5)
-    lfreq = np.round(
-        np.log10(0.1 * np.min(np.abs((ez + integ).real) + 2.0 * ez.imag))
-        - 0.5)
-    return np.logspace(lfreq, hfreq, int(N))
+    # A feature at the origin (pure integrator) contributes unit |real|
+    # so the log-edges stay finite.
+    origin = (np.abs(feats) < 1e-10).astype(np.float64)
+    top = np.max(3.0 * np.abs(feats.real + origin) + 1.5 * feats.imag)
+    bot = np.min(np.abs(feats.real + origin) + 2.0 * feats.imag) / 10.0
+    return np.logspace(np.round(np.log10(bot) - 0.5),
+                       np.round(np.log10(top) + 0.5), int(N))
 
 
 def _hz_to_erb(hz: float) -> float:

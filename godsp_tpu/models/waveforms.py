@@ -29,30 +29,41 @@ def _as_float(t) -> jax.Array:
     return t
 
 
-def _chirp_phase(t, f0, t1, f1, method, vertex_zero):
-    two_pi = 2 * math.pi
+def _swept_phase(t, f0, t1, f1, method, vertex_zero):
+    """Integrated phase 2 pi INT_0^t f(u) du for the four standard sweep
+    laws, each integrated in closed form from its instantaneous
+    frequency (conventions — method aliases, the vertex_zero variant,
+    the hyperbolic singularity handling via |.| — match
+    scipy.signal.chirp so sweeps are drop-in interchangeable)."""
+    tau = 2.0 * math.pi
     if method in ("linear", "lin", "li"):
-        beta = (f1 - f0) / t1
-        return two_pi * (f0 * t + beta / 2 * t * t)
+        # f(u) = f0 + rate * u
+        rate = (f1 - f0) / t1
+        return tau * t * (f0 + 0.5 * rate * t)
     if method in ("quadratic", "quad", "q"):
-        beta = (f1 - f0) / (t1 * t1)
+        rate = (f1 - f0) / (t1 * t1)
         if vertex_zero:
-            return two_pi * (f0 * t + beta * t * t * t / 3)
-        return two_pi * (f1 * t + beta * ((t1 - t) ** 3 - t1**3) / 3)
+            # f(u) = f0 + rate u^2: parabola vertex at the start
+            return tau * t * (f0 + rate * t * t / 3.0)
+        # vertex at u = t1: f(u) = f1 + rate (u - t1)^2
+        return tau * (f1 * t + rate * ((t1 - t) ** 3 - t1**3) / 3.0)
     if method in ("logarithmic", "log", "lo"):
         if f0 <= 0 or f1 <= 0:
             raise ValueError("logarithmic chirp needs f0, f1 > 0")
         if f0 == f1:
-            return two_pi * f0 * t
-        beta = t1 / math.log(f1 / f0)
-        return two_pi * beta * f0 * (jnp.power(f1 / f0, t / t1) - 1.0)
+            return tau * f0 * t
+        # f(u) = f0 r^(u/t1), r = f1/f0
+        r = f1 / f0
+        return tau * f0 * (t1 / math.log(r)) * (jnp.power(r, t / t1) - 1.0)
     if method in ("hyperbolic", "hyp"):
         if f0 == 0 or f1 == 0:
             raise ValueError("hyperbolic chirp needs f0, f1 != 0")
         if f0 == f1:
-            return two_pi * f0 * t
-        sing = -f1 * t1 / (f0 - f1)
-        return -two_pi * f0 * sing * jnp.log(jnp.abs(1.0 - t / sing))
+            return tau * f0 * t
+        # f(u) = f0 / (1 + c u), c = (f0 - f1) / (f1 t1); |.| continues
+        # the phase through the pole at u = -1/c
+        c = (f0 - f1) / (f1 * t1)
+        return tau * (f0 / c) * jnp.log(jnp.abs(1.0 + c * t))
     raise ValueError(
         "method must be linear, quadratic, logarithmic, or hyperbolic"
     )
@@ -70,7 +81,7 @@ def chirp(
     """Frequency-swept cosine: instantaneous frequency f0 at t=0 and f1
     at t=t1 (scipy.signal.chirp; phi in degrees)."""
     t = _as_float(t)
-    phase = _chirp_phase(t, float(f0), float(t1), float(f1), method, vertex_zero)
+    phase = _swept_phase(t, float(f0), float(t1), float(f1), method, vertex_zero)
     return jnp.cos(phase + math.radians(float(phi)))
 
 

@@ -219,10 +219,9 @@ _SHARED_ORDER = [
 
 
 @lru_cache(maxsize=None)
-def _ls_tables_shared(n: int, inverse: bool, cs: int, scale: float = 1.0):
-    """Tables for the shared-F2 lane-slice kernel (see the shared-F2
-    block comment above _limb3): the twiddle T repeated to the stacked
-    (n1*cs, 128) row layout, and F2 / i·F2 / (F2r+F2i) as trace-time
+def _ls_tables_shared_base(n: int, inverse: bool, scale: float = 1.0):
+    """cs-independent part of the shared-F2 tables: the unreplicated
+    (n1, 128) twiddle planes and the F2 / i·F2 / (F2r+F2i) trace-time
     3-limb bf16 splits (so DEFAULT-precision matmuls against them are
     exact per limb).  scale folds into F2."""
     n1 = n // LANES
@@ -230,14 +229,28 @@ def _ls_tables_shared(n: int, inverse: bool, cs: int, scale: float = 1.0):
     f2 = dft_matrix(LANES) * scale
     if inverse:
         t, f2 = np.conj(t), np.conj(f2)
-    t_big = np.repeat(t, cs, axis=0)  # rows [k1*cs, (k1+1)*cs) = T[k1]
     c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
-    out = {"tr": c32(t_big.real), "ti": c32(t_big.imag)}
+    out = {"tr": c32(t.real), "ti": c32(t.imag)}
     for name, mat in (
         ("f2r", f2.real), ("f2i", f2.imag), ("f2s", f2.real + f2.imag)
     ):
         for suffix, limb in zip("hml", _limb3_np(mat)):
             out[f"{name}_{suffix}"] = limb
+    return out
+
+
+def _ls_tables_shared(n: int, inverse: bool, cs: int, scale: float = 1.0):
+    """Tables for the shared-F2 lane-slice kernel (see the shared-F2
+    block comment above _limb3), with the twiddle repeated to the
+    stacked (n1*cs, 128) row layout.  The repeat happens here, OUTSIDE
+    the cache: only the cs-independent base tables are lru_cached, so
+    sweeping cs (tools/probe_chunk.py) cannot grow the cache without
+    bound."""
+    base = _ls_tables_shared_base(n, inverse, scale)
+    out = dict(base)
+    # rows [k1*cs, (k1+1)*cs) = T[k1]
+    out["tr"] = np.ascontiguousarray(np.repeat(base["tr"], cs, axis=0))
+    out["ti"] = np.ascontiguousarray(np.repeat(base["ti"], cs, axis=0))
     return out
 
 
@@ -780,7 +793,17 @@ def digit16384_to_natural(y: jax.Array) -> jax.Array:
 def natural_to_digit(h: jax.Array, n: int) -> jax.Array:
     """Natural bin order -> the kernel's digit order for size n (the
     trace-time twin of the kernels' layout; pow2.py permutes constant
-    frequency responses through this)."""
+    frequency responses through this).
+
+    Layout caveat (real-input exception): at n = 16384 this follows
+    `_split2_active` — the layout of the COMPLEX-input kernels (the
+    split-digit order of _fft_kernel_split2).  A real-input forward
+    (xi=None) at 16384 runs the batched-3D kernel instead and emits the
+    STANDARD digit order; its spectrum must not be fed through this
+    helper or ifft_pow2_digit_split.  No in-repo consumer pairs those
+    (the digit chains are complex end-to-end), and the layouts are
+    pinned by tests/test_pallas.py::TestSplit2KernelMath.
+    """
     lead = h.shape[:-1]
     if _split2_active(n):
         v = h.reshape(*lead, LANES, _SPLIT2_N1, 2)
@@ -1219,6 +1242,12 @@ def ifft_pow2_digit_split(
     inverse FOLDED INTO the contraction tables (no extra pass).  This is
     the tail of the zero-reorder Convolve/Bluestein chain:
     fft(digit) -> pointwise -> this.
+
+    "Digit order" here means the COMPLEX-input forward's layout — at
+    n = 16384 the split-digit layout of _fft_kernel_split2 (when the
+    lane-slice structure is enabled).  A real-input forward at 16384
+    emits the standard batched-3D digit order instead and must not feed
+    this inverse; see natural_to_digit's layout caveat.
     """
     if yr.shape != yi.shape:
         raise ValueError("re/im planes must have identical shapes")

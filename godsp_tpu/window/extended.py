@@ -3,15 +3,23 @@
 The reference ships six tapers (window/window.go:25-152, in
 godsp_tpu.window); production spectral analysis expects the full scipy
 catalogue and the `get_window` name/tuple dispatcher that pwelch-style
-estimators consume.  All tables are host float64, generated from the
-textbook closed forms (Dolph-Chebyshev via its frequency-domain
-definition, Taylor via the F_m cosine coefficients, DPSS via the
-symmetric tridiagonal eigenproblem) and cached; on device they are
-trace-time constants fused into consumers, same as godsp_tpu.window.
+estimators consume.  API surface and conventions (names, parameters,
+the periodic/symmetric `sym` flag, normalization choices) follow
+scipy.signal.windows so tables are drop-in interchangeable — verified
+against scipy in tests/test_window_extended.py — but every generator
+here is written from the window's defining formula: Tukey from the
+edge-distance closed form, Dolph-Chebyshev from its frequency-domain
+definition via one centered inverse-DFT cosine sum (no parity-split FFT
+tricks), Taylor from the F_m product coefficients computed as one
+vectorized Vandermonde-style table, DPSS from the symmetric tridiagonal
+commuting eigenproblem.  All tables are host float64 and cached by
+consumers; on device they are trace-time constants fused into callers,
+same as godsp_tpu.window.
 
 `sym=True` returns symmetric (filter-design) windows; `sym=False` the
-DFT-periodic form (one sample of the M+1 symmetric window dropped),
-exactly scipy's `fftbins` convention.
+DFT-periodic form (the M+1-point symmetric window minus its last
+sample), scipy's `fftbins` convention — implemented once in
+`_sym_window` below.
 """
 
 from __future__ import annotations
@@ -38,86 +46,90 @@ __all__ = [
 ]
 
 
-def _len_guards(M: int):
+def _sym_window(M: int, sym: bool, build) -> np.ndarray:
+    """Shared scaffolding for every generator in this module.
+
+    Validates the length, returns ones for the degenerate M <= 1 cases,
+    and implements the periodic (sym=False) convention: build the
+    (M+1)-point symmetric window and drop its final sample.  `build(L)`
+    receives the symmetric length and returns that window.
+    """
     if int(M) != M or M < 0:
         raise ValueError("window length must be a non-negative integer")
-    return M <= 1
+    if M <= 1:
+        return np.ones(M)
+    if sym:
+        return build(M)
+    return build(M + 1)[:-1]
 
 
-def _extend(M: int, sym: bool):
-    """(length to build, trim) implementing scipy's periodic convention:
-    build the M+1 symmetric window, drop the last sample."""
-    return (M, False) if sym else (M + 1, True)
-
-
-def _trim(w: np.ndarray, needs_trim: bool) -> np.ndarray:
-    return w[:-1] if needs_trim else w
+def _centered(L: int) -> np.ndarray:
+    """Sample positions relative to the window center, n - (L-1)/2."""
+    return np.arange(L, dtype=np.float64) - (L - 1) / 2.0
 
 
 def triang(M: int, sym: bool = True) -> np.ndarray:
-    """Triangular window (scipy.signal.windows.triang — nonzero
-    endpoints, unlike bartlett)."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    n = np.arange(1, (M2 + 1) // 2 + 1, dtype=np.float64)
-    if M2 % 2 == 0:
-        w = (2.0 * n - 1.0) / M2
-        w = np.concatenate([w, w[::-1]])
-    else:
-        w = 2.0 * n / (M2 + 1.0)
-        w = np.concatenate([w, w[-2::-1]])
-    return _trim(w, trim)
+    """Triangular window (nonzero endpoints, unlike bartlett): the
+    linear taper 1 - |n_c| / h with h = L/2 (even L) or (L+1)/2 (odd)."""
+
+    def build(L):
+        h = L / 2.0 if L % 2 == 0 else (L + 1) / 2.0
+        return 1.0 - np.abs(_centered(L)) / h
+
+    return _sym_window(M, sym, build)
 
 
 def parzen(M: int, sym: bool = True) -> np.ndarray:
-    """Parzen piecewise-cubic window."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    n = np.arange(-(M2 - 1) / 2.0, (M2 - 1) / 2.0 + 0.5, 1.0)
-    na = np.extract(n < -(M2 - 1) / 4.0, n)
-    nb = np.extract(np.abs(n) <= (M2 - 1) / 4.0, n)
-    wa = 2.0 * (1.0 - np.abs(na) / (M2 / 2.0)) ** 3.0
-    wb = (1.0 - 6.0 * (np.abs(nb) / (M2 / 2.0)) ** 2.0
-          + 6.0 * (np.abs(nb) / (M2 / 2.0)) ** 3.0)
-    return _trim(np.concatenate([wa, wb, wa[::-1]]), trim)
+    """Parzen piecewise-cubic window: with u = |n_c| / (L/2),
+    1 - 6u^2 + 6u^3 for u <= 1/2, else 2(1-u)^3."""
+
+    def build(L):
+        u = np.abs(_centered(L)) / (L / 2.0)
+        return np.where(
+            u <= 0.5,
+            1.0 - 6.0 * u * u * (1.0 - u),
+            2.0 * (1.0 - u) ** 3,
+        )
+
+    return _sym_window(M, sym, build)
 
 
 def bohman(M: int, sym: bool = True) -> np.ndarray:
-    """Bohman window: (1-|x|)cos(pi|x|) + sin(pi|x|)/pi on [-1, 1]."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    fac = np.abs(np.linspace(-1, 1, M2)[1:-1])
-    w = (1 - fac) * np.cos(np.pi * fac) + 1.0 / np.pi * np.sin(np.pi * fac)
-    return _trim(np.concatenate([[0.0], w, [0.0]]), trim)
+    """Bohman window: (1-u)cos(pi u) + sin(pi u)/pi, u = |n_c|/((L-1)/2),
+    with exactly-zero endpoints."""
+
+    def build(L):
+        u = np.abs(_centered(L)) / ((L - 1) / 2.0)
+        w = (1.0 - u) * np.cos(np.pi * u) + np.sin(np.pi * u) / np.pi
+        w[0] = w[-1] = 0.0
+        return w
+
+    return _sym_window(M, sym, build)
 
 
 def barthann(M: int, sym: bool = True) -> np.ndarray:
-    """Modified Bartlett-Hann window."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    n = np.arange(M2, dtype=np.float64)
-    fac = np.abs(n / (M2 - 1.0) - 0.5)
-    return _trim(0.62 - 0.48 * fac + 0.38 * np.cos(2 * np.pi * fac), trim)
+    """Modified Bartlett-Hann: 0.62 - 0.48u + 0.38 cos(2 pi u) with
+    u = |n/(L-1) - 1/2|."""
+
+    def build(L):
+        u = np.abs(_centered(L)) / (L - 1.0)
+        return 0.62 - 0.48 * u + 0.38 * np.cos(2.0 * np.pi * u)
+
+    return _sym_window(M, sym, build)
 
 
 def cosine(M: int, sym: bool = True) -> np.ndarray:
-    """Half-cycle sine window."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    return _trim(np.sin(np.pi / M2 * (np.arange(M2) + 0.5)), trim)
+    """Half-cycle sine window sin(pi (n + 1/2) / L)."""
+    return _sym_window(
+        M, sym, lambda L: np.sin(np.pi * (np.arange(L) + 0.5) / L)
+    )
 
 
 def lanczos(M: int, sym: bool = True) -> np.ndarray:
-    """Lanczos (sinc) window."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    return _trim(np.sinc(2.0 * np.arange(M2) / (M2 - 1.0) - 1.0), trim)
+    """Lanczos window: sinc(2 n_c / (L-1))."""
+    return _sym_window(
+        M, sym, lambda L: np.sinc(2.0 * _centered(L) / (L - 1.0))
+    )
 
 
 def exponential(M: int, center: float | None = None, tau: float = 1.0,
@@ -125,128 +137,124 @@ def exponential(M: int, center: float | None = None, tau: float = 1.0,
     """Exponential (Poisson) window exp(-|n - center|/tau)."""
     if sym and center is not None:
         raise ValueError("center must be None for symmetric windows")
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    if center is None:
-        center = (M2 - 1) / 2.0
-    n = np.arange(M2, dtype=np.float64)
-    return _trim(np.exp(-np.abs(n - center) / tau), trim)
+
+    def build(L):
+        c = (L - 1) / 2.0 if center is None else center
+        return np.exp(-np.abs(np.arange(L, dtype=np.float64) - c) / tau)
+
+    return _sym_window(M, sym, build)
 
 
 def gaussian(M: int, std: float, sym: bool = True) -> np.ndarray:
-    """Gaussian window exp(-n^2 / (2 std^2)) about the center."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    n = np.arange(M2, dtype=np.float64) - (M2 - 1) / 2.0
-    return _trim(np.exp(-0.5 * (n / std) ** 2), trim)
+    """Gaussian window exp(-n_c^2 / (2 std^2))."""
+    return _sym_window(
+        M, sym, lambda L: np.exp(-0.5 * (_centered(L) / std) ** 2)
+    )
 
 
 def general_gaussian(M: int, p: float, sig: float,
                      sym: bool = True) -> np.ndarray:
-    """Generalized Gaussian exp(-0.5 |n/sig|^(2p))."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    n = np.arange(M2, dtype=np.float64) - (M2 - 1) / 2.0
-    return _trim(np.exp(-0.5 * np.abs(n / sig) ** (2 * p)), trim)
+    """Generalized Gaussian exp(-0.5 |n_c/sig|^(2p))."""
+    return _sym_window(
+        M, sym,
+        lambda L: np.exp(-0.5 * np.abs(_centered(L) / sig) ** (2 * p)),
+    )
 
 
 def tukey(M: int, alpha: float = 0.5, sym: bool = True) -> np.ndarray:
-    """Tukey (tapered cosine): flat center, cosine-tapered ends."""
-    if _len_guards(M):
-        return np.ones(M)
-    if alpha <= 0:
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    if alpha >= 1.0:
-        from godsp_tpu.window import window_table_np
+    """Tukey (tapered cosine): flat center, raised-cosine tapers over a
+    fraction alpha of the span.
 
-        return _trim(window_table_np("hann", M2), trim)
-    n = np.arange(M2, dtype=np.float64)
-    width = int(np.floor(alpha * (M2 - 1) / 2.0))
-    w = np.ones(M2)
-    n1 = n[: width + 1]
-    w[: width + 1] = 0.5 * (1 + np.cos(np.pi * (-1 + 2.0 * n1 / alpha / (M2 - 1))))
-    n3 = n[M2 - width - 1 :]
-    w[M2 - width - 1 :] = 0.5 * (
-        1 + np.cos(np.pi * (-2.0 / alpha + 1 + 2.0 * n3 / alpha / (M2 - 1)))
+    Closed form: with e = (distance to the nearer edge) / (alpha (L-1)/2)
+    the window is the raised cosine (1 - cos(pi e))/2 inside the taper
+    (e < 1) and 1 elsewhere.  alpha <= 0 degenerates to rectangular and
+    alpha >= 1 to the symmetric Hann — both limits of the same formula,
+    no special-case branches.
+    """
+    if alpha <= 0:
+        if int(M) != M or M < 0:
+            raise ValueError("window length must be a non-negative integer")
+        return np.ones(M)
+    a = min(float(alpha), 1.0)
+
+    def build(L):
+        n = np.arange(L, dtype=np.float64)
+        e = np.minimum(n, (L - 1.0) - n) / (0.5 * a * (L - 1.0))
+        return np.where(
+            e >= 1.0, 1.0, 0.5 * (1.0 - np.cos(np.pi * np.minimum(e, 1.0)))
+        )
+
+    return _sym_window(M, sym, build)
+
+
+def _cheb_poly(order: float, x: np.ndarray) -> np.ndarray:
+    """Chebyshev polynomial T_order on all of R: the cos form inside
+    [-1, 1], the cosh continuation outside, with T(-x) = (-1)^order T(x)
+    handling the negative branch."""
+    inside = np.cos(order * np.arccos(np.clip(x, -1.0, 1.0)))
+    outside = np.cosh(order * np.arccosh(np.maximum(np.abs(x), 1.0)))
+    parity = -1.0 if int(order) % 2 else 1.0
+    return np.where(
+        np.abs(x) <= 1.0, inside, np.where(x > 0, outside, parity * outside)
     )
-    return _trim(w, trim)
 
 
 def chebwin(M: int, at: float = 100.0, sym: bool = True) -> np.ndarray:
-    """Dolph-Chebyshev window with `at` dB equiripple sidelobes: inverse
-    DFT of the Chebyshev polynomial evaluated on the frequency circle
-    (the window whose spectrum is T_{M-1}(beta cos(pi k/M)))."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    order = M2 - 1.0
-    beta = np.cosh(1.0 / order * np.arccosh(10 ** (np.abs(at) / 20.0)))
-    k = np.arange(M2, dtype=np.float64)
-    x = beta * np.cos(np.pi * k / M2)
-    # T_order(x) for |x|>1 via cosh, |x|<=1 via cos (exact continuation)
-    p = np.zeros(M2)
-    big = x > 1
-    small = np.abs(x) <= 1
-    p[big] = np.cosh(order * np.arccosh(x[big]))
-    p[small] = np.cos(order * np.arccos(x[small]))
-    neg = x < -1
-    p[neg] = (1 - 2 * (int(order) % 2)) * np.cosh(order * np.arccosh(-x[neg]))
-    if M2 % 2:
-        w = np.real(np.fft.fft(p))
-        half = (M2 + 1) // 2
-        w = w[:half] / w[0]
-        w = np.concatenate([w[half - 1 : 0 : -1], w])
-    else:
-        p_c = p * np.exp(1j * np.pi / M2 * np.arange(M2))
-        w = np.real(np.fft.fft(p_c))
-        half = M2 // 2 + 1
-        w = w / max(w[1], 1e-300)
-        w = np.concatenate([w[half - 1 : 0 : -1], w[1:half]])
-    return _trim(w, trim)
+    """Dolph-Chebyshev window with `at` dB equiripple sidelobes.
+
+    Defined in the frequency domain: the DFT samples are
+    W(k) = T_{L-1}(beta cos(pi k / L)) with beta chosen so the mainlobe
+    peak is 10^(at/20) times the ripple.  The time-domain window is the
+    inverse DFT centered on (L-1)/2; because W is real and even that is
+    a single cosine sum valid for BOTH parities (the half-sample phase
+    for even L is just the centering), normalized to unit peak.
+    """
+
+    def build(L):
+        order = L - 1.0
+        beta = np.cosh(np.arccosh(10.0 ** (abs(at) / 20.0)) / order)
+        k = np.arange(L, dtype=np.float64)
+        W = _cheb_poly(order, beta * np.cos(np.pi * k / L))
+        # centered inverse DFT: w[n] = sum_k W(k) cos(2 pi k n_c / L)
+        w = np.cos((2.0 * np.pi / L) * np.outer(_centered(L), k)) @ W
+        return w / w.max()
+
+    return _sym_window(M, sym, build)
 
 
 def taylor(M: int, nbar: int = 4, sll: float = 30.0, norm: bool = True,
            sym: bool = True) -> np.ndarray:
-    """Taylor window (radar/antenna taper): the near-Chebyshev taper
-    with `nbar` nearly-constant sidelobes at -sll dB, via the classic
-    F_m cosine-series coefficients."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    B = 10.0 ** (sll / 20.0)
-    A = np.arccosh(B) / np.pi
-    s2 = nbar**2 / (A**2 + (nbar - 0.5) ** 2)
-    ma = np.arange(1, nbar, dtype=np.float64)
-    Fm = np.empty(nbar - 1)
-    signs = np.empty_like(ma)
-    signs[::2] = 1.0
-    signs[1::2] = -1.0
-    m2 = ma * ma
-    for mi, m in enumerate(ma):
-        numer = signs[mi] * np.prod(
-            1.0 - m2[mi] / s2 / (A**2 + (ma - 0.5) ** 2))
-        denom = 2.0 * np.prod(1.0 - m2[mi] / m2[:mi]) * np.prod(
-            1.0 - m2[mi] / m2[mi + 1 :])
-        Fm[mi] = numer / denom
-    n = np.arange(M2, dtype=np.float64)
+    """Taylor window (radar/antenna taper): `nbar` nearly-constant
+    sidelobes at -sll dB.
 
-    def series(pos):
-        out = np.ones_like(np.asarray(pos, np.float64))
-        for mi, m in enumerate(ma):
-            out = out + 2.0 * Fm[mi] * np.cos(
-                2.0 * np.pi * m * (pos - M2 / 2.0 + 0.5) / M2)
-        return out
+    The window is the cosine series 1 + 2 sum_m F_m cos(2 pi m n_c / L)
+    over m = 1..nbar-1, where the F_m place the pattern's inner zeros at
+    the dilated Chebyshev positions.  Standard coefficient formula
+    (e.g. Doerry, "Catalog of Window Taper Functions", SAND2017-4042):
 
-    w = series(n)
-    if norm:
-        # normalize by the series evaluated AT the center point (between
-        # samples for even M — analytic, not interpolated)
-        w = w / series(np.float64((M2 - 1) / 2.0))
-    return _trim(w, trim)
+        F_m = (-1)^(m+1) / 2 * prod_j (1 - m^2 / z_j^2)
+                             / prod_{j != m} (1 - m^2 / j^2)
+
+    with zero positions z_j^2 = sigma^2 (A^2 + (j - 1/2)^2),
+    A = arccosh(10^(sll/20)) / pi, and the dilation sigma^2 chosen so
+    z_nbar = nbar.  Computed here as one vectorized (nbar-1)^2 table.
+    """
+
+    def build(L):
+        a2 = (np.arccosh(10.0 ** (sll / 20.0)) / np.pi) ** 2
+        sigma2 = nbar**2 / (a2 + (nbar - 0.5) ** 2)
+        m = np.arange(1, nbar, dtype=np.float64)
+        zeros2 = sigma2 * (a2 + (m - 0.5) ** 2)
+        num = np.prod(1.0 - m[:, None] ** 2 / zeros2[None, :], axis=1)
+        ratio = 1.0 - m[:, None] ** 2 / m[None, :] ** 2
+        ratio[np.diag_indices_from(ratio)] = 1.0
+        F = (-1.0) ** (m + 1) * num / (2.0 * np.prod(ratio, axis=1))
+        phase = (2.0 * np.pi / L) * np.outer(_centered(L), m)
+        w = 1.0 + 2.0 * (np.cos(phase) @ F)
+        # center-of-window normalization: phase 0 => value 1 + 2 sum F
+        return w / (1.0 + 2.0 * F.sum()) if norm else w
+
+    return _sym_window(M, sym, build)
 
 
 @lru_cache(maxsize=None)
@@ -264,8 +272,8 @@ def _dpss_tables(M: int, NW: float, Kmax: int) -> np.ndarray:
     T[np.arange(1, M), np.arange(M - 1)] = e
     vals, vecs = np.linalg.eigh(T)
     wins = vecs[:, ::-1][:, :Kmax].T  # largest eigenvalue first
-    # scipy's sign convention: symmetric windows positive mean; the
-    # antisymmetric ones start with a positive lobe
+    # sign convention (matches scipy so tables interchange): symmetric
+    # windows positive mean; antisymmetric start with a positive lobe
     fix = np.ones(Kmax)
     for i in range(Kmax):
         if i % 2 == 0:
@@ -295,10 +303,12 @@ def dpss(M: int, NW: float, Kmax: int | None = None,
         raise ValueError("Kmax must be in [1, M]")
     if NW <= 0 or NW >= M / 2.0:
         raise ValueError("NW must lie in (0, M/2)")
-    if _len_guards(M):
+    if int(M) != M or M < 0:
+        raise ValueError("window length must be a non-negative integer")
+    if M <= 1:
         w = np.ones((Kmax, max(M, 0)))
         return w[0] if single else w
-    M2, trim = _extend(M, sym)
+    M2 = M if sym else M + 1
     wins = _dpss_tables(M2, float(NW), Kmax).copy()
     if norm is None:
         norm = "approximate" if single else 2
@@ -321,7 +331,8 @@ def dpss(M: int, NW: float, Kmax: int | None = None,
             wins = wins * correction
     else:
         raise ValueError("norm must be 2, 'approximate', or 'subsample'")
-    wins = wins[:, :-1] if trim else wins
+    if not sym:
+        wins = wins[:, :-1]
     return wins[0] if single else wins
 
 

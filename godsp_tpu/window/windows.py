@@ -29,7 +29,7 @@ from godsp_tpu.window.extended import (  # noqa: F401 - re-exports
     triang,
     tukey,
 )
-from godsp_tpu.window.extended import _extend, _len_guards, _trim
+from godsp_tpu.window.extended import _sym_window
 
 __all__ = [
     "barthann", "bartlett", "blackman", "blackmanharris", "bohman",
@@ -41,10 +41,7 @@ __all__ = [
 
 
 def _core(name: str, M: int, sym: bool) -> np.ndarray:
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    return _trim(window_table_np(name, M2), trim)
+    return _sym_window(M, sym, lambda L: window_table_np(name, L))
 
 
 def boxcar(M: int, sym: bool = True) -> np.ndarray:
@@ -91,25 +88,23 @@ def nuttall(M: int, sym: bool = True) -> np.ndarray:
 
 def kaiser(M: int, beta: float, sym: bool = True) -> np.ndarray:
     """Kaiser window with shape parameter beta."""
-    if _len_guards(M):
-        return np.ones(M)
-    M2, trim = _extend(M, sym)
-    return _trim(_kaiser_table(float(beta), M2), trim)
+    return _sym_window(M, sym, lambda L: _kaiser_table(float(beta), L))
 
 
 def general_cosine(M: int, a, sym: bool = True) -> np.ndarray:
     """Generic weighted-cosine-series window
     sum_k (-1)^k a[k] cos(2 pi k n / (M-1))
     (scipy.signal.windows.general_cosine)."""
-    if _len_guards(M):
-        return np.ones(M)
     a = np.asarray(a, np.float64)
-    M2, trim = _extend(M, sym)
-    fac = np.linspace(-np.pi, np.pi, M2)
-    w = np.zeros(M2)
-    for k, coef in enumerate(a):
-        w += coef * np.cos(k * fac)
-    return _trim(w, trim)
+
+    def build(L):
+        fac = np.linspace(-np.pi, np.pi, L)
+        w = np.zeros(L)
+        for k, coef in enumerate(a):
+            w += coef * np.cos(k * fac)
+        return w
+
+    return _sym_window(M, sym, build)
 
 
 def general_hamming(M: int, alpha: float, sym: bool = True) -> np.ndarray:

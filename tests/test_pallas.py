@@ -178,11 +178,6 @@ class TestPallasFFT:
         back = np.asarray(digit16384_to_natural(jnp.asarray(dig)[None]))[0]
         np.testing.assert_array_equal(back, np.asarray(nat)[0])
 
-    # The n=16384 split-DIF kernel itself is chip-validated (verify
-    # drive + bench.py's per-size kernel_snr row): its statically
-    # unrolled body (two n1=64 pipelines) makes interpret-mode CPU
-    # compiles run minutes, like the plain 8192 kernel body before it.
-
     def test_supported_size(self):
         assert supported_size(256) and supported_size(16384)
         assert not supported_size(128)
@@ -192,6 +187,99 @@ class TestPallasFFT:
     def test_default_batch_tile(self):
         for n in (256, 1024, 4096, 16384):
             assert 8 <= default_batch_tile(n) <= 512
+
+
+class _NpRef:
+    """Minimal Pallas-ref shim: reads return jnp arrays, writes land in
+    a numpy buffer.  Lets a kernel BODY run as plain eager jnp on CPU —
+    the statically unrolled n=16384 split-DIF bodies (two n1=64
+    pipelines) take minutes to compile in interpret mode, but their
+    math runs in seconds this way, so CPU CI covers the DIF butterfly
+    and the DIT recombination (the chip covers the compiled kernel)."""
+
+    def __init__(self, arr):
+        self.arr = np.array(arr, dtype=np.float32)
+
+    def __getitem__(self, idx):
+        return jnp.asarray(self.arr[idx])
+
+    def __setitem__(self, idx, val):
+        self.arr[idx] = np.asarray(val, dtype=np.float32)
+
+
+class TestSplit2KernelMath:
+    """Numerical coverage for the n=16384 split-DIF kernel bodies
+    (_fft_kernel_split2 / _ifft_kernel_split2) via the ref shim."""
+
+    N = 16384
+
+    def _run_body(self, body, inputs, tables, out_shapes, **kw):
+        refs = [_NpRef(a) for a in inputs] + [_NpRef(t) for t in tables]
+        outs = [_NpRef(np.zeros(s, np.float32)) for s in out_shapes]
+        body(*refs, *outs, **kw)
+        return [o.arr for o in outs]
+
+    def test_forward_split_digit(self):
+        from godsp_tpu.ops import pallas_fft as pf
+
+        rng = np.random.default_rng(7)
+        x = (rng.normal(size=(2, self.N))
+             + 1j * rng.normal(size=(2, self.N))).astype(np.complex64)
+        tabs = pf._ls_tables(pf._HALF, False, False)
+        w2r, w2i = pf._split2_w(False)
+        yr, yi = self._run_body(
+            pf._fft_kernel_split2,
+            [x.real, x.imag],
+            [w2r, w2i] + [tabs[k] for k in pf._LS_ORDER],
+            [(2, self.N)] * 2,
+            inverse=False,
+        )
+        want = np.asarray(
+            pf.natural_to_digit(jnp.asarray(np.fft.fft(x)), self.N)
+        )
+        got = yr.astype(np.float64) + 1j * yi.astype(np.float64)
+        assert snr_db(got, want) >= 120.0
+
+    def test_inverse_digit_in(self):
+        from godsp_tpu.ops import pallas_fft as pf
+
+        rng = np.random.default_rng(8)
+        x = (rng.normal(size=(2, self.N))
+             + 1j * rng.normal(size=(2, self.N))).astype(np.complex64)
+        spec = np.asarray(
+            pf.natural_to_digit(jnp.asarray(np.fft.fft(x)), self.N)
+        ).astype(np.complex64)
+        tabs = pf._ls_tables(pf._HALF, True, True, 1.0 / self.N)
+        w2r, w2i = pf._split2_w(True)
+        zr, zi = self._run_body(
+            pf._ifft_kernel_split2,
+            [spec.real, spec.imag],
+            [w2r, w2i] + [tabs[k] for k in pf._LS_ORDER],
+            [(2, self.N)] * 2,
+        )
+        got = zr.astype(np.float64) + 1j * zi.astype(np.float64)
+        assert snr_db(got, x) >= 120.0
+
+    def test_real_input_16384_standard_digit_layout(self):
+        """Documented real-input exception (ADVICE r3): a real-input
+        forward at 16384 runs the batched-3D kernel and emits STANDARD
+        digit order (bin k1 + 128*k2 at position k1*128 + k2), NOT the
+        split-digit layout of natural_to_digit — the two must never be
+        paired.  Pins the layout the docstrings promise."""
+        rng = np.random.default_rng(9)
+        xr = rng.normal(size=(2, self.N)).astype(np.float32)
+        yr, yi = fft_pow2_split(
+            jnp.asarray(xr), None, order="digit", batch_tile=2,
+            interpret=True,
+        )
+        got = (np.asarray(yr).astype(np.float64)
+               + 1j * np.asarray(yi).astype(np.float64))
+        F = np.fft.fft(xr.astype(np.float64))
+        n1 = 128
+        std_digit = np.transpose(
+            F.reshape(2, self.N // n1, n1), (0, 2, 1)
+        ).reshape(2, self.N)
+        assert snr_db(got, std_digit) >= 120.0
 
 
 from godsp_tpu.ops.pallas_pwelch import (
@@ -1014,3 +1102,112 @@ class TestFusedScipyCsd:
                         nperseg=nperseg, noverlap=nover, nfft=nfft,
                         detrend=False)
         assert snr_db(pxy, ref) >= 120.0
+
+
+def random_pwelch_geometries(seed: int, count: int):
+    """Randomized (nfft, pad, stride, segs, L) Welch geometries spanning
+    the fused kernel's gate (VERDICT r3 item 8): lane-aligned strides,
+    phase-class strides (% 16), ineligible strides, and ineligible nfft.
+    Deterministic in seed; tools/chip_validate.py carries the same
+    generator for the on-chip sweep."""
+    rng = np.random.default_rng(seed)
+    cfgs = []
+    while len(cfgs) < count:
+        pad = int(rng.choice([256, 512, 1024, 2048]))
+        nfft = 128 * int(rng.integers(1, pad // 128 + 1))
+        kind = int(rng.integers(0, 4))
+        if kind == 0:  # lane-aligned divisor strides
+            stride = int(rng.choice([s for s in (64, 128, 256, 512)
+                                     if s <= nfft]))
+        elif kind == 1:  # phase-class strides
+            stride = 16 * int(rng.integers(1, nfft // 16 + 1))
+        elif kind == 2:  # ineligible stride
+            stride = int(rng.integers(1, nfft + 1))
+            if stride % 16 == 0:
+                stride += 1
+        else:  # ineligible nfft (not a lane multiple)
+            nfft = int(rng.integers(pad // 2, pad)) | 1
+            stride = 16 * int(rng.integers(1, max(nfft // 16, 2)))
+        segs = int(rng.integers(3, 18))
+        tail = int(rng.integers(0, stride))
+        L = (segs - 1) * stride + nfft + tail
+        cfgs.append((nfft, pad, stride, segs, L))
+    return cfgs
+
+
+class TestPwelchGeometrySweep:
+    """Randomized property sweep over fused-kernel geometries: eligible
+    combos must match the f64 oracle through the fused kernel
+    (interpret mode); ineligible combos must be rejected by the gate
+    and served correctly by the XLA fallback (spectral.pwelch)."""
+
+    def _oracle(self, x, nfft, pad, stride, segs, w_pad):
+        lp = pad // 2 + 1
+        acc = np.zeros(lp)
+        x64 = np.asarray(x, np.float64)
+        w64 = np.asarray(w_pad, np.float64)
+        for s in range(segs):
+            fr = np.zeros(pad)
+            fr[:nfft] = x64[s * stride : s * stride + nfft]
+            acc += np.abs(np.fft.fft(fr * w64)[:lp]) ** 2
+        return acc
+
+    def test_eligible_fused_vs_oracle(self):
+        from godsp_tpu import window as win
+
+        rng = np.random.default_rng(1234)
+        tested = 0
+        for nfft, pad, stride, segs, L in random_pwelch_geometries(42, 60):
+            if not fused_supported(nfft, pad, stride):
+                continue
+            if tested >= 10:  # interpret-mode compiles dominate runtime
+                break
+            tested += 1
+            x = rng.normal(size=L).astype(np.float32)
+            w_pad = win.window_table_np("hann", pad)
+            got = np.asarray(pwelch_power_sum(
+                jnp.asarray(x), jnp.asarray(w_pad, jnp.float32),
+                nfft, stride, segs, pad=pad, interpret=True,
+            ))
+            ref = self._oracle(x, nfft, pad, stride, segs, w_pad)
+            assert snr_db(got, ref) >= 100.0, (nfft, pad, stride, segs, L)
+        assert tested >= 5  # the generator must produce eligible combos
+
+    def test_ineligible_rejected_and_fallback_correct(self):
+        from godsp_tpu import spectral
+        from godsp_tpu import window as win
+
+        rng = np.random.default_rng(99)
+        checked_gate = checked_fallback = 0
+        for nfft, pad, stride, segs, L in random_pwelch_geometries(7, 60):
+            if fused_supported(nfft, pad, stride):
+                continue
+            checked_gate += 1
+            with pytest.raises(ValueError):
+                pwelch_power_partials(
+                    jnp.zeros((8, L), jnp.float32),
+                    jnp.ones((8, segs), jnp.float32),
+                    jnp.zeros(pad, jnp.float32), nfft, stride, pad=pad,
+                    interpret=True,
+                )
+            # the public estimator must silently serve the geometry
+            # through the XLA path (pad must stay a supported FFT size
+            # for the public API, so only stride/nfft misfits checked)
+            if checked_fallback < 4 and pad >= nfft:
+                checked_fallback += 1
+                x = rng.normal(size=L).astype(np.float64)
+                opts = spectral.PwelchOptions(
+                    nfft=nfft, noverlap=nfft - stride, pad=pad
+                ) if stride <= nfft else None
+                if opts is None:
+                    continue
+                p, freqs = spectral.pwelch(x, 2.0, opts)
+                w_pad = win.window_table_np("hann", pad)
+                acc = self._oracle(x, nfft, pad, stride, segs, w_pad)
+                lp = pad // 2 + 1
+                acc[1 : lp - 1] *= 2.0
+                wn = win.window_table_np("hann", nfft)
+                ref = acc / segs / (np.sum(wn * wn) * 2.0)
+                assert snr_db(np.asarray(p), ref) >= 100.0, (
+                    nfft, pad, stride, segs)
+        assert checked_gate >= 10
