@@ -27,7 +27,7 @@ from godsp_tpu.fft.four_step import four_step_fft
 from godsp_tpu.fft.helpers import fftfreq, fftshift, hilbert, ifftshift, rfftfreq, hfft, hfft2, hfftn, ihfft, ihfft2, ihfftn, irfft, irfft2, irfftn, next_fast_len, prev_fast_len, rfft, rfft2, rfftn
 from godsp_tpu.fft.large import set_large_min
 from godsp_tpu.fft.pow2 import pallas_enabled, pow2_fft, set_pallas_enabled
-from godsp_tpu.fft.split import fft_split, ifft_split
+from godsp_tpu.fft.split import fft_split, ifft_split, rfft_split
 from godsp_tpu.fft.stockham import stockham_fft, twiddles
 
 
@@ -67,6 +67,7 @@ __all__ = [
     "fht",
     "fhtoffset",
     "fft_split",
+    "rfft_split",
     "ifft_split",
     "fftfreq",
     "fftn",

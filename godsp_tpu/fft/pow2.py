@@ -73,10 +73,20 @@ def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
 
         return fft_large(x, inverse)
     if _pallas_eligible(x.dtype, n):
-        from godsp_tpu.ops.pallas_fft import fft_pow2_split
+        from godsp_tpu.ops.pallas_fft import digit_to_natural, fft_pow2_split
 
-        yr, yi = fft_pow2_split(jnp.real(x), jnp.imag(x), inverse=inverse)
-        return jax.lax.complex(yr, yi)
+        # Digit-order kernel + the reorder applied DURING the complex
+        # recombination: XLA fuses the transpose into the pack pass the
+        # c64 API pays anyway, so natural order costs zero extra passes
+        # here (round-4; the in-kernel MXU natural emission still serves
+        # the planes-native fft_split, which has no such pass to fuse
+        # into).
+        yr, yi = fft_pow2_split(
+            jnp.real(x), jnp.imag(x), inverse=inverse, order="digit"
+        )
+        return jax.lax.complex(
+            digit_to_natural(yr, n), digit_to_natural(yi, n)
+        )
     return four_step_fft(x, inverse)
 
 

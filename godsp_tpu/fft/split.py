@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from godsp_tpu.dsputils.utils import is_power_of_2
 
-__all__ = ["fft_split", "ifft_split"]
+__all__ = ["fft_split", "ifft_split", "rfft_split"]
 
 
 def _dispatch(xr, xi, inverse: bool, scale: float):
@@ -95,3 +95,31 @@ def ifft_split(yr, yi):
     if is_power_of_2(n):
         return _dispatch(yr, yi, inverse=True, scale=1.0 / n)
     return _dispatch(yr, yi, inverse=True, scale=1.0)
+
+
+def rfft_split(xr):
+    """One-sided forward DFT of a REAL plane (..., N) -> (yr, yi) planes
+    of shape (..., N//2 + 1), numpy.fft.rfft bin layout.
+
+    The conversion-free real-input hot path (FFTReal, fft/fft.go:25-32):
+    power-of-2 sizes 256..8192 run the Hermitian-packed Pallas kernel
+    (ops.pallas_fft.rfft_pow2_split — half the complex kernel's HBM
+    traffic and half its MXU stream); everything else falls back to the
+    full transform's first N//2+1 bins.
+    """
+    import jax.numpy as jnp
+
+    from godsp_tpu.ops.pallas_fft import rfft_pow2_split, rfft_supported_size
+
+    xr = jnp.asarray(xr)
+    n = xr.shape[-1]
+    if n <= 1:
+        return xr, jnp.zeros_like(xr)
+    f32 = jnp.dtype(xr.dtype) == jnp.float32
+    if f32 and rfft_supported_size(n):
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return rfft_pow2_split(xr)
+    yr, yi = fft_split(xr, None)
+    return yr[..., : n // 2 + 1], yi[..., : n // 2 + 1]

@@ -1211,3 +1211,74 @@ class TestPwelchGeometrySweep:
                 assert snr_db(np.asarray(p), ref) >= 100.0, (
                     nfft, pad, stride, segs)
         assert checked_gate >= 10
+
+
+class TestRfftKernel:
+    """Hermitian-packed real-input kernel (rfft_pow2_split) vs
+    numpy.fft.rfft (interpret mode)."""
+
+    @pytest.mark.parametrize("n", [256, 1024, 4096])
+    def test_natural_vs_numpy(self, n):
+        from godsp_tpu.ops.pallas_fft import rfft_pow2_split
+
+        rng = np.random.default_rng(n)
+        x = rng.normal(size=(5, n)).astype(np.float32)
+        yr, yi = rfft_pow2_split(jnp.asarray(x), interpret=True, batch_tile=5)
+        got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+        want = np.fft.rfft(x.astype(np.float64))
+        assert got.shape == (5, n // 2 + 1)
+        assert snr_db(got, want) >= 120.0
+
+    def test_packed_layout_and_nyquist(self):
+        from godsp_tpu.ops.pallas_fft import (
+            rfft_packed_to_natural,
+            rfft_pow2_split,
+        )
+
+        n = 512
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, n)).astype(np.float32)
+        pr, pi, ex = rfft_pow2_split(
+            jnp.asarray(x), order="packed", interpret=True, batch_tile=4
+        )
+        assert pr.shape == (4, n // 2) and ex.shape == (4, 128)
+        want = np.fft.rfft(x.astype(np.float64))
+        # packed position j*128 + h*64 + q holds bin (2j + h) + n1*q
+        n1 = n // 128
+        got_p = np.asarray(pr, np.float64) + 1j * np.asarray(pi, np.float64)
+        for pos in (0, 1, 63, 64, 127, n // 2 - 1):
+            j, r = divmod(pos, 128)
+            h, q = divmod(r, 64)
+            b = (2 * j + h) + n1 * q
+            assert abs(got_p[0, pos] - want[0, b]) <= 1e-3 * (
+                1.0 + abs(want[0, b])
+            ), (pos, b)
+        # extras carry the (real) Nyquist bin, lane-broadcast
+        np.testing.assert_allclose(
+            np.asarray(ex)[:, 0], want[:, -1].real, rtol=0, atol=1e-3
+        )
+        yr, yi = rfft_packed_to_natural(pr, pi, ex)
+        got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+        assert snr_db(got, want) >= 120.0
+
+    def test_wrapper_and_fallbacks(self):
+        from godsp_tpu.fft import rfft_split
+
+        rng = np.random.default_rng(4)
+        for n in (100, 128, 1024, 16384):  # Bluestein / small / kernel / split2
+            x = rng.normal(size=n).astype(np.float32)
+            yr, yi = rfft_split(x)
+            got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+            want = np.fft.rfft(x.astype(np.float64))
+            assert got.shape == want.shape
+            assert snr_db(got, want) >= 100.0, n
+
+    def test_errors(self):
+        from godsp_tpu.ops.pallas_fft import rfft_pow2_split
+
+        with pytest.raises(ValueError, match="unsupported rfft size"):
+            rfft_pow2_split(jnp.zeros((2, 100), jnp.float32))
+        with pytest.raises(ValueError, match="unsupported rfft size"):
+            rfft_pow2_split(jnp.zeros((2, 16384), jnp.float32))
+        with pytest.raises(ValueError, match="unknown order"):
+            rfft_pow2_split(jnp.zeros((2, 256), jnp.float32), order="bad")
