@@ -1410,26 +1410,33 @@ def _rfft_tables(n: int, scale: float = 1.0):
     }
 
 
-def _rfft_kernel_ls(*refs, n1: int):
-    """Real-input lane-slice forward: packed Hermitian output planes
-    (bt, n/2) + Nyquist extras plane (bt, 128, lane-broadcast)."""
-    xr_ref, gr, gi, gs, alt, yr_ref, yi_ref, ex_ref = refs
-    xr = xr_ref[:]
+def _rfft_steps_packed(xr, tabs, n1: int):
+    """Forward FFT of REAL xr (bt, n1*128) against HALF G tables:
+    packed Hermitian planes (ypr, ypi) (bt, n/2) + Nyquist column
+    (bt, 1).  Shared by the standalone rfft kernel and the fused
+    one-sided Pwelch reduction (the contraction is HALF the complex
+    kernel's MXU stream)."""
+    gr, gi, gs, alt = tabs
     pairs = [
         (xr[:, k * LANES : (k + 1) * LANES], None) for k in range(n1)
     ]
     A = _dft_slices(pairs, inverse=False)
-    tabs = (gr, gi, gs)
-    C = [_karatsuba_g(A[k1][0], A[k1][1], k1, tabs) for k1 in range(n1)]
-    half = LANES // 2
-    for j in range(n1 // 2):
-        sl = slice(j * LANES, (j + 1) * LANES)
-        yr_ref[:, sl] = jnp.concatenate([C[2 * j][0], C[2 * j + 1][0]], axis=1)
-        yi_ref[:, sl] = jnp.concatenate([C[2 * j][1], C[2 * j + 1][1]], axis=1)
+    C = [_karatsuba_g(A[k1][0], A[k1][1], k1, (gr, gi, gs)) for k1 in range(n1)]
+    ypr = jnp.concatenate([c[0] for c in C], axis=1)
+    ypi = jnp.concatenate([c[1] for c in C], axis=1)
     # Nyquist bin N/2 = (k1=0, k2=64): G[0][i2, 64] = (-1)^i2, and A[0]
     # is exactly real for real input — one masked lane sum on the VPU.
-    a0r = A[0][0]
-    nyq = jnp.sum(a0r * alt[:], axis=1, keepdims=True)
+    nyq = jnp.sum(A[0][0] * alt[:], axis=1, keepdims=True)
+    return ypr, ypi, nyq
+
+
+def _rfft_kernel_ls(*refs, n1: int):
+    """Real-input lane-slice forward: packed Hermitian output planes
+    (bt, n/2) + Nyquist extras plane (bt, 128, lane-broadcast)."""
+    xr_ref, gr, gi, gs, alt, yr_ref, yi_ref, ex_ref = refs
+    ypr, ypi, nyq = _rfft_steps_packed(xr_ref[:], (gr, gi, gs, alt), n1)
+    yr_ref[:] = ypr
+    yi_ref[:] = ypi
     ex_ref[:] = nyq * jnp.ones((1, LANES), _F32)
 
 

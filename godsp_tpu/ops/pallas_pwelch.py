@@ -53,8 +53,11 @@ from jax.experimental.pallas import tpu as pltpu
 from godsp_tpu.ops.pallas_fft import (
     LANES,
     _fft_steps_real,
+    _rfft_steps_packed,
+    _rfft_tables,
     default_batch_tile,
     fft_real_tables,
+    rfft_supported_size,
     supported_size,
 )
 
@@ -64,6 +67,7 @@ __all__ = [
     "pwelch_power_partials",
     "pwelch_power_sum",
     "digit_to_natural_bins",
+    "packed_to_natural_onesided",
 ]
 
 _F32 = jnp.float32
@@ -204,8 +208,16 @@ def _pwelch_kernel(
     nfft: int,
     pad: int,
     halo: int,
+    half: bool = False,
 ):
-    """One tile: frame -> window -> FFT -> |.|^2 -> masked segment sum."""
+    """One tile: frame -> window -> FFT -> |.|^2 -> masked segment sum.
+
+    half=True contracts against the HALF (Hermitian) G tables
+    (ops.pallas_fft._rfft_steps_packed): for real frames the one-sided
+    Welch sum needs only bins 0..pad/2, so the dominant HIGHEST MXU
+    stream is HALVED.  Output row is then the packed layout
+    (pad/2 lanes + 128 Nyquist-broadcast lanes; see
+    packed_to_natural_onesided)."""
     if halo:
         block_ref, halo_ref, mask_ref, w_ref, *rest = refs
     else:
@@ -214,17 +226,25 @@ def _pwelch_kernel(
     *tabs, out_ref = rest
 
     xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
-    cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES)
+    if half:
+        ypr, ypi, nyq = _rfft_steps_packed(xw, tuple(tabs), pad // LANES)
+        p = jnp.concatenate(
+            [ypr * ypr + ypi * ypi,
+             (nyq * nyq) * jnp.ones((1, LANES), _F32)],
+            axis=1,
+        )  # (bt, pad/2 + 128), packed bin order
+    else:
+        cr, ci = _fft_steps_real(xw, tuple(tabs), bt, pad // LANES)
+        p = cr * cr + ci * ci  # (bt, pad), digit order (k1-major)
 
-    # ---- |X|^2 then masked segment reduction in one MXU contraction ----
-    p = cr * cr + ci * ci  # (bt, pad), digit order (k1-major)
+    # ---- masked segment reduction in one MXU contraction ----
     mask_row = mask_ref[:].reshape(1, -1)[:, :bt]  # 128-lane padded block
     row = jax.lax.dot_general(
         mask_row, p,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=_F32, precision=_HI,
     )
-    out_ref[:] = row.reshape(1, 1, pad)
+    out_ref[:] = row.reshape(1, 1, p.shape[1])
 
 
 def pwelch_power_partials(
@@ -236,8 +256,14 @@ def pwelch_power_partials(
     pad: int | None = None,
     segs_per_tile: int | None = None,
     interpret: bool = False,
+    packed_half: bool = False,
 ) -> jax.Array:
     """Masked per-tile periodogram sums, digit bin order.
+
+    packed_half=True (requires rfft_supported_size(pad)) contracts
+    against the half Hermitian tables — HALF the MXU stream — and
+    returns (..., n_tiles, pad/2 + 128) rows in the PACKED one-sided
+    layout (reorder reduced rows with packed_to_natural_onesided).
 
     ext:  (..., L_ext) float32 samples; segment s reads
           ext[..., s*stride : s*stride + nfft] (the caller appends any
@@ -260,12 +286,17 @@ def pwelch_power_partials(
             f"geometry (nfft={nfft}, pad={pad}, stride={stride}) unsupported "
             "by the fused kernel"
         )
+    if packed_half and not rfft_supported_size(pad):
+        raise ValueError(
+            f"packed_half requires an rfft-kernel pad size, got {pad}"
+        )
+    out_w = pad // 2 + LANES if packed_half else pad
     S = mask.shape[-1]
     lead = ext.shape[:-1]
     if mask.shape[:-1] != lead:
         raise ValueError("ext and mask must share leading dimensions")
     if S == 0:
-        return jnp.zeros(lead + (0, pad), dtype=_F32)
+        return jnp.zeros(lead + (0, out_w), dtype=_F32)
     bt = segs_per_tile or _segs_per_tile(pad)
     bt = min(bt, max(8, S))
     bt = max(8, 1 << (bt.bit_length() - 1))  # pow2: keeps T 1024-aligned
@@ -317,7 +348,11 @@ def pwelch_power_partials(
         pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     )
 
-    order, tabs = fft_real_tables(pad)
+    if packed_half:
+        tabs = _rfft_tables(pad)
+        order = ("gr", "gi", "gs", "alt")
+    else:
+        order, tabs = fft_real_tables(pad)
     for key in order:
         t = jnp.asarray(tabs[key])
         inputs.append(t)
@@ -328,9 +363,11 @@ def pwelch_power_partials(
         )
 
     n1 = pad // LANES
-    # Step 1 (real): 2 matmuls over n1; step 3: 3 over 128; mask-sum: 1.
-    flops = R * n_tiles * bt * pad * (2 * n1 + 6 * LANES + 8)
-    bytes_acc = 4 * (R * n_tiles * (T + halo + bt) + R * n_tiles * pad)
+    # Step 1 (real): 2 matmuls over n1; step 3: 3 over 128 (HALVED by
+    # the Hermitian tables when packed_half); mask-sum: 1.
+    f3 = 3 * LANES if packed_half else 6 * LANES
+    flops = R * n_tiles * bt * pad * (2 * n1 + f3 + 8)
+    bytes_acc = 4 * (R * n_tiles * (T + halo + bt) + R * n_tiles * out_w)
 
     # Inside shard_map with vma checking, the output must declare which
     # mesh axes it varies over — it varies exactly as the samples do.
@@ -339,13 +376,14 @@ def pwelch_power_partials(
         partial(
             _pwelch_kernel,
             bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
+            half=packed_half,
         ),
         grid=(R * n_tiles,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, out_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((R * n_tiles, 1, pad), _F32, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((R * n_tiles, 1, out_w), _F32, vma=vma),
         cost_estimate=pl.CostEstimate(
             flops=int(flops), bytes_accessed=int(bytes_acc), transcendentals=0
         ),
@@ -355,7 +393,7 @@ def pwelch_power_partials(
         ),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(*lead, n_tiles, pad)
+    return out.reshape(*lead, n_tiles, out_w)
 
 
 def digit_to_natural_bins(p: jax.Array, nfft: int) -> jax.Array:
@@ -370,6 +408,24 @@ def digit_to_natural_bins(p: jax.Array, nfft: int) -> jax.Array:
     return (
         p.reshape(*lead, n1, LANES).swapaxes(-1, -2).reshape(*lead, nfft)
     )
+
+
+def packed_to_natural_onesided(p: jax.Array, pad: int) -> jax.Array:
+    """Packed one-sided power row (..., pad/2 + 128) -> natural bins
+    0..pad/2 (length pad/2 + 1).
+
+    Packed layout (ops.pallas_fft rfft block comment): position
+    j*128 + h*64 + q holds bin (2j + h) + n1*q; the 128 extras lanes all
+    broadcast the Nyquist bin.  Applied to reduced rows, this reorder is
+    effectively free (same stance as digit_to_natural_bins)."""
+    lead = p.shape[:-1]
+    nh = (p.shape[-1] - LANES)
+    n1 = 2 * nh // LANES
+    v = p[..., :nh].reshape(*lead, n1 // 2, 2, LANES // 2)
+    nd = v.ndim
+    perm = tuple(range(nd - 3)) + (nd - 1, nd - 3, nd - 2)
+    nat = jnp.transpose(v, perm).reshape(*lead, nh)
+    return jnp.concatenate([nat, p[..., nh : nh + 1]], axis=-1)
 
 
 def pwelch_power_sum(
@@ -392,9 +448,23 @@ def pwelch_power_sum(
     """
     mask = jnp.ones(x.shape[:-1] + (total_segs,), _F32)
     pad = pad or nfft
+    half = _half_enabled and rfft_supported_size(pad)
     partials = pwelch_power_partials(
         x, mask, w, nfft, stride, pad=pad,
         segs_per_tile=segs_per_tile, interpret=interpret,
+        packed_half=half,
     )
+    if half:
+        return packed_to_natural_onesided(partials.sum(axis=-2), pad)
     p = digit_to_natural_bins(partials.sum(axis=-2), pad)
     return p[..., : pad // 2 + 1]
+
+
+_half_enabled = True
+
+
+def set_packed_half_enabled(on: bool) -> None:
+    """A/B toggle: route pwelch_power_sum through the half-Hermitian
+    contraction (default on where rfft_supported_size(pad))."""
+    global _half_enabled
+    _half_enabled = bool(on)

@@ -440,6 +440,65 @@ class TestPallasPwelch:
             ref += np.abs(np.fft.fft(fr * w64)[:lp]) ** 2
         assert snr_db(got, ref) >= 100.0
 
+    @pytest.mark.parametrize(
+        "nfft,pad,stride", [(256, 256, 256), (1024, 1024, 512),
+                            (1024, 1024, 160), (256, 512, 128)]
+    )
+    def test_packed_half_matches_digit_path(self, nfft, pad, stride):
+        """The half-Hermitian contraction (packed_half) == the full
+        digit-order contraction bin for bin (round-4 rfft-table route:
+        half the MXU stream for the one-sided sum)."""
+        from godsp_tpu import window as win
+        from godsp_tpu.ops import pallas_pwelch as pw
+
+        if not pw.rfft_supported_size(pad):
+            pytest.skip("pad outside the rfft kernel range here")
+        rng = np.random.default_rng(nfft + pad + stride)
+        segs = 23
+        L = (segs - 1) * stride + nfft
+        x = jnp.asarray(rng.normal(size=L).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+        try:
+            pw.set_packed_half_enabled(True)
+            a = np.asarray(pw.pwelch_power_sum(
+                x, w, nfft, stride, segs, pad=pad, interpret=True))
+            pw.set_packed_half_enabled(False)
+            b = np.asarray(pw.pwelch_power_sum(
+                x, w, nfft, stride, segs, pad=pad, interpret=True))
+        finally:
+            pw.set_packed_half_enabled(True)
+        assert a.shape == b.shape == (pad // 2 + 1,)
+        assert snr_db(a, b.astype(np.float64)) >= 120.0
+
+    def test_packed_layout_pin(self):
+        """packed_to_natural_onesided inverts the documented packed
+        layout: position j*128 + h*64 + q holds bin (2j+h) + n1*q, and
+        the 128 extras lanes broadcast the Nyquist bin."""
+        from godsp_tpu.ops.pallas_pwelch import packed_to_natural_onesided
+
+        pad = 1024
+        n1, nh = pad // 128, pad // 2
+        packed = np.zeros(nh + 128, np.float32)
+        for j in range(n1 // 2):
+            for h in range(2):
+                for q in range(64):
+                    packed[j * 128 + h * 64 + q] = (2 * j + h) + n1 * q
+        packed[nh:] = pad // 2  # Nyquist broadcast lanes
+        nat = np.asarray(packed_to_natural_onesided(jnp.asarray(packed), pad))
+        assert nat.shape == (nh + 1,)
+        np.testing.assert_array_equal(nat, np.arange(nh + 1, dtype=np.float32))
+
+    def test_packed_half_requires_rfft_pad(self):
+        from godsp_tpu.ops import pallas_pwelch as pw
+
+        x = jnp.zeros(16384 * 4, jnp.float32)
+        m = jnp.ones(4, jnp.float32)
+        w = jnp.ones(16384, jnp.float32)
+        with pytest.raises(ValueError, match="packed_half"):
+            pw.pwelch_power_partials(
+                x, m, w, 16384, 16384, packed_half=True, interpret=True
+            )
+
     def test_pad_gt_nfft_end_to_end(self, monkeypatch):
         """spectral.pwelch fused branch with pad>nfft == XLA path."""
         import importlib

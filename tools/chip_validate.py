@@ -367,6 +367,7 @@ def main():
     drive_lsim()
     drive_splines()
     drive_fht()
+    drive_pwelch_geometry()
     if "--n1-probe" in sys.argv:
         drive_n1_128()
 
@@ -459,6 +460,65 @@ def drive_splines():
     got = np.asarray(cspline1d(x))
     ref = ss.cspline1d(x.astype(np.float64))
     return f"cspline1d snr {snr_db(got, ref):.1f} dB"
+
+
+@section("pwelch geometry sweep (chip)")
+def drive_pwelch_geometry():
+    """Randomized fused-geometry property check ON CHIP (VERDICT r3
+    item 8): eligible (nfft, pad, stride) combos through the fused
+    kernel must match the f64 host oracle >= 120 dB; a couple of
+    ineligible combos must be gated out and served by the XLA fallback.
+    The CPU interpret twin sweeps ~wider (tests/test_pallas.py
+    TestPwelchGeometrySweep); this drive pins the real-Mosaic path.
+    """
+    import jax.numpy as jnp
+
+    from godsp_tpu import window as win
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.ops.pallas_pwelch import fused_supported, pwelch_power_sum
+
+    rng = np.random.default_rng(20)
+    eligible = []
+    while len(eligible) < 6:
+        nfft = int(rng.choice([256, 384, 512, 1024, 1536, 2048]))
+        pad = nfft * int(rng.choice([1, 1, 2]))
+        stride = int(rng.choice([16, 48, 128, 160, 256, 320, 384, 512]))
+        if stride <= nfft and fused_supported(nfft, pad, stride):
+            if (nfft, pad, stride) not in eligible:
+                eligible.append((nfft, pad, stride))
+    worst = np.inf
+    for nfft, pad, stride in eligible:
+        segs = 37
+        L = (segs - 1) * stride + nfft
+        x = rng.normal(size=L).astype(np.float32)
+        w = np.asarray(win.window_table_np("hann", pad))
+        got = np.asarray(pwelch_power_sum(
+            jnp.asarray(x), jnp.asarray(w, jnp.float32),
+            nfft, stride, segs, pad=pad,
+        ))
+        lp = pad // 2 + 1
+        ref = np.zeros(lp)
+        for s in range(segs):
+            fr = np.zeros(pad)
+            fr[:nfft] = x[s * stride : s * stride + nfft].astype(np.float64)
+            ref += np.abs(np.fft.fft(fr * w)[:lp]) ** 2
+        s = snr_db(got, ref)
+        worst = min(worst, s)
+        if s < 120.0:
+            raise AssertionError(
+                f"fused geometry ({nfft},{pad},{stride}): {s:.1f} dB")
+    for nfft, pad, stride in [(1024, 1024, 24), (192, 192, 64)]:
+        if fused_supported(nfft, pad, stride):
+            raise AssertionError(f"gate admitted ({nfft},{pad},{stride})")
+    from godsp_tpu import spectral
+
+    x = rng.normal(size=5000).astype(np.float32)
+    p, _ = spectral.pwelch(
+        x, 2.0, spectral.PwelchOptions(nfft=192, noverlap=128))
+    if not np.all(np.isfinite(np.asarray(p))):
+        raise AssertionError("fallback path produced non-finite output")
+    return (f"{len(eligible)} random eligible geometries on chip, "
+            f"worst {worst:.1f} dB; gate + fallback checked")
 
 
 @section("fht chain")
