@@ -1073,21 +1073,23 @@ def main() -> None:
 
     flagship_rep("mid")
 
-    # Giant-N accounting (VERDICT r3 item 6): the balanced two-level
-    # four-step (fft/large.py) materializes FIVE full-array passes per
-    # transform on the split-plane path — step-1 transpose, kernel FFT
-    # over N1, transpose-back fused with the twiddle multiply, kernel
-    # FFT over N2, and the combined digit+four-step transpose to
-    # natural — so the honest bound is the copy ceiling over 5x(2N x 8)
-    # bytes, not the one-pass GB/s (the public c64 API adds an extract/
-    # recombine pass pair at the chain ends, largely fused in chains).
-    GIANT_PASSES = 5
+    # Giant-N accounting (VERDICT r3 item 6): the round-4 plan
+    # (fft/large.py, N = d1*d2*n3) moves the array in THREE full passes
+    # — the fused outer-level kernel (both dense DFT levels + twiddles
+    # in one read+write, ops/pallas_outer.py), the kernel row FFT over
+    # n3, and the single fold-to-natural transpose — so the honest
+    # bound is the copy ceiling over 3x(2N x 8) bytes, not the one-pass
+    # GB/s.  The fold is a lanes<->sublanes transpose that runs well
+    # below copy speed on this hardware and the row FFT carries the MXU
+    # HIGHEST stream, so the 3-pass fraction is a structural target,
+    # not an achievable-copy one (per-stage walls: BASELINE.md round 4).
+    from godsp_tpu.fft.large import _plan as _giant_plan
+
+    GIANT_PASSES = 3
     GIANT_STAGES = [
-        "transpose (b,N1,N2)->(b,N2,N1)",
-        "kernel FFT over N1",
-        "transpose-back (fused with twiddle multiply)",
-        "kernel FFT over N2",
-        "digit + four-step transpose to natural",
+        "fused outer-level kernel (dense DFTs d1, d2 + twiddles)",
+        "kernel row FFT over n3 (digit order out)",
+        "fold to natural bins (one transpose)",
     ]
 
     def giant_section(log2n, z, snr_big, snr_rt):
@@ -1123,6 +1125,7 @@ def main() -> None:
             "multipass_accounting": {
                 "passes": GIANT_PASSES,
                 "stages": GIANT_STAGES,
+                "plan_d1_d2_n3": list(_giant_plan(N)),
                 "bytes_per_pass": 2 * N * 8,
                 "effective_gbs": eff,
                 "copy_ceiling_gbs": copy_gbs,

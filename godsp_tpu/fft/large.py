@@ -1,30 +1,49 @@
-"""Large power-of-2 FFT (N > 16384) as a two-level four-step over the
-Pallas kernel.
+"""Large power-of-2 FFT (N > 16384) as direct-DFT levels over the
+Pallas kernel — a TRANSPOSE-FREE Cooley-Tukey plan.
 
 Covers the reference's only benchmark workload — a 2^20-point complex
-FFT (fft/fft_test.go:262-280) — at kernel speed.  The per-size Pallas
-kernel (ops.pallas_fft) stops at N = 16384, where one batch tile's whole
-transform still fits VMEM; beyond that the transform is factored
-N = N1 x N2 (Bailey four-step, same math as fft/four_step.py) with the
-row transforms batched through the kernel:
+FFT (fft/fft_test.go:262-280) — and up through 2^28, at kernel speed.
+The per-size Pallas kernel (ops.pallas_fft) stops at N = 16384, where
+one batch tile's whole transform still fits VMEM; beyond that the
+transform is factored
 
-    x3[b, i1, i2] = x[b, i1*N2 + i2]
-    step 1:  A[b, k1, i2] = sum_i1 F1[k1, i1] x3[b, i1, i2]
-             - N1 <= 64:   one HIGHEST einsum against the dense N1-point
-                           DFT matrix (contraction over the middle axis;
-                           no transposes)
-             - N1 >= 256:  transpose to (b, N2, N1) and run the batched
-                           Pallas kernel over the minor axis
-    step 2:  B = A * W_N^{k1 i2}  (trace-time float64 twiddle table;
-             XLA fuses the multiply into the neighboring pass)
-    step 3:  Y[b, k1, k2] = kernel FFT of B over i2 (minor axis)
-    step 4:  natural order = transpose (b, N1, N2) -> (b, N2, N1)
-             (bin k = k1 + N1*k2 lands at position k2*N1 + k1).
+    N = d1 * d2 * N3,    d1, d2 <= 128,    N3 in {8192, 16384}
 
-Everything runs on split-complex float32 planes: complex XLA ops compile
-pathologically slowly through this environment's remote-compile path
-(a single c64 transpose measured 140 s to compile), while f32 plane
-transposes compile in seconds and run at near copy bandwidth.
+with BOTH outer levels solved as dense DFT einsums that contract the
+MIDDLE axis of the (b, d, rest) view — a sublane-contracting matmul the
+MXU runs natively, with the data staying in natural layout throughout.
+No (b, N1, N2) <-> (b, N2, N1) transposes exist anywhere in the plan:
+
+    x4[b, i1, i2, i3] = x[b, i1*(d2*N3) + i2*N3 + i3]
+    level 1:  A[b, k1, i2, i3] = sum_i1 F1[k1, i1] x4[b, i1, i2, i3]
+    twiddle:  A *= W_N^{k1 (i2*N3 + i3)}   (factored (d1,d2) x (d1,N3)
+              tables, fused elementwise — the N-sized table never exists)
+    level 2:  B[b, k1, k2, i3] = sum_i2 F2[k2, i2] A[b, k1, i2, i3]
+    twiddle:  B *= W_{d2*N3}^{k2 i3}       ((d2, N3) table)
+    level 3:  kernel FFT over i3 (minor axis, digit order out)
+    reorder:  bin k = k1 + d1*k2 + d1*d2*k3 — ONE transpose that also
+              absorbs the kernel's digit layout (_fold_to_natural).
+
+History (chip-measured, v5e; all A/Bs within one session — the bimodal
+clock makes cross-session wall comparisons unreliable): the round-2/3
+form ran a BALANCED two-level split (kernel-sized N1) for n > 2^20,
+paying a swapaxes pair around the step-1 kernel — 2^24 measured
+4.1 ms.  A round-4 attempt to fold the step-1 kernel's digit fix into
+the final transpose measured 5.9 ms (the interleaved 5-axis transpose
+is slower than the two simpler transposes it replaced — transposes are
+not pass-count-equivalent).  This three-level plan replaces both: the
+dense outer DFTs cost extra MXU flops (N * (d1 + d2) complex MACs) but
+ZERO layout passes between levels 1 and 2, and one fold at the end —
+2^24 ~3.3 ms same-session vs ~4.5 for the two-level form
+(tools/probe_giant3/4.py; see BASELINE.md round 4).  The outer levels
+run as the fused Pallas kernel (ops/pallas_outer.py, one HBM pass) by
+default, with the einsum form as the f64/CPU fallback.  The d1 + d2
+sum is minimized by the balanced factoring.
+
+Everything runs on split-complex float32 planes: complex XLA ops
+compile pathologically slowly through this environment's remote-compile
+path, while f32 plane ops compile in seconds and run at near copy
+bandwidth.
 
 Reference parity: same transform as fft/radix2.go:80-153 at sizes the
 reference reaches via its 2^20 benchmark; validated against numpy and
@@ -39,41 +58,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from godsp_tpu.fft.four_step import dft_matrix, twiddle_2d
+from godsp_tpu.fft.four_step import dft_matrix
 
 __all__ = ["large_supported", "fft_large_split", "fft_large"]
 
 _HI = jax.lax.Precision.HIGHEST
 _KERNEL_MAX = 16384  # ops.pallas_fft.supported_size upper bound
-_ROW_N = 8192  # preferred row length: the kernel's lane-slice structure
-# tops out here (ops.pallas_fft._LS_MAX_N1); 16384 falls to the ~2x
-# slower batched-3D form, so a wider direct step-1 + 8192-point rows
-# wins through 2^20.
-_DIRECT_MAX = 128  # largest N1 solved by one dense einsum
+_ROW_N = 8192  # preferred kernel row length: the lane-slice structure
+# tops out here (ops.pallas_fft._LS_MAX_N1); 16384's split-DIF form is
+# ~1.2x the per-element cost, so rows stay 8192 until d1*d2 would
+# exceed 128*128.
 
 
-def _split(n: int) -> tuple[int, int]:
-    """n = N1 * N2 with N2 kernel-sized and N1 either direct (<= 128) or
-    kernel-sized itself (balanced split for n > 2^20)."""
-    if n <= _ROW_N * _DIRECT_MAX:  # up to 2^20
-        return n // _ROW_N, _ROW_N
-    l2 = n.bit_length() - 1
-    n1 = 1 << (l2 - l2 // 2)  # larger half
-    return n1, n // n1
+def _plan(n: int) -> tuple[int, int, int]:
+    """n = d1 * d2 * n3 with d1, d2 <= 128 dense-DFT levels (d2 may be 1)
+    and n3 a kernel row size.  d1/d2 balanced: the einsum flop cost is
+    proportional to d1 + d2."""
+    n3 = _KERNEL_MAX if n > (_ROW_N * 128 * 128) else _ROW_N
+    m = n // n3
+    if m <= 128:
+        return m, 1, n3
+    l2 = m.bit_length() - 1
+    d1 = 1 << (l2 - l2 // 2)  # larger half
+    return d1, m // d1, n3
 
 
 # Smallest size routed through this module.  16384 sits in both worlds:
-# the per-size kernel covers it, but only in the ~2x slower batched-3D
-# structure (_LS_MAX_N1 stops at 8192), while this split runs it as two
-# lane-slice 8192-rows + a direct N1=2 butterfly.  set_large_min(16384)
-# selects the split (chip A/B toggle; see BASELINE.md).
+# the per-size kernel covers it (split-DIF structure), while this plan
+# would run it as d1=2 x 8192 rows.  set_large_min(16384) selects the
+# plan (chip A/B toggle; see BASELINE.md).
 _MIN_N = _KERNEL_MAX * 2
 
 
 def set_large_min(n: int) -> None:
-    """Lowest FFT size dispatched through the two-level four-step
+    """Lowest FFT size dispatched through the direct-level plan
     (default 32768; 16384 routes n=16384 here instead of the kernel's
-    batched-3D form)."""
+    split-DIF form)."""
     global _MIN_N
     _MIN_N = int(n)
 
@@ -82,56 +102,48 @@ def large_supported(n: int) -> bool:
     """Power-of-2 sizes above the single-kernel limit, through 2^28."""
     if n & (n - 1) or n < _MIN_N:
         return False
-    n1, n2 = _split(n)
-    if n1 < 2:  # n < 2*_ROW_N has no valid two-level factoring here
-        return False
-    return n2 <= _KERNEL_MAX and (n1 <= _DIRECT_MAX or 256 <= n1 <= _KERNEL_MAX)
-
-
-_TW_SPLIT = 128  # lane factor of the factored twiddle (balanced splits)
+    d1, d2, n3 = _plan(n)
+    return 2 <= d1 <= 128 and d2 <= 128
 
 
 @lru_cache(maxsize=None)
 def _tables(n: int, inverse: bool):
-    """(F1 planes | None, twiddle) as float64 numpy (the analogue of
-    radix2.go:26-69's cache; on-the-fly f32 angle computation would lose
-    the 120 dB bound at these N).  Cast to the plane dtype at use.
+    """Level tables as float64 numpy (the analogue of radix2.go:26-69's
+    cache; on-the-fly f32 angle computation would lose the 120 dB bound
+    at these N).  Cast to the plane dtype at use.
 
-    Direct splits (n1 <= 128) keep the dense (n1, n2) table — it is
-    small and single-rounded.  Balanced splits factor it: with
-    i2 = a*S + b (S = _TW_SPLIT),
+    The level-1 twiddle W_N^{k1 (i2*N3 + i3)} is kept FACTORED:
 
-        T[k1, i2] = W_N^{k1 i2} = W_N^{k1 a S} * W_N^{k1 b}
-                  = T_hi[k1, a] * T_lo[k1, b],
+        T[k1, i2*N3 + i3] = W_N^{k1 i2 N3} * W_N^{k1 i3}
+                          = Ta[k1, i2] * Tb[k1, i3],
 
-    two (n1, n2/S) / (n1, S) tables whose on-device product XLA fuses
-    into the twiddle multiply — the N-sized table (4.3 GB host / 2 GB
-    device at 2^28) never exists.  Angle products k1*a*S < 2^53 stay
-    exact in f64; the one extra f32 rounding of the device-side complex
-    product costs ~2-3 dB against a ~135 dB measurement.
-    Twiddle shape is ("dense", re, im) or ("fac", (hr, hi), (lr, li)).
+    (d1, d2) and (d1, n3) tables whose on-device product XLA fuses into
+    the twiddle multiply — the N-sized table (4.3 GB at 2^28) never
+    exists.  Angle products k1*i2*N3 < 2^53 stay exact in f64; the one
+    extra f32 rounding of the device-side product costs ~2-3 dB against
+    a ~135 dB measurement.  Returns (F1 planes, Ta, Tb, F2 planes|None,
+    Tc|None), each a (re, im) pair.
     """
-    n1, n2 = _split(n)
-    f1 = dft_matrix(n1) if n1 <= _DIRECT_MAX else None
-    if f1 is not None:
-        t = twiddle_2d(n1, n2)
-        if inverse:
-            t = np.conj(t)
-            f1 = np.conj(f1)
-        return (
-            (f1.real.copy(), f1.imag.copy()),
-            ("dense", t.real.copy(), t.imag.copy()),
-        )
-    s = _TW_SPLIT
+    d1, d2, n3 = _plan(n)
     sign = 2j * np.pi if inverse else -2j * np.pi
-    k1 = np.arange(n1, dtype=np.float64)
-    th = np.exp(sign * np.outer(k1, np.arange(n2 // s, dtype=np.float64) * s) / n)
-    tl = np.exp(sign * np.outer(k1, np.arange(s, dtype=np.float64)) / n)
-    return None, (
-        "fac",
-        (th.real.copy(), th.imag.copy()),
-        (tl.real.copy(), tl.imag.copy()),
+    f1 = dft_matrix(d1)
+    if inverse:
+        f1 = np.conj(f1)
+    k1 = np.arange(d1, dtype=np.float64)
+    ta = np.exp(sign * np.outer(k1, np.arange(d2, dtype=np.float64) * n3) / n)
+    tb = np.exp(sign * np.outer(k1, np.arange(n3, dtype=np.float64)) / n)
+    pair = lambda a: (
+        np.ascontiguousarray(a.real),
+        np.ascontiguousarray(a.imag),
     )
+    if d2 == 1:
+        return pair(f1), pair(ta), pair(tb), None, None
+    f2 = dft_matrix(d2)
+    if inverse:
+        f2 = np.conj(f2)
+    k2 = np.arange(d2, dtype=np.float64)
+    tc = np.exp(sign * np.outer(k2, np.arange(n3, dtype=np.float64)) / (d2 * n3))
+    return pair(f1), pair(ta), pair(tb), pair(f2), pair(tc)
 
 
 def _kernel_fft_digit(xr, xi, inverse, interpret=False):
@@ -140,6 +152,53 @@ def _kernel_fft_digit(xr, xi, inverse, interpret=False):
     return fft_pow2_split(
         xr, xi, inverse=inverse, order="digit", interpret=interpret
     )
+
+
+def _digit_axes(nlen: int) -> list[tuple[int, int]]:
+    """Mixed-radix factorization of the kernel's digit layout for a row
+    of length `nlen`: position-major (size, bin_stride) pairs such that
+    a digit position decomposed row-major over the sizes holds
+    bin = sum(idx_i * bin_stride_i).  Standard digit: position
+    s*128 + l holds bin s + (nlen/128)*l; split-digit (16384,
+    lane-slice on): position half*8192 + s*128 + l holds bin
+    half + 2*s + 128*l (ops/pallas_fft.py layout definitions)."""
+    from godsp_tpu.ops.pallas_fft import LANES, _split2_active
+
+    if _split2_active(nlen):
+        return [(2, 1), (nlen // (2 * LANES), 2), (LANES, nlen // LANES)]
+    return [(nlen // LANES, 1), (LANES, nlen // LANES)]
+
+
+def _fold_to_natural(y, lead, b, n, axes):
+    """ONE transpose from (b, <mixed-radix layout>) to natural bins.
+
+    `axes` is the position-major (size, GLOBAL bin stride) factorization
+    of y's trailing dims; sorting by descending stride IS natural order.
+    Absorbs the kernel's digit layout into the plan's own final reorder
+    so no separate digit->natural pass exists."""
+    sizes = [s for s, _ in axes]
+    strides = [st for _, st in axes]
+    v = y.reshape(b, *sizes)
+    order = sorted(range(len(sizes)), key=lambda i: -strides[i])
+    perm = (0,) + tuple(1 + i for i in order)
+    return jnp.transpose(v, perm).reshape(*lead, n)
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+# The fused outer-level kernel (ops/pallas_outer.py) runs both dense
+# levels + twiddles in ONE HBM pass; the einsum path below streams the
+# array once per bf16 limb pass (chip: ~2.9 ms of the old 4.5 ms total
+# at 2^24).  f32-only; the CPU x64 parity tests keep the einsum path.
+_outer_kernel_on = True
+
+
+def set_outer_kernel_enabled(on: bool) -> None:
+    """A/B toggle for the fused outer-level kernel (d2 > 1 plans)."""
+    global _outer_kernel_on
+    _outer_kernel_on = bool(on)
 
 
 def fft_large_split(
@@ -161,91 +220,72 @@ def fft_large_split(
         raise ValueError(f"unsupported large-FFT size: {n}")
     if xr.shape != xi.shape:
         raise ValueError("re/im planes must have identical shapes")
-    n1, n2 = _split(n)
+    d1, d2, n3 = _plan(n)
     lead = xr.shape[:-1]
     b = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    x3r = xr.reshape(b, n1, n2)
-    x3i = xi.reshape(b, n1, n2)
-    fdt = x3r.dtype  # f32 on TPU; f64 under the CPU x64 parity tests
+    fdt = xr.dtype  # f32 on TPU; f64 under the CPU x64 parity tests
 
-    f1p, tw = _tables(n, inverse)
+    if (
+        d2 > 1 and d1 * d2 <= 8192 and _outer_kernel_on
+        and fdt == jnp.float32
+    ):
+        # ---- Fused outer kernel: levels 1+2 + twiddles, one HBM pass
+        from godsp_tpu.ops.pallas_outer import outer_dft_split
 
-    # ---- Step 1: DFT over i1 (middle axis) ----
-    if f1p is not None:
-        f1r = jnp.asarray(f1p[0], dtype=fdt)
-        f1i = jnp.asarray(f1p[1], dtype=fdt)
-        mm = lambda F, v: jnp.einsum("ki,bin->bkn", F, v, precision=_HI)
-        ar = mm(f1r, x3r) - mm(f1i, x3i)
-        ai = mm(f1r, x3i) + mm(f1i, x3r)
-    else:
-        # Kernel-sized N1: transpose so i1 is minor, batched kernel FFT.
-        xtr = jnp.swapaxes(x3r, 1, 2)  # (b, N2=i2, N1=i1)
-        xti = jnp.swapaxes(x3i, 1, 2)
-        if row_fft is None:
-            from godsp_tpu.ops.pallas_fft import fft_pow2_split
+        br, bi = outer_dft_split(
+            xr.reshape(b, d1 * d2, n3),
+            xi.reshape(b, d1 * d2, n3),
+            d1, d2, inverse=inverse, interpret=interpret,
+        )
+        return _finish_rows(br, bi, lead, b, n, d1, d2, n3,
+                            inverse, row_fft, interpret)
 
-            atr, ati = fft_pow2_split(
-                xtr, xti, inverse=inverse, interpret=interpret
-            )
-        else:
-            atr, ati = row_fft(xtr, xti, inverse)  # (b, i2, k1)
-        ar = jnp.swapaxes(atr, 1, 2)  # (b, k1, i2)
-        ai = jnp.swapaxes(ati, 1, 2)
+    f1p, tap, tbp, f2p, tcp = _tables(n, inverse)
+    J = lambda a: jnp.asarray(a, dtype=fdt)
 
-    # ---- Step 2: twiddle W_N^{k1 i2} (fused elementwise) ----
-    if tw[0] == "dense":
-        twr = jnp.asarray(tw[1], dtype=fdt)
-        twi = jnp.asarray(tw[2], dtype=fdt)
-        br = ar * twr - ai * twi
-        bi = ar * twi + ai * twr
-    else:
-        _, (thr, thi), (tlr, tli) = tw
-        s = tlr.shape[1]
-        thr = jnp.asarray(thr, dtype=fdt)[:, :, None]
-        thi = jnp.asarray(thi, dtype=fdt)[:, :, None]
-        tlr = jnp.asarray(tlr, dtype=fdt)[:, None, :]
-        tli = jnp.asarray(tli, dtype=fdt)[:, None, :]
-        twr = thr * tlr - thi * tli  # (n1, n2/s, s) — fused, never stored
-        twi = thr * tli + thi * tlr
-        a4r = ar.reshape(b, n1, n2 // s, s)
-        a4i = ai.reshape(b, n1, n2 // s, s)
-        br = (a4r * twr - a4i * twi).reshape(b, n1, n2)
-        bi = (a4r * twi + a4i * twr).reshape(b, n1, n2)
+    # ---- Level 1: dense DFT over i1 (middle-axis einsum, no transpose)
+    x3r = xr.reshape(b, d1, d2 * n3)
+    x3i = xi.reshape(b, d1, d2 * n3)
+    mm = lambda F, v: jnp.einsum("ki,bin->bkn", F, v, precision=_HI)
+    f1r, f1i = J(f1p[0]), J(f1p[1])
+    ar = mm(f1r, x3r) - mm(f1i, x3i)
+    ai = mm(f1r, x3i) + mm(f1i, x3r)
 
-    # ---- Step 3 + 4: kernel FFT over i2 (digit order out) and ONE
-    # combined transpose to natural: kernel row position k1'*128 + k2'
-    # holds k2 = k1' + (N2/128)*k2', and bin k = k1 + N1*k2 lives at flat
-    # position k2*N1 + k1 — i.e. out viewed (b, 128, N2/128, N1) is the
-    # (0, 3, 2, 1) transpose of the digit output viewed
-    # (b, N1, N2/128, 128).  Folding the kernel's digit fix into the
-    # four-step's own reorder saves a full memory pass.
+    # ---- Level-1 twiddle: factored (d1, d2) x (d1, n3), fused ----
+    a4r = ar.reshape(b, d1, d2, n3)
+    a4i = ai.reshape(b, d1, d2, n3)
+    twr, twi = _cmul(
+        J(tap[0])[:, :, None], J(tap[1])[:, :, None],
+        J(tbp[0])[:, None, :], J(tbp[1])[:, None, :],
+    )  # (d1, d2, n3) — XLA fuses; never stored
+    br, bi = _cmul(a4r, a4i, twr, twi)
+
+    # ---- Level 2 (absent when d2 == 1): DFT over i2 + its twiddle ----
+    if f2p is not None:
+        mm2 = lambda F, v: jnp.einsum("ci,bkin->bkcn", F, v, precision=_HI)
+        f2r, f2i = J(f2p[0]), J(f2p[1])
+        cr = mm2(f2r, br) - mm2(f2i, bi)
+        ci = mm2(f2r, bi) + mm2(f2i, br)
+        br, bi = _cmul(cr, ci, J(tcp[0]), J(tcp[1]))
+
+    return _finish_rows(br, bi, lead, b, n, d1, d2, n3,
+                        inverse, row_fft, interpret)
+
+
+def _finish_rows(br, bi, lead, b, n, d1, d2, n3, inverse, row_fft, interpret):
+    """Level 3 (kernel FFT over i3, digit order out) + the final fold."""
+    br = br.reshape(b * d1 * d2, n3)
+    bi = bi.reshape(b * d1 * d2, n3)
     if row_fft is None:
-        from godsp_tpu.ops.pallas_fft import _split2_active
-
         yr, yi = _kernel_fft_digit(br, bi, inverse, interpret)
-        if _split2_active(n2):
-            # Split-digit rows (n2 = 16384): position half*8192 +
-            # k1q*128 + k2q holds row-bin 2*k1q + 128*k2q + half; bin
-            # k = k1 + N1*k2 lives at k2*N1 + k1, so natural is the
-            # (b, k2q, k1q, half, N1) view of the (b, N1, half, k1q,
-            # k2q) digit view — still ONE fused transpose.
-            shp = (b, n1, 2, n2 // 256, 128)
-            perm = (0, 4, 3, 2, 1)
-            yr = jnp.transpose(yr.reshape(shp), perm).reshape(*lead, n)
-            yi = jnp.transpose(yi.reshape(shp), perm).reshape(*lead, n)
-        else:
-            m = n2 // 128
-            perm = (0, 3, 2, 1)
-            yr = jnp.transpose(yr.reshape(b, n1, m, 128), perm).reshape(
-                *lead, n
-            )
-            yi = jnp.transpose(yi.reshape(b, n1, m, 128), perm).reshape(
-                *lead, n
-            )
+        k3_axes = _digit_axes(n3)
     else:
-        yr, yi = row_fft(br, bi, inverse)  # (b, k1, k2) natural rows
-        yr = jnp.swapaxes(yr, 1, 2).reshape(*lead, n)
-        yi = jnp.swapaxes(yi, 1, 2).reshape(*lead, n)
+        yr, yi = row_fft(br, bi, inverse)  # natural rows
+        k3_axes = [(n3, 1)]
+    # bin k = k1 + d1*k2 + d1*d2*k3: global strides per axis.
+    axes = [(d1, 1), (d2, d1)] + [(s, d1 * d2 * st) for s, st in k3_axes]
+    yr = _fold_to_natural(yr, lead, b, n, axes)
+    yi = _fold_to_natural(yi, lead, b, n, axes)
     return yr, yi
 
 

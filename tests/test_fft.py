@@ -388,6 +388,24 @@ class TestLargeFFT:
         got = np.asarray(yr) + 1j * np.asarray(yi)
         assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
 
+    def test_digit_k1_kernel_path_interpret(self):
+        """n > 2^20 routes step 1 through the kernel too; since round 4
+        that kernel call is DIGIT order (pass fold) with the twiddle rows
+        pre-permuted and the final transpose absorbing both digit
+        layouts — validate the whole combined reorder on the smallest
+        balanced split (2^21 = 2048 x 1024, both kernel-sized)."""
+        from godsp_tpu.fft.large import fft_large_split
+
+        n = 1 << 21
+        rng = np.random.default_rng(6)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        yr, yi = fft_large_split(
+            jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
+            interpret=True,
+        )
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
+
     def test_unsupported_sizes(self):
         from godsp_tpu.fft.large import large_supported
 
