@@ -655,6 +655,32 @@ def main() -> None:
 
         return make
 
+    def giant_chain_split(z, log2n):
+        """Planes-native chain (fft.fft_split): the production format —
+        no c64 extract/recombine passes (same-session decomposition:
+        those cost ~0.9 ms of the 3.2 ms c64 total at 2^24)."""
+        N = 1 << log2n
+        sN = np.float32(1.0 / N)
+
+        @jax.jit
+        def split(zz):
+            return jnp.real(zz), jnp.imag(zz)
+
+        xr, xi = split(z)
+
+        def make(K):
+            @jax.jit
+            def chain(ar, ai):
+                for k in range(K):
+                    ar, ai = fft.fft_split(ar, ai)
+                    if k % 2 == 1:
+                        ar, ai = ar * sN, ai * sN
+                return jnp.abs(ar[0]) + jnp.abs(ai[0])
+
+            return chain
+
+        return make, (xr, xi)
+
     task("giant24_setup", lambda: giant_setup(24))
 
     # Fused Pallas Pwelch kernel (frame->window->FFT->|.|^2->sum).
@@ -1092,56 +1118,69 @@ def main() -> None:
         "fold to natural bins (one transpose)",
     ]
 
-    def giant_section(log2n, z, snr_big, snr_rt):
-        N = 1 << log2n
-        k_hi = 8 if log2n <= 24 else 4
-        mk = giant_chain(z, log2n)
-        f_lo, f_hi = mk(2), mk(k_hi)
-        lo_c = pool.submit(lambda: f_lo.lower(z).compile())
-        hi_c = pool.submit(lambda: f_hi.lower(z).compile())
-        lo, hi = lo_c.result(), hi_c.result()
+    def _chain_diff_reps(lo, hi, args, k_hi):
         for f in (lo, hi):
-            float(np.asarray(f(z)))
+            float(np.asarray(f(*args)))
         reps = []
         for _ in range(3):
             best_lo = best_hi = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
-                float(np.asarray(lo(z)))
+                float(np.asarray(lo(*args)))
                 best_lo = min(best_lo, time.perf_counter() - t0)
                 t0 = time.perf_counter()
-                float(np.asarray(hi(z)))
+                float(np.asarray(hi(*args)))
                 best_hi = min(best_hi, time.perf_counter() - t0)
             reps.append(max((best_hi - best_lo) / (k_hi - 2), 1e-9))
+        return reps
+
+    def giant_section(log2n, z, snr_big, snr_rt):
+        N = 1 << log2n
+        k_hi = 8 if log2n <= 24 else 4
+        mk = giant_chain(z, log2n)
+        mk_s, planes = giant_chain_split(z, log2n)
+        lo_c = pool.submit(lambda f=mk(2): f.lower(z).compile())
+        hi_c = pool.submit(lambda f=mk(k_hi): f.lower(z).compile())
+        lo_s = pool.submit(lambda f=mk_s(2): f.lower(*planes).compile())
+        hi_s = pool.submit(lambda f=mk_s(k_hi): f.lower(*planes).compile())
+        lo, hi = lo_c.result(), hi_c.result()
+        reps = _chain_diff_reps(lo, hi, (z,), k_hi)
+        reps_s = _chain_diff_reps(lo_s.result(), hi_s.result(), planes, k_hi)
         per = med(reps)
+        per_s = med(reps_s)
         copy_gbs = (
             4 * b_f * n_f * 4 / med(copy_reps) / 1e9 if copy_reps else None
         )
-        eff = GIANT_PASSES * 2 * N * 8 / per / 1e9
+        # The multipass bound applies to the PLANES chain (the plan's own
+        # three passes); the c64 chain adds the extract/recombine pair.
+        eff = GIANT_PASSES * 2 * N * 8 / per_s / 1e9
         results[f"fft_2pow{log2n}"] = {
             "wall_s": per,
             "wall_s_reps": reps,
+            "planes_wall_s": per_s,
+            "planes_wall_s_reps": reps_s,
             "gbs_one_pass_accounting": 2 * N * 8 / per / 1e9,
             "multipass_accounting": {
                 "passes": GIANT_PASSES,
                 "stages": GIANT_STAGES,
                 "plan_d1_d2_n3": list(_giant_plan(N)),
                 "bytes_per_pass": 2 * N * 8,
-                "effective_gbs": eff,
+                "planes_effective_gbs": eff,
                 "copy_ceiling_gbs": copy_gbs,
                 "fraction_of_multipass_bound": (
                     eff / copy_gbs if copy_gbs else None
                 ),
+                "c64_conversion_overhead_s": per - per_s,
             },
             "snr_db": snr_big,
             "roundtrip_snr_db": snr_rt,
         }
         frac = eff / copy_gbs if copy_gbs else float("nan")
         log(
-            f"fft 2^{log2n} single: {per*1e3:.3f} ms  "
-            f"{2*N*8/per/1e9:.0f} GB/s one-pass / {eff:.0f} GB/s over "
-            f"{GIANT_PASSES} passes = {frac:.3f} of copy ceiling  "
-            f"snr={snr_big:.1f} dB (multi-tone)"
+            f"fft 2^{log2n} single: c64 {per*1e3:.3f} ms / planes "
+            f"{per_s*1e3:.3f} ms  {2*N*8/per_s/1e9:.0f} GB/s one-pass / "
+            f"{eff:.0f} GB/s over {GIANT_PASSES} passes = {frac:.3f} of "
+            f"copy ceiling  snr={snr_big:.1f} dB (multi-tone)"
             + (f"  roundtrip={snr_rt:.1f} dB" if snr_rt is not None else "")
         )
 

@@ -194,6 +194,11 @@ def _cmul(ar, ai, br, bi):
 # at 2^24).  f32-only; the CPU x64 parity tests keep the einsum path.
 _outer_kernel_on = True
 
+# Largest row count one outer-kernel call may hold in VMEM
+# (ops/pallas_outer.py rows*T bound at the 128-lane minimum tile).
+# Tests shrink this to exercise the recursive two-call path at CPU size.
+_MAX_ROWS = 8192
+
 
 def set_outer_kernel_enabled(on: bool) -> None:
     """A/B toggle for the fused outer-level kernel (d2 > 1 plans)."""
@@ -225,19 +230,47 @@ def fft_large_split(
     b = int(np.prod(lead, dtype=np.int64)) if lead else 1
     fdt = xr.dtype  # f32 on TPU; f64 under the CPU x64 parity tests
 
-    if (
-        d2 > 1 and d1 * d2 <= 8192 and _outer_kernel_on
-        and fdt == jnp.float32
-    ):
-        # ---- Fused outer kernel: levels 1+2 + twiddles, one HBM pass
+    if d2 > 1 and _outer_kernel_on and fdt == jnp.float32:
         from godsp_tpu.ops.pallas_outer import outer_dft_split
 
-        br, bi = outer_dft_split(
-            xr.reshape(b, d1 * d2, n3),
-            xi.reshape(b, d1 * d2, n3),
-            d1, d2, inverse=inverse, interpret=interpret,
-        )
-        return _finish_rows(br, bi, lead, b, n, d1, d2, n3,
+        m = d1 * d2
+        if m <= _MAX_ROWS:
+            # ---- Fused outer kernel: levels 1+2 + twiddles, one pass
+            br, bi = outer_dft_split(
+                xr.reshape(b, m, n3),
+                xi.reshape(b, m, n3),
+                d1, d2, inverse=inverse, interpret=interpret,
+            )
+            axes_outer = [(d1, 1), (d2, d1)]
+        else:
+            # ---- rows > _MAX_ROWS (2^27+): VMEM can't hold one m-row
+            # block (ops/pallas_outer.py bound), so peel the outer
+            # factor in TWO fused calls — recursive Cooley-Tukey, each
+            # call applying its own exact twiddles for the product that
+            # remains below it:
+            #   call 1: (g1, g2) levels over rest = (m/g) * n3
+            #   call 2: (e1, e2) levels over n3, batched per call-1 row
+            # Bin k = k1 + g1 k2 + g (k1' + e1 k2' + e1 e2 k3).
+            def _bal(v):
+                l2 = v.bit_length() - 1
+                hi = 1 << (l2 - l2 // 2)
+                return hi, v // hi
+
+            g, m2 = _bal(m)  # balanced: both calls' row counts ~sqrt(m)
+            g1, g2 = _bal(g)
+            e1, e2 = _bal(m2)
+            br, bi = outer_dft_split(
+                xr.reshape(b, g, m2 * n3),
+                xi.reshape(b, g, m2 * n3),
+                g1, g2, inverse=inverse, interpret=interpret,
+            )
+            br, bi = outer_dft_split(
+                br.reshape(b * g, m2, n3),
+                bi.reshape(b * g, m2, n3),
+                e1, e2, inverse=inverse, interpret=interpret,
+            )
+            axes_outer = [(g1, 1), (g2, g1), (e1, g), (e2, g * e1)]
+        return _finish_rows(br, bi, lead, b, n, m, axes_outer, n3,
                             inverse, row_fft, interpret)
 
     f1p, tap, tbp, f2p, tcp = _tables(n, inverse)
@@ -268,22 +301,26 @@ def fft_large_split(
         ci = mm2(f2r, bi) + mm2(f2i, br)
         br, bi = _cmul(cr, ci, J(tcp[0]), J(tcp[1]))
 
-    return _finish_rows(br, bi, lead, b, n, d1, d2, n3,
+    return _finish_rows(br, bi, lead, b, n, d1 * d2,
+                        [(d1, 1), (d2, d1)], n3,
                         inverse, row_fft, interpret)
 
 
-def _finish_rows(br, bi, lead, b, n, d1, d2, n3, inverse, row_fft, interpret):
-    """Level 3 (kernel FFT over i3, digit order out) + the final fold."""
-    br = br.reshape(b * d1 * d2, n3)
-    bi = bi.reshape(b * d1 * d2, n3)
+def _finish_rows(br, bi, lead, b, n, rows, axes_outer, n3,
+                 inverse, row_fft, interpret):
+    """Level 3 (kernel FFT over i3, digit order out) + the final fold.
+
+    axes_outer: position-major (size, bin stride) pairs for the outer
+    digits carried in the row index (product of sizes == rows)."""
+    br = br.reshape(b * rows, n3)
+    bi = bi.reshape(b * rows, n3)
     if row_fft is None:
         yr, yi = _kernel_fft_digit(br, bi, inverse, interpret)
         k3_axes = _digit_axes(n3)
     else:
         yr, yi = row_fft(br, bi, inverse)  # natural rows
         k3_axes = [(n3, 1)]
-    # bin k = k1 + d1*k2 + d1*d2*k3: global strides per axis.
-    axes = [(d1, 1), (d2, d1)] + [(s, d1 * d2 * st) for s, st in k3_axes]
+    axes = list(axes_outer) + [(s, rows * st) for s, st in k3_axes]
     yr = _fold_to_natural(yr, lead, b, n, axes)
     yi = _fold_to_natural(yi, lead, b, n, axes)
     return yr, yi

@@ -63,10 +63,21 @@ def _pair(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 @lru_cache(maxsize=None)
-def _outer_tables(d1: int, d2: int, n3: int, inverse: bool):
+def _outer_tables(d1: int, d2: int, n3: int, T: int, inverse: bool):
     """Trace-time float64 tables (the radix2.go:26-69 cache analogue):
-    F1/F2 as (re, im, re+im) Karatsuba triples, factored twiddles
-    Ta (d1,d2), Tb (d1,n3), Tc (d2,n3)."""
+    F1/F2 as (re, im, re+im) Karatsuba triples, Ta (d1, d2), and the
+    lane-axis twiddles FACTORED over the lane-tile grid —
+
+        Tb[k1, j*T + t] = W_n^{k1 j T} * W_n^{k1 t}
+                        = Tb_hi[k1, j] * Tb_lo[k1, t]
+
+    (same for Tc over d2*n3) — so the kernel sees only (d, n3/T) and
+    (d, T) constants.  The unfactored (d, n3) table at the 2^28
+    recursive plan is (16, 2^21) = 128 MB per plane: embedded as HLO
+    constants it overflowed the remote-compile transport (HTTP 413).
+    Angle products k*j*T < 2^53 stay exact in f64; the one extra f32
+    rounding of the device-side product costs ~2-3 dB against ~135 dB.
+    """
     n = d1 * d2 * n3
     sign = 2j * np.pi if inverse else -2j * np.pi
     f1 = dft_matrix(d1)
@@ -75,14 +86,19 @@ def _outer_tables(d1: int, d2: int, n3: int, inverse: bool):
         f1, f2 = np.conj(f1), np.conj(f2)
     k1 = np.arange(d1, dtype=np.float64)
     k2 = np.arange(d2, dtype=np.float64)
+    j = np.arange(n3 // T, dtype=np.float64)
+    t = np.arange(T, dtype=np.float64)
     ta = np.exp(sign * np.outer(k1, np.arange(d2, dtype=np.float64) * n3) / n)
-    tb = np.exp(sign * np.outer(k1, np.arange(n3, dtype=np.float64)) / n)
-    tc = np.exp(
-        sign * np.outer(k2, np.arange(n3, dtype=np.float64)) / (d2 * n3)
-    )
+    tb_hi = np.exp(sign * np.outer(k1, j * T) / n)
+    tb_lo = np.exp(sign * np.outer(k1, t) / n)
+    tc_hi = np.exp(sign * np.outer(k2, j * T) / (d2 * n3))
+    tc_lo = np.exp(sign * np.outer(k2, t) / (d2 * n3))
     tri = lambda f: (*_pair(f), np.ascontiguousarray(
         (f.real + f.imag), dtype=np.float32))
-    return tri(f1), _pair(ta), _pair(tb), tri(f2), _pair(tc)
+    return (
+        tri(f1), _pair(ta), _pair(tb_hi), _pair(tb_lo),
+        tri(f2), _pair(tc_hi), _pair(tc_lo),
+    )
 
 
 def _k1_chunk(d1: int, d2: int, T: int) -> int:
@@ -99,9 +115,29 @@ def _k1_chunk(d1: int, d2: int, T: int) -> int:
 def _outer_kernel(*refs, d1: int, d2: int, T: int, prec):
     (
         xr_ref, xi_ref,
-        f1r, f1i, f1s, tar, tai, tbr, tbi, f2r, f2i, f2s, tcr, tci,
+        f1r, f1i, f1s, tar, tai, tbhr, tbhi, tblr, tbli,
+        f2r, f2i, f2s, tchr, tchi, tclr, tcli,
         yr_ref, yi_ref,
     ) = refs
+    # Reconstitute this lane tile's twiddle columns: hi[j] * lo (the
+    # factored form keeps the HLO constants tiny; see _outer_tables).
+    # Column j is selected by an iota mask-and-reduce — Mosaic has no
+    # dynamic_slice lowering; the 0/1 multiply is exact.
+    j = pl.program_id(1)
+
+    def col(ref):
+        v = ref[:]
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, v.shape[1]), 1) == j
+        ).astype(_F32)
+        return jnp.sum(v * sel, axis=1, keepdims=True)  # (d, 1)
+
+    bh_r, bh_i = col(tbhr), col(tbhi)
+    tbr = bh_r * tblr[:] - bh_i * tbli[:]  # (d1, T)
+    tbi = bh_r * tbli[:] + bh_i * tblr[:]
+    ch_r, ch_i = col(tchr), col(tchi)
+    tcr = ch_r * tclr[:] - ch_i * tcli[:]  # (d2, T)
+    tci = ch_r * tcli[:] + ch_i * tclr[:]
     xr = xr_ref[:].reshape(d1, d2, T)
     xi = xi_ref[:].reshape(d1, d2, T)
 
@@ -207,28 +243,22 @@ def outer_dft_split(
     xr3 = xr.reshape(B, rows, n3)
     xi3 = xi.reshape(B, rows, n3)
 
-    f1t, ta, tb, f2t, tc = _outer_tables(d1, d2, n3, inverse)
+    f1t, ta, tb_hi, tb_lo, f2t, tc_hi, tc_lo = _outer_tables(
+        d1, d2, n3, T, inverse
+    )
     tables = [
         jnp.asarray(t)
-        for t in (*f1t, *ta, *tb, *f2t, *tc)
+        for t in (*f1t, *ta, *tb_hi, *tb_lo, *f2t, *tc_hi, *tc_lo)
     ]
-    # Tb/Tc blocks follow the lane-tile index; everything else is whole.
-    tbl_specs = []
-    for idx, t in enumerate(tables):
-        if t.shape[-1] == n3:  # Tb (d1, n3) / Tc (d2, n3)
-            tbl_specs.append(
-                pl.BlockSpec(
-                    (t.shape[0], T), lambda b, j: (0, j),
-                    memory_space=pltpu.VMEM,
-                )
-            )
-        else:
-            tbl_specs.append(
-                pl.BlockSpec(
-                    t.shape, lambda b, j, nd=t.ndim: (0,) * nd,
-                    memory_space=pltpu.VMEM,
-                )
-            )
+    # Every table is small (the lane-axis twiddles arrive factored);
+    # whole-block specs, the kernel selects its hi column by program_id.
+    tbl_specs = [
+        pl.BlockSpec(
+            t.shape, lambda b, j, nd=t.ndim: (0,) * nd,
+            memory_space=pltpu.VMEM,
+        )
+        for t in tables
+    ]
 
     spec = pl.BlockSpec(
         (1, rows, T), lambda b, j: (b, 0, j), memory_space=pltpu.VMEM

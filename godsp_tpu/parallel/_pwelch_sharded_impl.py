@@ -169,17 +169,26 @@ def sharded_partial_step(
         if fused_path_eligible(nfft, pad, stride):
             # Fused Pallas path: frame/window/FFT/|.|^2/masked-sum in one
             # kernel per tile (ops.pallas_pwelch); the halo is appended so
-            # boundary-straddling segments are exact.
+            # boundary-straddling segments are exact.  Real input only
+            # needs the one-sided bins, so the half-Hermitian contraction
+            # applies where the rfft kernel covers pad (round 4).
             from godsp_tpu.ops.pallas_pwelch import (
+                _half_enabled,
                 digit_to_natural_bins,
+                packed_to_natural_onesided,
                 pwelch_power_partials,
             )
+            from godsp_tpu.ops.pallas_fft import rfft_supported_size
 
+            half = _half_enabled and rfft_supported_size(pad)
             ext = jnp.concatenate([x_local, halo], axis=-1)
             partials = pwelch_power_partials(
-                ext, mask, w_pad, nfft, stride, pad=pad
+                ext, mask, w_pad, nfft, stride, pad=pad, packed_half=half
             )
-            p = digit_to_natural_bins(partials.sum(axis=-2), pad)[..., :lp]
+            if half:
+                p = packed_to_natural_onesided(partials.sum(axis=-2), pad)
+            else:
+                p = digit_to_natural_bins(partials.sum(axis=-2), pad)[..., :lp]
             doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
             p_sum, count = p * doubler, jnp.sum(mask, axis=-1)
         else:

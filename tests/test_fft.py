@@ -388,23 +388,63 @@ class TestLargeFFT:
         got = np.asarray(yr) + 1j * np.asarray(yi)
         assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
 
-    def test_digit_k1_kernel_path_interpret(self):
-        """n > 2^20 routes step 1 through the kernel too; since round 4
-        that kernel call is DIGIT order (pass fold) with the twiddle rows
-        pre-permuted and the final transpose absorbing both digit
-        layouts — validate the whole combined reorder on the smallest
-        balanced split (2^21 = 2048 x 1024, both kernel-sized)."""
-        from godsp_tpu.fft.large import fft_large_split
+    def test_outer_kernel_path_interpret(self):
+        """n > 2^20 (d2 > 1 plans) routes both outer levels through the
+        fused Pallas kernel (ops/pallas_outer.py) — validate the whole
+        pipeline (kernel levels + row FFT + combined fold) at the
+        smallest such size, 2^21 = 16 x 16 x 8192."""
+        from godsp_tpu.fft import large as lg
 
         n = 1 << 21
         rng = np.random.default_rng(6)
         x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
-        yr, yi = fft_large_split(
+        assert lg._outer_kernel_on
+        yr, yi = lg.fft_large_split(
             jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
             interpret=True,
         )
         got = np.asarray(yr) + 1j * np.asarray(yi)
         assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
+
+    def test_outer_einsum_toggle_matches(self):
+        """set_outer_kernel_enabled(False) selects the einsum levels —
+        same transform (the f64/CPU fallback and the rows > _MAX_ROWS
+        path share it)."""
+        from godsp_tpu.fft import large as lg
+
+        n = 1 << 21
+        rng = np.random.default_rng(7)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        xr = jnp.asarray(x.real, jnp.float32)
+        xi = jnp.asarray(x.imag, jnp.float32)
+        try:
+            lg.set_outer_kernel_enabled(False)
+            yr, yi = lg.fft_large_split(xr, xi, interpret=True)
+        finally:
+            lg.set_outer_kernel_enabled(True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
+
+    def test_recursive_outer_path_interpret(self, monkeypatch):
+        """rows > _MAX_ROWS peels the outer factor in TWO fused kernel
+        calls (recursive Cooley-Tukey; the 2^27/2^28 VMEM path) —
+        exercised at CPU size by shrinking _MAX_ROWS so 2^21's m = 256
+        takes the two-call branch (g = 16, m2 = 16), forward and
+        inverse."""
+        from godsp_tpu.fft import large as lg
+
+        monkeypatch.setattr(lg, "_MAX_ROWS", 16)
+        n = 1 << 21
+        rng = np.random.default_rng(8)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        xr = jnp.asarray(x.real, jnp.float32)
+        xi = jnp.asarray(x.imag, jnp.float32)
+        yr, yi = lg.fft_large_split(xr, xi, interpret=True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
+        zr, zi = lg.fft_large_split(yr, yi, inverse=True, interpret=True)
+        rt = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        assert snr_db(rt, x.astype(np.complex128)) >= 110.0
 
     def test_unsupported_sizes(self):
         from godsp_tpu.fft.large import large_supported
