@@ -532,13 +532,22 @@ def main() -> None:
     s20 = np.float32(1.0 / n20)
 
     def mk_large(f):
+        """Single-2^20 chains as a device-side fori_loop: the transform
+        is ~0.07 ms, so an unrolled-chain differential (r03: 16 vs 48
+        links = ~2 ms) sits INSIDE the tunnel's RTT jitter — r03
+        enshrined a 12.6x-vs-jnp fluke and r04's first run measured
+        0.000 ms / 2524x.  A loop compiles one body and runs hundreds
+        of on-device iterations, putting the differential (224 links)
+        far above the noise."""
+
         def make(K):
             @jax.jit
             def chain(z):
-                for k in range(K):
-                    z = f(z)
-                    if k % 2 == 1:
-                        z = z * s20
+                def body(k, zz):
+                    zz = f(zz)
+                    return zz * jnp.where(k % 2 == 1, s20, 1.0)
+
+                z = jax.lax.fori_loop(0, K, body, z)
                 zf = z.reshape(-1)
                 return jnp.abs(jnp.real(zf[0])) + jnp.abs(jnp.imag(zf[0]))
 
@@ -546,8 +555,8 @@ def main() -> None:
 
         return make
 
-    reg("fft_2pow20", mk_large(fft.fft), z20, 16, 48, iters=10)
-    reg("jnp_2pow20", mk_large(jnp.fft.fft), z20, 8, 24, iters=8)
+    reg("fft_2pow20", mk_large(fft.fft), z20, 32, 256, iters=6)
+    reg("jnp_2pow20", mk_large(jnp.fft.fft), z20, 32, 256, iters=6)
     task("snr_2pow20", lambda: float(snr_db(
         to_host(fft.fft(z20)), np.fft.fft(z20h.astype(np.complex128))
     )))

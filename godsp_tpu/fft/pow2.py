@@ -73,20 +73,20 @@ def pow2_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
 
         return fft_large(x, inverse)
     if _pallas_eligible(x.dtype, n):
-        from godsp_tpu.ops.pallas_fft import digit_to_natural, fft_pow2_split
+        from godsp_tpu.ops.pallas_fft import fft_pow2_split
 
-        # Digit-order kernel + the reorder applied DURING the complex
-        # recombination: XLA fuses the transpose into the pack pass the
-        # c64 API pays anyway, so natural order costs zero extra passes
-        # here (round-4; the in-kernel MXU natural emission still serves
-        # the planes-native fft_split, which has no such pass to fuse
-        # into).
+        # Same natural-order path as the planes-native fft_split (the
+        # in-kernel MXU emission at n1 <= 8, digit + f32-plane transpose
+        # above), plus the complex pack.  An earlier round-4 variant ran
+        # the digit kernel and applied digit_to_natural during the
+        # recombination expecting XLA to fuse the transpose into the
+        # pack; chip-measured it did NOT (public fft 1.299 ms vs
+        # fft_split 0.677 + a ~free conversion roundtrip — two extra
+        # passes), so the natural-order kernel path is restored.
         yr, yi = fft_pow2_split(
-            jnp.real(x), jnp.imag(x), inverse=inverse, order="digit"
+            jnp.real(x), jnp.imag(x), inverse=inverse, order="natural"
         )
-        return jax.lax.complex(
-            digit_to_natural(yr, n), digit_to_natural(yi, n)
-        )
+        return jax.lax.complex(yr, yi)
     return four_step_fft(x, inverse)
 
 

@@ -101,6 +101,18 @@ def _outer_tables(d1: int, d2: int, n3: int, T: int, inverse: bool):
     )
 
 
+# Level-1 structure probe toggle (trace-time): one rank-3 dot_general
+# contracting rhs dim 0, vs the d2-loop of 2-D slice matmuls.  Both are
+# mathematically identical; which lowers faster on Mosaic is an
+# empirical question (tools/probe_outer_l1.py).
+_l1_single_dot = False
+
+
+def set_l1_single_dot(on: bool) -> None:
+    global _l1_single_dot
+    _l1_single_dot = bool(on)
+
+
 def _k1_chunk(d1: int, d2: int, T: int) -> int:
     """Level-2 k1-chunk size: keeps each (c, d2, T) temp <= ~2 MB so the
     peak VMEM stack stays bounded by level 1's full-size arrays (the
@@ -153,19 +165,28 @@ def _outer_kernel(*refs, d1: int, d2: int, T: int, prec):
         m3 = ms(vr + vi)
         return m1 - m2, m3 - m1 - m2
 
-    # ---- Level 1: d2 slice matmuls (d1, d1) @ (d1, T) ----
-    ars, ais = [], []
-    for i2 in range(d2):
+    if _l1_single_dot:
+        # ---- Level 1 as ONE rank-3 contraction over rhs dim 0 ----
         ar, ai = kara(
             lambda v: mm2(f1r[:], v),
             lambda v: mm2(f1i[:], v),
             lambda v: mm2(f1s[:], v),
-            xr[:, i2, :], xi[:, i2, :],
-        )
-        ars.append(ar[:, None, :])
-        ais.append(ai[:, None, :])
-    ar = jnp.concatenate(ars, axis=1)  # (d1, d2, T)
-    ai = jnp.concatenate(ais, axis=1)
+            xr, xi,
+        )  # (d1, d2, T)
+    else:
+        # ---- Level 1: d2 slice matmuls (d1, d1) @ (d1, T) ----
+        ars, ais = [], []
+        for i2 in range(d2):
+            ar, ai = kara(
+                lambda v: mm2(f1r[:], v),
+                lambda v: mm2(f1i[:], v),
+                lambda v: mm2(f1s[:], v),
+                xr[:, i2, :], xi[:, i2, :],
+            )
+            ars.append(ar[:, None, :])
+            ais.append(ai[:, None, :])
+        ar = jnp.concatenate(ars, axis=1)  # (d1, d2, T)
+        ai = jnp.concatenate(ais, axis=1)
 
     # ---- Twiddles + level 2, in k1 chunks (bounds peak VMEM) ----
     c = _k1_chunk(d1, d2, T)
