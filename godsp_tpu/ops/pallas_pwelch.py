@@ -364,9 +364,11 @@ def pwelch_power_partials(
 
     n1 = pad // LANES
     # Step 1 (real): 2 matmuls over n1; step 3: 3 over 128 (HALVED by
-    # the Hermitian tables when packed_half); mask-sum: 1.
+    # the Hermitian tables when packed_half, which also shrinks the
+    # mask-sum contraction and the store to out_w = pad/2 + 128 lanes
+    # instead of pad).
     f3 = 3 * LANES if packed_half else 6 * LANES
-    flops = R * n_tiles * bt * pad * (2 * n1 + f3 + 8)
+    flops = R * n_tiles * bt * (pad * (2 * n1 + f3) + 8 * out_w)
     bytes_acc = 4 * (R * n_tiles * (T + halo + bt) + R * n_tiles * out_w)
 
     # Inside shard_map with vma checking, the output must declare which

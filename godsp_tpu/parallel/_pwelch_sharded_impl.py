@@ -68,6 +68,7 @@ def _frames_from_block(block, halo, nfft: int, stride: int, segs_per_shard: int)
     jax.jit,
     static_argnames=(
         "mesh", "nfft", "pad", "stride", "segs_per_shard", "lp", "halo_impl",
+        "packed_half",
     ),
 )
 def sharded_partial_step(
@@ -82,6 +83,7 @@ def sharded_partial_step(
     lp: int,
     total_segs,
     halo_impl: tuple = ("ppermute", False),
+    packed_half: bool = False,
 ):
     """One sharded accumulation step.
 
@@ -173,20 +175,26 @@ def sharded_partial_step(
             # needs the one-sided bins, so the half-Hermitian contraction
             # applies where the rfft kernel covers pad (round 4).
             from godsp_tpu.ops.pallas_pwelch import (
-                _half_enabled,
                 digit_to_natural_bins,
                 packed_to_natural_onesided,
                 pwelch_power_partials,
             )
-            from godsp_tpu.ops.pallas_fft import rfft_supported_size
 
-            half = _half_enabled and rfft_supported_size(pad)
+            # packed_half is resolved by the CALLER (from the module
+            # toggle + rfft_supported_size) and arrives as a static arg,
+            # so set_packed_half_enabled() invalidates the jit cache key
+            # instead of being silently ignored for traced geometries.
+            half = packed_half
             ext = jnp.concatenate([x_local, halo], axis=-1)
             partials = pwelch_power_partials(
                 ext, mask, w_pad, nfft, stride, pad=pad, packed_half=half
             )
             if half:
-                p = packed_to_natural_onesided(partials.sum(axis=-2), pad)
+                # pad here is fft_len = max(options.pad, nfft); when
+                # options.pad < nfft only the first lp = options.pad//2+1
+                # head bins are kept (ZeroPadF no-op quirk,
+                # dsputils.go:60-63) — same truncation as the digit branch.
+                p = packed_to_natural_onesided(partials.sum(axis=-2), pad)[..., :lp]
             else:
                 p = digit_to_natural_bins(partials.sum(axis=-2), pad)[..., :lp]
             doubler = jnp.ones(lp, dtype=p.dtype).at[1 : lp - 1].set(2.0)
@@ -212,6 +220,15 @@ def sharded_partial_step(
         shard_fn, mesh=mesh, in_specs=(in_x, in_tail), out_specs=(out, out),
         check_vma=not use_fused_halo,
     )(x, tail_halo)
+
+
+def _resolve_packed_half(fft_len: int) -> bool:
+    """Current value of the half-Hermitian toggle for this geometry,
+    resolved OUTSIDE jit so it participates in the static cache key."""
+    from godsp_tpu.ops.pallas_fft import rfft_supported_size
+    from godsp_tpu.ops import pallas_pwelch
+
+    return bool(pallas_pwelch._half_enabled and rfft_supported_size(fft_len))
 
 
 def resolve_geometry(options: Optional[PwelchOptions]):
@@ -283,7 +300,7 @@ def pwelch_sharded(
     tail = jnp.zeros(x.shape[:-1] + (H,), dtype=fdt)
     p_sum, count = sharded_partial_step(
         x, tail, w_fft, mesh, nfft, fft_len, stride, segs_per_shard, lp,
-        total_segs, halo_impl=halo_impl,
+        total_segs, halo_impl=halo_impl, packed_half=_resolve_packed_half(fft_len),
     )
     pxx = p_sum / (count[..., None] * w_norm)
     freqs = jnp.arange(lp, dtype=fdt) * (fs / pad)

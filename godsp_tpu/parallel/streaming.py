@@ -30,7 +30,11 @@ from jax.sharding import Mesh
 
 from godsp_tpu import window as win
 from godsp_tpu._dtypes import default_float
-from godsp_tpu.parallel._pwelch_sharded_impl import resolve_geometry, sharded_partial_step
+from godsp_tpu.parallel._pwelch_sharded_impl import (
+    _resolve_packed_half,
+    resolve_geometry,
+    sharded_partial_step,
+)
 from godsp_tpu.spectral._pwelch_impl import PwelchOptions
 
 __all__ = ["StreamingPwelch", "stream_pwelch",
@@ -54,13 +58,13 @@ from functools import partial as _partial
     jax.jit,
     static_argnames=(
         "mesh", "nfft", "pad", "stride", "segs_per_shard", "lp", "halo_impl",
-        "channels", "chunk_len",
+        "channels", "chunk_len", "packed_half",
     ),
 )
 def _chunk_accumulate(
     ext, w_pad, acc_s, acc_c, total_segs,
     mesh, nfft, pad, stride, segs_per_shard, lp, halo_impl, channels,
-    chunk_len,
+    chunk_len, packed_half=False,
 ):
     """ONE device program per chunk: slice off the tail halo, sharded
     partial step, reshape, compensated accumulate.  Everything must live
@@ -74,7 +78,7 @@ def _chunk_accumulate(
     tail = ext[..., chunk_len:]
     p, _count = sharded_partial_step(
         x, tail, w_pad, mesh, nfft, pad, stride, segs_per_shard, lp,
-        total_segs, halo_impl=halo_impl,
+        total_segs, halo_impl=halo_impl, packed_half=packed_half,
     )
     p = p.reshape(channels, lp)
     return _neumaier_add(acc_s, acc_c, p)
@@ -329,6 +333,7 @@ class StreamingPwelch:
             self._halo_impl,
             self.channels,
             self.chunk_len,
+            packed_half=_resolve_packed_half(self.fft_len),
         )
         # The masked segment count is deterministic (== total_segs), so
         # nothing needs to be read back from the device here.

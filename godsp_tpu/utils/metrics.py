@@ -139,12 +139,24 @@ def measure_rtt(iters: int = 5) -> float:
     return ts[len(ts) // 2]
 
 
+# A valid chain differential must exceed this (seconds): far above the
+# perf_counter granularity (~1 us after 4x safety) yet far below any real
+# differential this library measures (the shallowest registered pair is
+# >= ~5 ms of compute difference).  A differential below it means the two
+# chain timings came from different clock/transport windows — garbage
+# that once reached an artifact as wall_s=1e-09 / "239240x of ceiling"
+# (VERDICT r4 weak #4); such reps are REMEASURED, never clamped.
+MIN_CHAIN_DIFF_S = 1e-4
+
+
 def time_chain_diff(
     make_chained: Callable[[int], Callable],
     x,
     k_lo: int = 4,
     k_hi: int = 36,
     iters: int = 4,
+    min_diff_s: float = MIN_CHAIN_DIFF_S,
+    retries: int = 3,
 ) -> float:
     """Per-application seconds via the difference of two chain lengths.
 
@@ -154,6 +166,11 @@ def time_chain_diff(
     (dispatch, tunnel RTT, scalar readback) exactly — unlike subtracting
     a separately measured RTT, which drowns in its own jitter when the
     compute window is a few ms.
+
+    A rep whose differential is non-positive or below min_diff_s is
+    physically impossible (the hi chain does strictly more work) and is
+    remeasured up to `retries` times; if none succeeds, raises
+    RuntimeError rather than returning a clamped garbage value.
     """
     import numpy as np
 
@@ -161,15 +178,24 @@ def time_chain_diff(
     for f in (f_lo, f_hi):
         v = float(np.asarray(f(x)))  # compile + warm
         assert np.isfinite(v)
-    best_lo = best_hi = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        float(np.asarray(f_lo(x)))
-        best_lo = min(best_lo, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(np.asarray(f_hi(x)))
-        best_hi = min(best_hi, time.perf_counter() - t0)
-    return max((best_hi - best_lo) / (k_hi - k_lo), 1e-9)
+    last_diff = float("nan")
+    for _attempt in range(1 + retries):
+        best_lo = best_hi = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(np.asarray(f_lo(x)))
+            best_lo = min(best_lo, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(np.asarray(f_hi(x)))
+            best_hi = min(best_hi, time.perf_counter() - t0)
+        last_diff = best_hi - best_lo
+        if last_diff >= min_diff_s:
+            return last_diff / (k_hi - k_lo)
+    raise RuntimeError(
+        f"chain differential {last_diff:.3e}s below the {min_diff_s:.0e}s "
+        f"plausibility floor after {1 + retries} attempts — the two chain "
+        "timings are from different clock windows; rep rejected"
+    )
 
 
 def time_chained(

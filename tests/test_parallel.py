@@ -146,8 +146,8 @@ class TestShardedFusedKernel:
         spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
         # Lane-slice kernels hang under shard_map + interpret mode (see
         # pallas_fft.set_laneslice_enabled); exercise the sharded data
-        # plumbing through the batched-3D structure.
-        pallas_fft.set_laneslice_enabled(False)
+        # plumbing through the batched-3D structure.  monkeypatch (not
+        # set_laneslice_enabled) so the default is RESTORED on teardown.
         monkeypatch.setattr(pallas_fft, "_ls_enabled", False)
 
         opts = spectral.PwelchOptions(nfft=256, noverlap=128)
@@ -166,6 +166,58 @@ class TestShardedFusedKernel:
         np.testing.assert_allclose(
             np.asarray(p_sh), np.asarray(ref), rtol=2e-4, atol=1e-12
         )
+
+    def test_sharded_fused_packed_half_pad_lt_nfft(self, monkeypatch):
+        """options.pad < nfft through the half-Hermitian sharded branch:
+        the packed one-sided row is pad_fft//2+1 bins wide but only the
+        first lp = options.pad//2+1 head bins are kept (ZeroPadF no-op
+        quirk, dsputils.go:60-63) — regression for the round-4 advisor's
+        shape-mismatch finding (packed row vs (lp,)-shaped doubler)."""
+        import importlib
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        import godsp_tpu.parallel._pwelch_sharded_impl as impl
+
+        spwelch = importlib.import_module("godsp_tpu.spectral._pwelch_impl")
+
+        opts = spectral.PwelchOptions(nfft=256, noverlap=128, pad=128)
+        stride = 128
+        L = 8 * stride * 16
+        x = jnp.asarray(_signal(L), jnp.float32)
+        mesh = make_mesh(MeshConfig(dp=1, sp=8))
+
+        ref, _ = spectral.pwelch(x, 2.0, opts)  # XLA path (f32 input)
+        assert ref.shape[-1] == 128 // 2 + 1
+
+        monkeypatch.setattr(
+            spwelch, "fused_path_eligible", lambda nfft, pad, stride: True
+        )
+        monkeypatch.setattr(impl, "_resolve_packed_half", lambda fft_len: True)
+        with pltpu.force_tpu_interpret_mode():
+            p_sh, _ = pwelch_sharded(x, 2.0, opts, mesh)
+        np.testing.assert_allclose(
+            np.asarray(p_sh), np.asarray(ref), rtol=2e-4, atol=1e-12
+        )
+
+    def test_packed_half_toggle_invalidates_cache(self, monkeypatch):
+        """set_packed_half_enabled must reach already-traced geometries:
+        the flag is a static jit arg resolved per call, not a module
+        global read at trace time (round-4 advisor low finding)."""
+        from godsp_tpu.ops import pallas_pwelch
+        from godsp_tpu.parallel._pwelch_sharded_impl import _resolve_packed_half
+
+        fft_len = 1024
+        monkeypatch.setattr(
+            "godsp_tpu.ops.pallas_fft.rfft_supported_size", lambda n: True
+        )
+        pallas_pwelch.set_packed_half_enabled(True)
+        assert _resolve_packed_half(fft_len) is True
+        try:
+            pallas_pwelch.set_packed_half_enabled(False)
+            assert _resolve_packed_half(fft_len) is False
+        finally:
+            pallas_pwelch.set_packed_half_enabled(True)
 
 
 class TestPallasHalo:

@@ -44,6 +44,52 @@ class TestMetrics:
 
         assert hbm_bandwidth_gbs(Fake()) is None
 
+    def test_chain_diff_rejects_implausible_reps(self, monkeypatch):
+        """A non-positive / sub-granularity differential must be
+        remeasured and, if persistent, raised — never clamped to 1e-9
+        (VERDICT r4 weak #4: wall_s_best=1e-09 reached an artifact)."""
+        import time as _time
+
+        from godsp_tpu.utils import metrics
+
+        # Fake clock: every timed region appears to take the same wall,
+        # so the differential is exactly zero on every attempt.
+        t = [0.0]
+
+        def fake_counter():
+            t[0] += 1.0
+            return t[0]
+
+        monkeypatch.setattr(_time, "perf_counter", fake_counter)
+
+        def make(k):
+            return lambda x: jnp.float32(1.0)
+
+        with pytest.raises(RuntimeError, match="plausibility floor"):
+            metrics.time_chain_diff(make, jnp.zeros(4), retries=1, iters=1)
+
+    def test_chain_diff_valid_measurement(self):
+        """A real (CPU) chain pair yields a positive per-app wall."""
+        import jax
+
+        from godsp_tpu.utils import metrics
+
+        x = jnp.ones((256, 1024), jnp.float32)
+
+        def make(k):
+            @jax.jit
+            def chained(z):
+                for _ in range(k):
+                    z = jnp.tanh(z @ jnp.eye(1024, dtype=z.dtype))
+                return jnp.sum(z[0])
+
+            return chained
+
+        per = metrics.time_chain_diff(
+            make, x, k_lo=2, k_hi=30, iters=3, min_diff_s=1e-5
+        )
+        assert per > 0.0
+
 
 class TestToHost:
     def test_passthrough_and_complex(self):
