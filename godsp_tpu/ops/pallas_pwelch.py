@@ -201,6 +201,55 @@ def _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo):
     return frames * w_ref[:]
 
 
+def _halo_rows(nfft: int, stride: int) -> int:
+    """Sublane rows of right-halo for the 2-D-block framing path,
+    rounded up to a multiple of 8 (keeps bt + hrows 8-divisible for the
+    sublane rolls)."""
+    m = nfft // stride
+    if m <= 1:
+        return 0
+    return -(-(m - 1) // 8) * 8
+
+
+def _framing_2d_eligible(nfft: int, stride: int) -> bool:
+    """Lane-aligned geometries (P == 1, whole number of stride periods
+    per frame) frame from (bt, stride) 2-D blocks."""
+    return (
+        _framing_2d
+        and stride % LANES == 0
+        and nfft % stride == 0
+    )
+
+
+def _windowed_frames_2d(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
+                        hrows):
+    """2-D-block framing: signal rows arrive as (bt, stride) — a FREE
+    row-major reshape on the XLA side — plus (hrows, stride) right-halo
+    rows; frame s = rows s..s+m-1 concatenated along lanes, built by
+    m-1 sublane rolls.  Round-5 fix for the flat-row load: a (1, T)
+    single-sublane block wastes 7/8 of every (8, 128) VMEM tile's DMA —
+    measured 52 ns/frame of pure load at nfft=1024/stride=512 (the
+    whole kernel's FFT is 30); 2-D blocks load at 10 ns/frame
+    (tools/probe_pwfloor.py), taking the fused kernel from 77 to
+    33 ns/frame end-to-end, bit-identical."""
+    m = nfft // stride
+    x2 = block_ref[:].reshape(bt, stride)
+    if m == 1:
+        frames = x2
+    else:
+        h2 = halo_ref[:].reshape(hrows, stride)
+        ext_rows = jnp.concatenate([x2, h2], axis=0)  # (bt + hrows, stride)
+        S = bt + hrows
+        parts = [x2]
+        for k in range(1, m):
+            rolled = pltpu.roll(ext_rows, S - k, 0)  # row i <- row i+k
+            parts.append(rolled[:bt])
+        frames = jnp.concatenate(parts, axis=1)  # (bt, nfft)
+    if pad > nfft:
+        frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
+    return frames * w_ref[:]
+
+
 def _pwelch_kernel(
     *refs,
     bt: int,
@@ -209,6 +258,7 @@ def _pwelch_kernel(
     pad: int,
     halo: int,
     half: bool = False,
+    framing: str = "row",
 ):
     """One tile: frame -> window -> FFT -> |.|^2 -> masked segment sum.
 
@@ -225,7 +275,15 @@ def _pwelch_kernel(
         halo_ref = None
     *tabs, out_ref = rest
 
-    xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
+    if framing == "2d":
+        xw = _windowed_frames_2d(
+            block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
+            _halo_rows(nfft, stride),
+        )
+    else:
+        xw = _windowed_frames(
+            block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo
+        )
     if half:
         ypr, ypi, nyq = _rfft_steps_packed(xw, tuple(tabs), pad // LANES)
         p = jnp.concatenate(
@@ -309,26 +367,81 @@ def pwelch_power_partials(
     mask2 = mask.reshape(-1, S).astype(_F32)
     R = ext2.shape[0]
 
-    need = n_tiles * T + halo
-    if ext2.shape[-1] < need:
-        ext2 = jnp.pad(ext2, ((0, 0), (0, need - ext2.shape[-1])))
     pad_s = n_tiles * bt - S
     if pad_s:
         mask2 = jnp.pad(mask2, ((0, 0), (0, pad_s)))
 
-    # Per-tile operands are (n_tiles*R, 1, X) with (1, 1, X) blocks — see
-    # the layout note in _pwelch_kernel.
-    blocks = ext2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
-    inputs = [blocks]
-    in_specs = [pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-    if halo:
-        # Right halo of tile j = first `halo` samples after its block.
-        idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
-        halos = jnp.take(ext2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
-        inputs.append(halos)
-        in_specs.append(
-            pl.BlockSpec((1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        )
+    framing = "2d" if _framing_2d_eligible(nfft, stride) else "row"
+    if framing == "2d":
+        # 2-D-block framing (round 5): signal rows arrive as (bt, stride)
+        # blocks — a FREE row-major reshape — plus up-to-8 right-halo
+        # rows; the flat (1, T) single-sublane block this replaces
+        # loaded at 1/5 the DMA rate (see _windowed_frames_2d).
+        hrows = _halo_rows(nfft, stride)
+        rows_needed = n_tiles * bt + hrows
+        need2 = rows_needed * stride
+        if R == 1:
+            # Pad the FLAT view: a (1, L) f32 intermediate is itself
+            # tiled (8, 128) with one occupied sublane — 8x the HBM
+            # traffic of the packed 1-D layout (the same pathology the
+            # 2-D kernel blocks fix).  A 1-D pad keeps every
+            # intermediate packed and the reshape to rows free; padding
+            # the (1, L) form instead measured ~+1 ms at the bench
+            # geometry, erasing most of the kernel-side win.
+            flat = ext2.reshape(-1)
+            if flat.shape[0] < need2:
+                flat = jnp.pad(flat, (0, need2 - flat.shape[0]))
+            rows2 = flat[:need2].reshape(1, rows_needed, stride)
+        else:
+            if ext2.shape[-1] < need2:
+                ext2 = jnp.pad(
+                    ext2, ((0, 0), (0, need2 - ext2.shape[-1]))
+                )
+            rows2 = ext2[:, :need2].reshape(R, rows_needed, stride)
+        blocks = rows2[:, : n_tiles * bt].reshape(R * n_tiles, bt, stride)
+        inputs = [blocks]
+        in_specs = [pl.BlockSpec(
+            (1, bt, stride), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )]
+        if hrows:
+            ridx = (
+                (jnp.arange(n_tiles)[:, None] + 1) * bt
+                + jnp.arange(hrows)[None, :]
+            )
+            if R == 1:
+                # 2-D row gather (axis 0) lowers to clean contiguous-row
+                # DMAs; the batched 3-D form (axis 1 under a unit
+                # leading dim) does not.
+                halos = jnp.take(rows2[0], ridx, axis=0).reshape(
+                    n_tiles, hrows, stride
+                )
+            else:
+                halos = jnp.take(rows2, ridx, axis=1).reshape(
+                    R * n_tiles, hrows, stride
+                )
+            inputs.append(halos)
+            in_specs.append(pl.BlockSpec(
+                (1, hrows, stride), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        halo = hrows * stride  # kernel arg unpacking keys off truthiness
+    else:
+        need = n_tiles * T + halo
+        if ext2.shape[-1] < need:
+            ext2 = jnp.pad(ext2, ((0, 0), (0, need - ext2.shape[-1])))
+        # Per-tile operands are (n_tiles*R, 1, X) with (1, 1, X) blocks —
+        # see the layout note in _pwelch_kernel.
+        blocks = ext2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
+        inputs = [blocks]
+        in_specs = [pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+        if halo:
+            # Right halo of tile j = first `halo` samples after its block.
+            idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
+            halos = jnp.take(ext2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
+            inputs.append(halos)
+            in_specs.append(
+                pl.BlockSpec((1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            )
     mp = max(bt, LANES)
     masks = mask2.reshape(R * n_tiles, bt)
     if P > 1:
@@ -378,7 +491,7 @@ def pwelch_power_partials(
         partial(
             _pwelch_kernel,
             bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-            half=packed_half,
+            half=packed_half, framing=framing,
         ),
         grid=(R * n_tiles,),
         in_specs=in_specs,
@@ -391,11 +504,45 @@ def pwelch_power_partials(
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 << 20,
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=(_dim_sem,),
         ),
         interpret=interpret,
     )(*inputs)
     return out.reshape(*lead, n_tiles, out_w)
+
+
+# 2-D-block framing for lane-aligned strides (round 5).  Chip numbers
+# at nfft=1024/stride=512 (tools/probe_pwfloor.py, one session):
+# flat-row kernel 77 ns/frame of which the (1, T) block LOAD alone is
+# 52 (a single-sublane block wastes 7/8 of each (8,128) VMEM tile's
+# DMA); 2-D blocks load at 10 ns/frame and the full kernel drops to
+# 33 ns/frame — within ~10% of its contraction floor twin (31) and the
+# standalone rfft kernel (30).  Output bit-identical.  Toggleable for
+# A/B probes; phase-class strides keep the flat-row path.
+_framing_2d = True
+
+
+def set_framing_2d_enabled(on: bool) -> None:
+    """A/B toggle for the 2-D-block framing path (lane-aligned strides)."""
+    global _framing_2d
+    _framing_2d = bool(on)
+
+
+# Grid semantics for the fused kernel.  Tiles are independent (each
+# writes its own partial row), so "parallel" is legal and lets grid
+# steps overlap — the same change that bought the FFT kernels their
+# round-3 win (per-slice stores under "arbitrary" serialize).  Probe
+# verdict (probe_pwfloor): parallel ~= arbitrary here — the load layout
+# was the binding constraint, not store semantics.
+_dim_sem = "parallel"
+
+
+def set_pwelch_dim_semantics(sem: str) -> None:
+    """A/B toggle ("parallel" | "arbitrary") for chip probes."""
+    global _dim_sem
+    if sem not in ("parallel", "arbitrary"):
+        raise ValueError(f"unknown dimension semantics: {sem}")
+    _dim_sem = sem
 
 
 def digit_to_natural_bins(p: jax.Array, nfft: int) -> jax.Array:

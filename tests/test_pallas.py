@@ -470,6 +470,54 @@ class TestPallasPwelch:
         assert a.shape == b.shape == (pad // 2 + 1,)
         assert snr_db(a, b.astype(np.float64)) >= 120.0
 
+    @pytest.mark.parametrize(
+        "nfft,pad,stride,batched",
+        [(256, 256, 128, False),      # m=2, the bench shape class
+         (1024, 1024, 256, False),    # m=4 (hrows rounds 3 -> 8)
+         (1024, 1024, 128, False),    # m=8
+         (256, 512, 128, False),      # pad > nfft through 2-D framing
+         (256, 256, 256, False),      # m=1: no halo rows at all
+         (1024, 1024, 512, True)],    # leading dims (R > 1 prep branch)
+    )
+    def test_framing_2d_matches_row(self, nfft, pad, stride, batched):
+        """The 2-D-block framing path (round 5: (bt, stride) rows +
+        sublane rolls, fixing the 5x single-sublane DMA waste of flat
+        (1, T) blocks) must be BIT-IDENTICAL to the row path — same
+        frames, same tables, same contraction order."""
+        from godsp_tpu import window as win
+        from godsp_tpu.ops import pallas_pwelch as pw
+
+        assert pw._framing_2d_eligible(nfft, stride)
+        rng = np.random.default_rng(nfft + pad + stride)
+        segs = 21
+        L = (segs - 1) * stride + nfft
+        shape = (3, L) if batched else (L,)
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+        mask = jnp.ones(shape[:-1] + (segs,), jnp.float32)
+        try:
+            pw.set_framing_2d_enabled(True)
+            a = np.asarray(pw.pwelch_power_partials(
+                x, mask, w, nfft, stride, pad=pad, interpret=True))
+            pw.set_framing_2d_enabled(False)
+            b = np.asarray(pw.pwelch_power_partials(
+                x, mask, w, nfft, stride, pad=pad, interpret=True))
+        finally:
+            pw.set_framing_2d_enabled(True)
+        np.testing.assert_array_equal(a, b)
+
+    def test_framing_2d_eligibility(self):
+        from godsp_tpu.ops import pallas_pwelch as pw
+
+        assert pw._framing_2d_eligible(1024, 512)
+        assert pw._framing_2d_eligible(1024, 128)
+        assert not pw._framing_2d_eligible(1024, 384)  # nfft % stride != 0
+        assert not pw._framing_2d_eligible(1024, 160)  # stride % 128 != 0
+        assert pw._halo_rows(1024, 512) == 8           # m-1=1 -> 8
+        assert pw._halo_rows(1024, 128) == 8           # m-1=7 -> 8
+        assert pw._halo_rows(2048, 128) == 16          # m-1=15 -> 16
+        assert pw._halo_rows(256, 256) == 0            # m=1: no halo
+
     def test_packed_layout_pin(self):
         """packed_to_natural_onesided inverts the documented packed
         layout: position j*128 + h*64 + q holds bin (2j+h) + n1*q, and
