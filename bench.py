@@ -31,6 +31,24 @@ device execution, no contention), plus runs the one-shot parity oracles
 concurrently; phase 2 then measures serially on the quiet chip.  The
 serial form of this bench measured ~45 min of wall, ~80% of it compile.
 
+Round-5 contract (VERDICT r4 items 1, 5, 6, 7 — timeout-proofing):
+  * chain inputs are generated ON-DEVICE from PRNG keys (zero h2d
+    bytes; r4's ~1 GB host placement burned 585 s in a slow tunnel
+    window and timed the driver out with nothing emitted);
+  * the summary JSON line is printed after the flagship section and
+    re-emitted after every completed section — LAST LINE WINS — so a
+    kill at any later point still leaves a parseable north_star block;
+  * a measurement wall-clock budget (GODSP_BENCH_BUDGET_S, default
+    600 s) sheds optional sections (rep sweeps, h2d streaming, 2^28)
+    with a "shed_sections" record when exceeded;
+  * chain differentials below utils.metrics.MIN_CHAIN_DIFF_S are
+    remeasured and ultimately rejected, never clamped;
+  * public_fft vs fft_split+conversions is reconciled in ONE
+    interleaved rep sweep (public_pack_reconciliation) so clock drift
+    between sections cannot masquerade as pack cost;
+  * the streaming row co-measures the raw tunnel h2d bandwidth in the
+    same window and records fraction_of_h2d_bound.
+
 Timing notes (see utils.metrics): on tunneled TPU transports
 block_until_ready is unreliable, so each measurement is a jitted
 data-dependent chain of K applications ending in a scalar readback,
@@ -43,11 +61,20 @@ placed via _dtypes.put (split-plane transfer).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+# Wall-clock budget for the MEASUREMENT phase (phase 2), seconds.  When
+# exceeded, optional sections (third rep sweep, 2^28, h2d streaming) are
+# shed with a log line and a "shed_sections" record in the artifact —
+# the round-4 driver bench died at rc=124 with nothing emitted
+# (VERDICT r4 missing #1); a slow-window run must still finish inside
+# the driver's patience with its core sections intact.
+BUDGET_S = float(os.environ.get("GODSP_BENCH_BUDGET_S", "600"))
 
 
 def log(*a):
@@ -184,65 +211,6 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     # ------------------------------------------------------------------
-    # Device inputs FIRST: complex put() compiles a per-shape combine
-    # program on the MAIN thread — once the pool is saturated with heavy
-    # chain compiles, that tiny compile queues for minutes (observed
-    # hang).  All host->device placement happens before any submission.
-    # ------------------------------------------------------------------
-    n_f, b_f = 1024, 16384
-    SIZES = ((4096, 4096), (8192, 2048), (16384, 1024))
-    pw_specs = ((1024, 512), (256, 256))
-
-    xr_f = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
-    xi_f = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
-    xr_c = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
-    xi_c = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
-    size_inputs = {
-        n: (
-            put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32)),
-            put((rng.normal(size=(batch, n)) * 0.01).astype(np.float32)),
-        )
-        for n, batch in SIZES
-    }
-    xh_p = (
-        rng.normal(size=(b_f, n_f)) + 1j * rng.normal(size=(b_f, n_f))
-    ).astype(np.complex64)
-    x_p = put(xh_p)
-    xr_rf = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
-    xr_sp = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
-    xi_sp = put((rng.normal(size=(b_f, n_f)) * 0.01).astype(np.float32))
-    n20 = 1 << 20
-    z20h = (
-        (rng.normal(size=n20) + 1j * rng.normal(size=n20)).astype(np.complex64)
-        * 0.01
-    )
-    z20 = put(z20h)
-    pw_inputs = {}
-    for nfft, stride in pw_specs:
-        segs = (1 << 23) // stride
-        L = (segs - 1) * stride + nfft
-        pw_inputs[(nfft, stride)] = (
-            put(rng.normal(size=L).astype(np.float32)), segs, L
-        )
-    nfft_m, hop_m = 1024, 512
-    L_m = hop_m * 4096 + nfft_m
-    sigh_m = rng.normal(size=L_m).astype(np.float32)
-    sig_m = put(sigh_m)
-    nfft_i, hop_i, F_i = 1024, 512, 4096
-    L_i = (F_i - 1) * hop_i + nfft_i
-    xwh_i = rng.normal(size=L_i).astype(np.float32)
-    xw_i = put(xwh_i)
-    Lfh = 512 * 4096
-    sig_fh_h = rng.normal(size=Lfh).astype(np.float32)
-    sig_fh = put(sig_fh_h)
-    stride_sd, segs_sd = 512, 4096
-    chunk_len = segs_sd * stride_sd
-    halo_sd, lp_sd = 512, 513
-    ext_sd = put(rng.normal(size=chunk_len + halo_sd).astype(np.float32))
-    log("device inputs placed")
-    tick("input placement")
-
-    # ------------------------------------------------------------------
     # Phase-1 infrastructure: registered chains AOT-compile on a pool.
     # 4 workers: the measured parallel speedup is ~4.8x at 4 (probe),
     # and wider pools risk thrashing the remote compile helpers (the
@@ -251,6 +219,113 @@ def main() -> None:
     # need service headroom.
     # ------------------------------------------------------------------
     pool = ThreadPoolExecutor(max_workers=4)
+
+    # ------------------------------------------------------------------
+    # Chain inputs are generated ON-DEVICE from PRNG keys.  Round 4's
+    # bench host-generated ~1 GB and put() it all before the first
+    # measurement: 584.7 s of placement in a slow tunnel window (the
+    # transport's h2d is bimodal ~30 MB/s..1.6 GB/s), which is what
+    # timed out BENCH_r04 (VERDICT r4 weak #1).  Device RNG moves zero
+    # host bytes; oracle tasks that need host twins fetch their (small)
+    # slices back via to_host/np.asarray.  The tiny per-shape generator
+    # programs AOT-compile concurrently on the pool.
+    # ------------------------------------------------------------------
+    import jax.random as jrandom
+
+    n_f, b_f = 1024, 16384
+    SIZES = ((4096, 4096), (8192, 2048), (16384, 1024))
+    pw_specs = ((1024, 512), (256, 256))
+    n20 = 1 << 20
+    nfft_m, hop_m = 1024, 512
+    L_m = hop_m * 4096 + nfft_m
+    nfft_i, hop_i, F_i = 1024, 512, 4096
+    L_i = (F_i - 1) * hop_i + nfft_i
+    Lfh = 512 * 4096
+    stride_sd, segs_sd = 512, 4096
+    chunk_len = segs_sd * stride_sd
+    halo_sd, lp_sd = 512, 513
+
+    _gen_compiled = {}
+
+    def _gen_program(shape, scale):
+        sc = np.float32(scale)
+
+        @jax.jit
+        def gen(k):
+            return jrandom.normal(k, shape, jnp.float32) * sc
+
+        return gen
+
+    def _gen_register(shape, scale=0.01):
+        key = (tuple(shape), float(scale))
+        if key not in _gen_compiled:
+            fn = _gen_program(tuple(shape), scale)
+            k0 = jrandom.PRNGKey(0)
+            _gen_compiled[key] = pool.submit(
+                lambda f=fn, k=k0: f.lower(k).compile()
+            )
+        return key
+
+    _seed_ctr = [0]
+
+    def dev_normal(shape, scale=0.01):
+        """A fresh (shape,)-f32 normal draw materialized on device."""
+        key = (tuple(shape) if hasattr(shape, "__len__") else (shape,),
+               float(scale))
+        prog = _gen_compiled[key]
+        if not isinstance(prog, jax.stages.Compiled):
+            prog = _gen_compiled[key] = prog.result()
+        _seed_ctr[0] += 1
+        out = prog(jrandom.PRNGKey(_seed_ctr[0]))
+        out.block_until_ready()
+        return out
+
+    pw_geoms = {}
+    for nfft, stride in pw_specs:
+        segs = (1 << 23) // stride
+        pw_geoms[(nfft, stride)] = (segs, (segs - 1) * stride + nfft)
+
+    # Register every generator program first so all compiles overlap.
+    _gen_register((b_f, n_f))
+    for n, batch in SIZES:
+        _gen_register((batch, n))
+    _gen_register((n20,))
+    for (nfft, stride), (segs, L) in pw_geoms.items():
+        _gen_register((L,), 1.0)
+    for L1 in {L_m, L_i, Lfh, chunk_len + halo_sd}:
+        _gen_register((L1,), 1.0)
+
+    @jax.jit
+    def _to_complex(r, i):
+        return jax.lax.complex(r, i)
+
+    xr_f = dev_normal((b_f, n_f))
+    xi_f = dev_normal((b_f, n_f))
+    xr_c = dev_normal((b_f, n_f))
+    xi_c = dev_normal((b_f, n_f))
+    size_inputs = {
+        n: (dev_normal((batch, n)), dev_normal((batch, n)))
+        for n, batch in SIZES
+    }
+    # Complex chain operands are combined ON-DEVICE (complex cannot
+    # cross this transport; _dtypes.put would split planes host-side).
+    x_p = _to_complex(dev_normal((b_f, n_f)), dev_normal((b_f, n_f)))
+    x_p.block_until_ready()
+    xr_rf = dev_normal((b_f, n_f))
+    xr_sp = dev_normal((b_f, n_f))
+    xi_sp = dev_normal((b_f, n_f))
+    z20 = _to_complex(dev_normal((n20,)), dev_normal((n20,)))
+    z20.block_until_ready()
+    pw_inputs = {
+        spec: (dev_normal((L,), 1.0), segs, L)
+        for spec, (segs, L) in pw_geoms.items()
+    }
+    sig_m = dev_normal((L_m,), 1.0)
+    xw_i = dev_normal((L_i,), 1.0)
+    sig_fh = dev_normal((Lfh,), 1.0)
+    ext_sd = dev_normal((chunk_len + halo_sd,), 1.0)
+    log("device inputs generated on-device (zero h2d bytes)")
+    tick("input generation")
     CH = {}      # name -> chain-pair record
     TASKS = {}   # name -> future of a one-shot (parity oracle etc.)
 
@@ -275,8 +350,17 @@ def main() -> None:
             log(f"task {name} failed:", repr(e))
             return default
 
+    from godsp_tpu.utils.metrics import MIN_CHAIN_DIFF_S
+
     def measure(name):
-        """Serial-phase timing of a registered pair (no compiles)."""
+        """Serial-phase timing of a registered pair (no compiles).
+
+        A rep whose chain differential is non-positive or below the
+        plausibility floor (the hi chain does strictly more work, so a
+        near-zero differential means the two timings straddled a clock/
+        transport mode switch) is REMEASURED, and rejected with an
+        exception after 3 attempts — never clamped (VERDICT r4 weak #4:
+        a clamped 1e-9 once reached the artifact as wall_s_best)."""
         d = CH[name]
         if not isinstance(d["lo"], jax.stages.Compiled):
             d["lo"], d["hi"] = d["lo"].result(), d["hi"].result()
@@ -285,15 +369,25 @@ def main() -> None:
             for f in (lo, hi):
                 float(np.asarray(f(x)))  # first exec (program load)
             d["warm"] = True
-        best_lo = best_hi = float("inf")
-        for _ in range(d["iters"]):
-            t0 = time.perf_counter()
-            float(np.asarray(lo(x)))
-            best_lo = min(best_lo, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(np.asarray(hi(x)))
-            best_hi = min(best_hi, time.perf_counter() - t0)
-        return max((best_hi - best_lo) / d["diff"], 1e-9)
+        diff = float("nan")
+        for attempt in range(3):
+            best_lo = best_hi = float("inf")
+            for _ in range(d["iters"]):
+                t0 = time.perf_counter()
+                float(np.asarray(lo(x)))
+                best_lo = min(best_lo, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(np.asarray(hi(x)))
+                best_hi = min(best_hi, time.perf_counter() - t0)
+            diff = best_hi - best_lo
+            if diff >= MIN_CHAIN_DIFF_S:
+                return diff / d["diff"]
+            log(f"  measure({name}): implausible differential "
+                f"{diff:.3e}s (attempt {attempt + 1}) — remeasuring")
+        raise RuntimeError(
+            f"measure({name}): differential {diff:.3e}s below the "
+            f"{MIN_CHAIN_DIFF_S:.0e}s plausibility floor after 3 attempts"
+        )
 
     # ------------------------------------------------------------------
     # Multi-rep section registry (VERDICT r3 item 3): every recorded
@@ -332,6 +426,65 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 log(f"sweep {label} rebuild {key} failed:", repr(e))
         tick(f"rep sweep {label} ({time.perf_counter()-t0:.0f}s)")
+
+    # ------------------------------------------------------------------
+    # Budget + incremental emission (VERDICT r4 next-round #1): the
+    # summary JSON line is (re-)printed after every completed section —
+    # LAST LINE WINS — so a kill at any point after the flagship section
+    # still leaves a parseable north_star artifact on stdout; optional
+    # sections shed when the measurement budget is exceeded.
+    # ------------------------------------------------------------------
+    _measure_t0 = [None]
+
+    def measure_elapsed():
+        return (
+            0.0 if _measure_t0[0] is None
+            else time.perf_counter() - _measure_t0[0]
+        )
+
+    def shed(section, scale=1.0):
+        """True (and logged + recorded) if the section should be skipped."""
+        if measure_elapsed() > BUDGET_S * scale:
+            log(f"BUDGET: shedding '{section}' at measurement "
+                f"t={measure_elapsed():.0f}s (budget {BUDGET_S:.0f}s x {scale})")
+            results.setdefault("shed_sections", []).append(section)
+            return True
+        return False
+
+    def emit_summary(final=False):
+        fl = results.get("pallas_fft1024_precise", {})
+        frac1k = fl.get("roofline_fraction") or 0.0
+        of_ceiling = fl.get("fraction_of_copy_ceiling") or 0.0
+        summary = {
+            "metric": "pallas_fft1024_precise_roofline_fraction",
+            "value": round(frac1k, 4),
+            "unit": "fraction_of_hbm_roofline",
+            "vs_baseline": round(frac1k / 0.80, 4),
+            "detail": dict(
+                results,
+                partial=not final,
+                measurement_elapsed_s=round(measure_elapsed(), 1),
+                north_star={
+                    "target": ("fraction>=0.80 of nominal 819 GB/s OR >=0.90 "
+                               "of the co-measured copy ceiling"),
+                    "roofline_fraction_median": round(frac1k, 4),
+                    "fraction_of_copy_ceiling_median": round(of_ceiling, 4),
+                    "met": bool(frac1k >= 0.80 or of_ceiling >= 0.90),
+                    # Physical-floor evidence (not a target clause): the
+                    # kernel's own HIGHEST G-matmul stream, co-measured.
+                    # 18 bf16 limb passes/slice is the minimum for
+                    # >=120 dB on this MXU (BASELINE.md round-3); 0.80 of
+                    # nominal (0.41 ms) sits ~5% above that floor
+                    # (~0.39 ms), so fraction_of_gmm_floor ~ 1 says the
+                    # gap to the target is the chip's clock window, not
+                    # kernel structure.
+                    "fraction_of_gmm_floor_median": round(
+                        fl.get("fraction_of_gmm_floor") or 0.0, 4
+                    ),
+                },
+            ),
+        }
+        print(json.dumps(summary), flush=True)
 
     # ------------------------------------------------------------------
     # Phase 1: registrations (chains) + concurrent one-shot oracles.
@@ -434,8 +587,9 @@ def main() -> None:
     reg("public_fft", make_pub, x_p, 8, 24)
 
     def pub_snr():
+        xs = to_host(x_p[:32]).astype(np.complex128)
         got = to_host(fft.fft(x_p[:32]))
-        return float(snr_db(got, np.fft.fft(xh_p[:32].astype(np.complex128))))
+        return float(snr_db(got, np.fft.fft(xs)))
 
     task("snr_public", pub_snr)
 
@@ -557,9 +711,12 @@ def main() -> None:
 
     reg("fft_2pow20", mk_large(fft.fft), z20, 32, 256, iters=6)
     reg("jnp_2pow20", mk_large(jnp.fft.fft), z20, 32, 256, iters=6)
-    task("snr_2pow20", lambda: float(snr_db(
-        to_host(fft.fft(z20)), np.fft.fft(z20h.astype(np.complex128))
-    )))
+
+    def snr20():
+        zh = to_host(z20).astype(np.complex128)
+        return float(snr_db(to_host(fft.fft(z20)), np.fft.fft(zh)))
+
+    task("snr_2pow20", snr20)
 
     # Giant-N: 2^24 and 2^28 through the two-level kernel four-step
     # (fft/large.py).  Parity via an EXACT closed-form multi-tone oracle
@@ -755,7 +912,8 @@ def main() -> None:
 
     def mel_parity():
         Lm = hop_m * 255 + nfft_m
-        xm = sigh_m[:Lm].astype(np.float64)
+        smh = np.asarray(sig_m[:Lm])  # real f32 d2h read (tiny)
+        xm = smh.astype(np.float64)
         nfr = (Lm - nfft_m) // hop_m + 1
         idx = np.arange(nfr)[:, None] * hop_m + np.arange(nfft_m)[None, :]
         wm = win.window_table_np("hann", nfft_m)
@@ -765,7 +923,7 @@ def main() -> None:
         mel_ref = pm @ fbm.T
         mel_got = np.asarray(
             mel_spectrogram(
-                jnp.asarray(sigh_m[:Lm]), 44100.0, nfft=nfft_m, hop=hop_m,
+                sig_m[:Lm], 44100.0, nfft=nfft_m, hop=hop_m,
                 n_mels=80,
             )
         )
@@ -806,8 +964,9 @@ def main() -> None:
         y_rt = np.asarray(
             mstft.istft(spec, nfft_i, hop=hop_i, window="hann")
         )
+        xwh = np.asarray(xw_i)  # real f32 d2h read of the source signal
         return float(snr_db(
-            y_rt[nfft_i:-nfft_i], xwh_i[nfft_i : len(y_rt) - nfft_i]
+            y_rt[nfft_i:-nfft_i], xwh[nfft_i : len(y_rt) - nfft_i]
         ))
 
     task("snr_istft", istft_setup)
@@ -843,7 +1002,7 @@ def main() -> None:
         )
         return float(snr_db(
             np.asarray(p_fh),
-            _pwelch_np(sig_fh_h.astype(np.float64), 2.0, 1024, 512),
+            _pwelch_np(np.asarray(sig_fh).astype(np.float64), 2.0, 1024, 512),
         ))
 
     task("snr_fused_halo", fh_parity)
@@ -928,7 +1087,9 @@ def main() -> None:
             f"gmm floor {per_gmm*1e3:.3f} ms ({per_gmm/per:.3f})"
         )
 
+    _measure_t0[0] = time.perf_counter()
     flagship_rep("start")
+    emit_summary()  # first parseable artifact: north_star core is in
     try:
         d = results["pallas_fft1024_precise"]
         log(
@@ -963,6 +1124,7 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             log(f"pallas fft {n} section failed:", e)
     tick("per-size ffts")
+    emit_summary()
 
     def build_ratio(meds):
         # Same total elements at both sizes, so the per-element cost
@@ -1028,10 +1190,13 @@ def main() -> None:
                 "wall_s": per_c,
                 "conv_plus_copy_s": per_cc,
                 "copy_ref_s": per_copy_ref,
-                "public_fft_floor_check": {
-                    "fft_split_plus_conversions_s": med(R["fft_split"]) + per_c,
-                    "public_fft_s": med(R["public_fft"]),
-                },
+                # A chained conversion differential measures ~0 BY
+                # CONSTRUCTION: consecutive links' recombine+extract
+                # pairs cancel under XLA.  The priced pack cost lives in
+                # public_pack_reconciliation (public-vs-split interleaved
+                # excess, bounded by ~2 copy passes).
+                "note": "chain cancels complex<->plane pairs; see "
+                        "public_pack_reconciliation",
             }
 
         d = sec("c64_conversion_roundtrip", ["conv_plus_copy", "copy"],
@@ -1044,6 +1209,53 @@ def main() -> None:
         tick("public fft / split / conversion")
     except Exception as e:  # pragma: no cover
         log("public fft section failed:", e)
+
+    # Interleaved public-pack reconciliation (VERDICT r4 next-round #7):
+    # the r4 artifact recorded public_fft vs fft_split+conversions from
+    # sections measured ~minutes apart, so clock drift masqueraded as a
+    # +35% pack cost.  Here all four chains are measured back-to-back
+    # WITHIN each rep, so every rep's excess is a same-window number,
+    # and the section asserts consistency on the median.
+    try:
+        pack_reps = []
+        for _ in range(3):
+            pu = measure("public_fft")
+            sp = measure("fft_split")
+            cp = measure("copy")
+            pack_reps.append({
+                "public_s": pu, "split_s": sp, "copy_pass_s": cp,
+                "excess_s": pu - sp,
+                "excess_fraction": (pu - sp) / pu,
+            })
+            for nm, v in (("public_fft", pu), ("fft_split", sp),
+                          ("copy", cp)):
+                R.setdefault(nm, []).append(v)
+        med_ex_s = med([r["excess_s"] for r in pack_reps])
+        med_cp = med([r["copy_pass_s"] for r in pack_reps])
+        med_ex = med([r["excess_fraction"] for r in pack_reps])
+        # NB the conv_plus_copy chain CANNOT price the conversions:
+        # consecutive links' recombine+extract pairs cancel under XLA
+        # (complex(a,b) -> real/imag is eliminated), so that chain
+        # measures == copy and its difference is ~0 by construction.
+        # The physical bound instead: the c64 API's extract+recombine
+        # is at most ~2 extra memory passes around the kernel, so the
+        # public-vs-split excess must sit in [0, 2.5 copy passes].
+        consistent = bool(0.0 <= med_ex_s <= 2.5 * med_cp)
+        results["public_pack_reconciliation"] = {
+            "reps": pack_reps,
+            "median_excess_s": med_ex_s,
+            "median_excess_fraction": med_ex,
+            "median_excess_in_copy_passes": med_ex_s / med_cp if med_cp else None,
+            "consistent": consistent,
+        }
+        log(f"public-pack reconciliation (interleaved): excess "
+            f"{med_ex*100:.1f}% of public wall = "
+            f"{med_ex_s / med_cp if med_cp else float('nan'):.2f} copy "
+            f"passes ({'consistent' if consistent else 'INCONSISTENT'})")
+        tick("pack reconciliation")
+    except Exception as e:  # pragma: no cover
+        log("pack reconciliation failed:", e)
+    emit_summary()
 
     try:
         def build_rfft(meds):
@@ -1070,6 +1282,7 @@ def main() -> None:
         tick("rfft flagship")
     except Exception as e:  # pragma: no cover
         log("rfft section failed:", e)
+    emit_summary()
 
     try:
         def build_jnp(meds):
@@ -1131,7 +1344,9 @@ def main() -> None:
         for f in (lo, hi):
             float(np.asarray(f(*args)))
         reps = []
-        for _ in range(3):
+        attempts = 0
+        while len(reps) < 3 and attempts < 6:
+            attempts += 1
             best_lo = best_hi = float("inf")
             for _ in range(4):
                 t0 = time.perf_counter()
@@ -1140,7 +1355,14 @@ def main() -> None:
                 t0 = time.perf_counter()
                 float(np.asarray(hi(*args)))
                 best_hi = min(best_hi, time.perf_counter() - t0)
-            reps.append(max((best_hi - best_lo) / (k_hi - 2), 1e-9))
+            diff = best_hi - best_lo
+            if diff < MIN_CHAIN_DIFF_S:  # same guard as measure()
+                log(f"  giant rep: implausible differential {diff:.3e}s "
+                    "— remeasuring")
+                continue
+            reps.append(diff / (k_hi - 2))
+        if not reps:
+            raise RuntimeError("giant chain: no plausible rep in 6 attempts")
         return reps
 
     def giant_section(log2n, z, snr_big, snr_rt):
@@ -1203,6 +1425,7 @@ def main() -> None:
         tick("giant-N 2^24")
     except Exception as e:  # pragma: no cover
         log("giant-N 2^24 section failed:", e)
+    emit_summary()
 
     for nfft, stride in pw_specs:
         try:
@@ -1211,22 +1434,39 @@ def main() -> None:
 
             def build_pw(meds, name=name, L=L, nfft=nfft, stride=stride):
                 per = meds[name]
-                return {
+                segs = pw_geoms[(nfft, stride)][0]
+                row = {
                     "wall_s": per,
                     "msamples_per_s": L / per / 1e6,
+                    "ns_per_frame": per / segs * 1e9,
                     "snr_db": task_result(f"snr_{name}"),
                 }
+                # Per-frame floor (VERDICT r4 #2): the standalone rfft
+                # kernel on the same frame count, co-measured this
+                # session, is the fused kernel's contraction floor twin
+                # (tools/probe_pwfloor.py: noframe twin == rfft within
+                # 3%).  fraction_of_floor = floor/actual, 1.0 = at floor.
+                rf = results.get("pallas_rfft1024")
+                if rf and nfft == n_f:
+                    floor_pf = rf["wall_s"] / b_f
+                    row["floor_ns_per_frame"] = floor_pf * 1e9
+                    row["fraction_of_floor"] = floor_pf / (per / segs)
+                return row
 
             d = sec(f"pallas_pwelch{nfft}_s{stride}", [name], build_pw)
+            fof = d.get("fraction_of_floor")
             log(
                 f"pallas pwelch nfft={nfft} stride={stride}: "
                 f"{d['wall_s']*1e3:.3f} ms  "
                 f"{d['msamples_per_s']:.0f} Msamples/s on-device  "
-                f"snr={d['snr_db'] and f"{d['snr_db']:.1f}"} dB"
+                f"{d['ns_per_frame']:.1f} ns/frame"
+                + (f" ({fof:.2f} of rfft floor)" if fof else "")
+                + f"  snr={d['snr_db'] and f"{d['snr_db']:.1f}"} dB"
             )
         except Exception as e:  # pragma: no cover
             log("pwelch kernel section failed:", e)
     tick("pwelch kernels")
+    emit_summary()
 
     try:
         def build_mel(meds):
@@ -1315,26 +1555,42 @@ def main() -> None:
     # chain twice more, spread across the run, and rebuild every section
     # from medians — no recorded number rests on a single window.
     # ------------------------------------------------------------------
-    sweep_sections("2/3")
-    flagship_rep("post-sweep2")
-    sweep_sections("3/3")
+    if not shed("rep sweep 2/3", scale=1.2):
+        sweep_sections("2/3")
+        flagship_rep("post-sweep2")
+        emit_summary()
+    if not shed("rep sweep 3/3", scale=0.8):
+        sweep_sections("3/3")
+        emit_summary()
 
-    # Streaming incl. host->device transfer (tunnel-bound).
+    # Streaming incl. host->device transfer (tunnel-bound), with the raw
+    # tunnel h2d bandwidth CO-MEASURED next to it (VERDICT r4 missing
+    # #4): fraction_of_h2d_bound pins "the streaming row is transport-
+    # bound" the same way the flagship's copy ceiling pins the kernel.
     fs = 44100.0
     opts = spectral.PwelchOptions(nfft=1024, noverlap=512)
     total = 1 << 24  # ~16.8 M samples
-    sig = rng.normal(size=total).astype(np.float32)
     mesh = make_mesh(MeshConfig(dp=1, sp=1), jax.devices()[:1])
-    try:
-        stream_pwelch([sig[: 1 << 22]], fs, opts, mesh, segs_per_chunk_shard=4096)  # warm
+    if not shed("h2d streaming", scale=1.5):
+      try:
+        sig = rng.normal(size=total).astype(np.float32)
+        chunk = 1 << 22
+        stream_pwelch([sig[:chunk]], fs, opts, mesh, segs_per_chunk_shard=4096)  # warm
         # The tunnel's host->device bandwidth is bimodal across
-        # minutes-long windows (~30 MB/s to ~1.6 GB/s); median of three
-        # runs with all reps recorded (each run is seconds).
-        walls = []
+        # minutes-long windows (~30 MB/s to ~1.6 GB/s); each stream rep
+        # is bracketed by a raw blocking put() of one chunk so the bound
+        # is from the SAME window as the achieved number.
+        walls, h2d_gbs_reps = [], []
+        blob = sig[:chunk]
         for _ in range(3):
             t0 = time.perf_counter()
+            buf = jax.device_put(blob)
+            buf.block_until_ready()
+            h2d_gbs_reps.append(blob.nbytes / (time.perf_counter() - t0) / 1e9)
+            del buf
+            t0 = time.perf_counter()
             pxx, freqs = stream_pwelch(
-                (sig[i : i + (1 << 22)] for i in range(0, total, 1 << 22)),
+                (sig[i : i + chunk] for i in range(0, total, chunk)),
                 fs,
                 opts,
                 mesh,
@@ -1343,18 +1599,26 @@ def main() -> None:
             walls.append(time.perf_counter() - t0)
         wall = med(walls)
         msps = total / wall / 1e6
+        h2d_gbs = med(h2d_gbs_reps)
+        achieved_gbs = total * 4 / wall / 1e9
         results["pwelch_stream"] = {
-            "wall_s": wall, "wall_s_reps": walls, "msamples_per_s": msps
+            "wall_s": wall, "wall_s_reps": walls, "msamples_per_s": msps,
+            "h2d_bound_gbs": h2d_gbs,
+            "h2d_bound_gbs_reps": h2d_gbs_reps,
+            "achieved_h2d_gbs": achieved_gbs,
+            "fraction_of_h2d_bound": achieved_gbs / h2d_gbs,
         }
         log(
             f"pwelch streaming (h2d-bound): {msps:.1f} Msamples/s "
-            f"(reps {'/'.join(f'{w:.2f}s' for w in walls)} for {total} samples)"
+            f"(reps {'/'.join(f'{w:.2f}s' for w in walls)}); raw h2d "
+            f"{h2d_gbs:.3f} GB/s -> {achieved_gbs / h2d_gbs:.2f} of bound"
         )
         tick("h2d streaming")
-    except Exception as e:  # pragma: no cover
+      except Exception as e:  # pragma: no cover
         log("streaming section failed:", e)
 
     flagship_rep("end")
+    emit_summary()
 
     # 2^28 runs LAST with everything else released: the transform's
     # working set (4.3 GB input + transpose/kernel buffers) needs the
@@ -1365,46 +1629,18 @@ def main() -> None:
     pw_inputs.clear()
     del xr_f, xi_f, xr_c, xi_c, x_p, xr_rf, xr_sp, xi_sp, z20, sig_m, xw_i
     del sig_fh, ext_sd
-    try:
-        z28, snr_big28, snr_rt28 = giant_setup(28)
-        giant_section(28, z28, snr_big28, snr_rt28)
-        del z28
-        tick("giant-N 2^28")
-    except Exception as e:  # pragma: no cover
-        log("giant-N 2^28 section failed:", e)
+    if not shed("giant-N 2^28", scale=1.0):
+        try:
+            z28, snr_big28, snr_rt28 = giant_setup(28)
+            giant_section(28, z28, snr_big28, snr_rt28)
+            del z28
+            tick("giant-N 2^28")
+        except Exception as e:  # pragma: no cover
+            log("giant-N 2^28 section failed:", e)
     pool.shutdown(wait=False)
 
-    # --- summary line ----------------------------------------------------
-    fl = results.get("pallas_fft1024_precise", {})
-    frac1k = fl.get("roofline_fraction") or 0.0
-    of_ceiling = fl.get("fraction_of_copy_ceiling") or 0.0
-    summary = {
-        "metric": "pallas_fft1024_precise_roofline_fraction",
-        "value": round(frac1k, 4),
-        "unit": "fraction_of_hbm_roofline",
-        "vs_baseline": round(frac1k / 0.80, 4),
-        "detail": dict(
-            results,
-            north_star={
-                "target": ("fraction>=0.80 of nominal 819 GB/s OR >=0.90 "
-                           "of the co-measured copy ceiling"),
-                "roofline_fraction_median": round(frac1k, 4),
-                "fraction_of_copy_ceiling_median": round(of_ceiling, 4),
-                "met": bool(frac1k >= 0.80 or of_ceiling >= 0.90),
-                # Physical-floor evidence (not a target clause): the
-                # kernel's own HIGHEST G-matmul stream, co-measured.
-                # 18 bf16 limb passes/slice is the minimum for >=120 dB
-                # on this MXU (BASELINE.md round-3); 0.80 of nominal
-                # (0.41 ms) sits ~5% above that floor (~0.39 ms), so
-                # fraction_of_gmm_floor ~ 1 says the gap to the target
-                # is the chip's clock window, not kernel structure.
-                "fraction_of_gmm_floor_median": round(
-                    fl.get("fraction_of_gmm_floor") or 0.0, 4
-                ),
-            },
-        ),
-    }
-    print(json.dumps(summary), flush=True)
+    # --- final summary line (supersedes every interim emission) --------
+    emit_summary(final=True)
 
 
 if __name__ == "__main__":

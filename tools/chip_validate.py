@@ -368,6 +368,9 @@ def main():
     drive_splines()
     drive_fht()
     drive_pwelch_geometry()
+    drive_rfft_split()
+    drive_pwelch_packed_half()
+    drive_outer_split()
     if "--n1-probe" in sys.argv:
         drive_n1_128()
 
@@ -519,6 +522,124 @@ def drive_pwelch_geometry():
         raise AssertionError("fallback path produced non-finite output")
     return (f"{len(eligible)} random eligible geometries on chip, "
             f"worst {worst:.1f} dB; gate + fallback checked")
+
+
+# --- round-5 surfaces (VERDICT r4 item 8): chip exercises for round-4
+# kernels that previously only ran inside bench.py --------------------------
+
+
+@section("rfft_split (packed kernel)")
+def drive_rfft_split():
+    """Public one-sided real-input path: the Hermitian-packed kernel at
+    a covered size plus the full-transform fallback at a Bluestein size."""
+    import jax.numpy as jnp
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.fft import rfft_split
+
+    rng = np.random.default_rng(30)
+    x = (rng.normal(size=(64, 1024)) * 0.1).astype(np.float32)
+    yr, yi = rfft_split(jnp.asarray(x))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.rfft(x.astype(np.float64))
+    s_kernel = snr_db(got, ref)
+    xb = (rng.normal(size=1000) * 0.1).astype(np.float32)
+    yrb, yib = rfft_split(jnp.asarray(xb))
+    s_fb = snr_db(
+        np.asarray(yrb) + 1j * np.asarray(yib),
+        np.fft.rfft(xb.astype(np.float64)),
+    )
+    if min(s_kernel, s_fb) < 120.0:
+        raise AssertionError(f"kernel {s_kernel:.1f} / fallback {s_fb:.1f} dB")
+    return (f"packed kernel {s_kernel:.1f} dB (n=1024), Bluestein fallback "
+            f"{s_fb:.1f} dB (n=1000)")
+
+
+@section("sharded pwelch packed-half route")
+def drive_pwelch_packed_half():
+    """The half-Hermitian sharded/streaming Pwelch route vs the full
+    contraction (must be bit-identical) and vs the f64 host oracle —
+    including the options.pad < nfft head-bin quirk (round-5 fix)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from godsp_tpu import spectral
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.ops.pallas_pwelch import set_packed_half_enabled
+    from godsp_tpu.parallel import pwelch_sharded
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=512 * 1024).astype(np.float32))
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("sp",))
+    opts = spectral.PwelchOptions(nfft=1024, noverlap=512)
+    p_half, _ = pwelch_sharded(x, 2.0, opts, mesh=mesh1)
+    try:
+        set_packed_half_enabled(False)
+        p_full, _ = pwelch_sharded(x, 2.0, opts, mesh=mesh1)
+    finally:
+        set_packed_half_enabled(True)
+    nbad = int(np.sum(np.asarray(p_half) != np.asarray(p_full)))
+    # f64 oracle (reference semantics, pwelch.go:101-136)
+    xs = np.asarray(x).astype(np.float64)
+    stride, nfft, lp = 512, 1024, 513
+    nsegs = (len(xs) - nfft) // stride + 1
+    import godsp_tpu.window as win
+
+    w = win.window_table_np("hann", nfft)
+    idx = np.arange(nsegs)[:, None] * stride + np.arange(nfft)[None, :]
+    X = np.fft.rfft(xs[idx] * w, axis=-1)
+    p = X.real**2 + X.imag**2
+    p[:, 1 : lp - 1] *= 2.0
+    ref = p.sum(axis=0) / nsegs / (float(np.sum(w * w)) * 2.0)
+    s = snr_db(np.asarray(p_half), ref)
+    # pad < nfft head-bin quirk through the half path
+    opts2 = spectral.PwelchOptions(nfft=1024, noverlap=512, pad=512)
+    p2, _ = pwelch_sharded(x, 2.0, opts2, mesh=mesh1)
+    if p2.shape[-1] != 257:
+        raise AssertionError(f"pad<nfft shape {p2.shape}")
+    if nbad or s < 120.0:
+        raise AssertionError(f"{nbad} bins differ half-vs-full, {s:.1f} dB")
+    return (f"half==full bit-identical, {s:.1f} dB vs f64 oracle, "
+            f"pad<nfft -> {p2.shape[-1]} bins")
+
+
+@section("outer_dft_split (giant-N outer kernel)")
+def drive_outer_split():
+    """The fused outer-level kernel vs its einsum fallback and vs numpy
+    f64 at N=2^21, the smallest d2>1 plan (16,16,8192).  fft_split's
+    dispatch re-evaluates the toggle per eager call (no inner jit
+    cache), so this A/B is valid — unlike the complex fft API
+    (BASELINE.md round-4 probe_giant5 caveat)."""
+    import jax.numpy as jnp
+
+    from godsp_tpu.dsputils import snr_db
+    from godsp_tpu.fft import fft_split
+    from godsp_tpu.fft import large
+
+    N = 1 << 21
+    d1, d2, n3 = large._plan(N)
+    if d2 <= 1:
+        raise AssertionError(f"plan {(d1, d2, n3)} has no outer level")
+    rng = np.random.default_rng(32)
+    xr = (rng.normal(size=N) * 0.01).astype(np.float32)
+    xi = (rng.normal(size=N) * 0.01).astype(np.float32)
+    ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+
+    out = {}
+    try:
+        for name, on in (("kernel", True), ("einsum", False)):
+            large.set_outer_kernel_enabled(on)
+            yr, yi = fft_split(jnp.asarray(xr), jnp.asarray(xi))
+            out[name] = np.asarray(yr) + 1j * np.asarray(yi)
+    finally:
+        large.set_outer_kernel_enabled(True)
+    s_k = snr_db(out["kernel"], ref)
+    s_e = snr_db(out["einsum"], ref)
+    if s_k < 120.0:
+        raise AssertionError(f"outer kernel {s_k:.1f} dB")
+    return (f"outer kernel {s_k:.1f} dB, einsum fallback {s_e:.1f} dB "
+            f"(N=2^21, plan {(d1, d2, n3)})")
 
 
 @section("fht chain")
