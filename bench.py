@@ -1333,9 +1333,9 @@ def main() -> None:
     # not an achievable-copy one (per-stage walls: BASELINE.md round 4).
     from godsp_tpu.fft.large import _plan as _giant_plan
 
-    GIANT_PASSES = 3
+    GIANT_PASSES = 3  # the bound's reference plan: outer + rows + fold
     GIANT_STAGES = [
-        "fused outer-level kernel (dense DFTs d1, d2 + twiddles)",
+        "outer level(s): per the recorded plan (128-peels or fused)",
         "kernel row FFT over n3 (digit order out)",
         "fold to natural bins (one transpose)",
     ]
@@ -1365,26 +1365,66 @@ def main() -> None:
             raise RuntimeError("giant chain: no plausible rep in 6 attempts")
         return reps
 
+    def giant_copy_chain(log2n):
+        """Copy twin AT the giant planes shape, co-measured inside this
+        section — the flagship copy row can sit minutes away in a
+        different clock window (the bimodal tunnel made r4's judge-run
+        fraction collapse to 0.26 by dividing a slow-window wall by a
+        fast-window ceiling)."""
+        N = 1 << log2n
+        R = N // 8192
+
+        def make(K):
+            @jax.jit
+            def chain(ar, ai):
+                r, i = ar.reshape(R, 8192), ai.reshape(R, 8192)
+                for _ in range(K):
+                    r, i = copy_split_pallas(r, i)
+                    r, i = i, r
+                return jnp.abs(r[0, 0]) + jnp.abs(i[0, 0])
+
+            return chain
+
+        return make
+
     def giant_section(log2n, z, snr_big, snr_rt):
         N = 1 << log2n
         k_hi = 8 if log2n <= 24 else 4
         mk = giant_chain(z, log2n)
         mk_s, planes = giant_chain_split(z, log2n)
+        mk_cp = giant_copy_chain(log2n)
         lo_c = pool.submit(lambda f=mk(2): f.lower(z).compile())
         hi_c = pool.submit(lambda f=mk(k_hi): f.lower(z).compile())
         lo_s = pool.submit(lambda f=mk_s(2): f.lower(*planes).compile())
         hi_s = pool.submit(lambda f=mk_s(k_hi): f.lower(*planes).compile())
+        lo_cp = pool.submit(lambda f=mk_cp(4): f.lower(*planes).compile())
+        hi_cp = pool.submit(lambda f=mk_cp(16): f.lower(*planes).compile())
         lo, hi = lo_c.result(), hi_c.result()
         reps = _chain_diff_reps(lo, hi, (z,), k_hi)
         reps_s = _chain_diff_reps(lo_s.result(), hi_s.result(), planes, k_hi)
+        # depths (4, 16): _chain_diff_reps divides by (arg - 2), so 14
+        reps_cp = _chain_diff_reps(lo_cp.result(), hi_cp.result(), planes, 14)
         per = med(reps)
         per_s = med(reps_s)
+        per_cp = med(reps_cp)
         copy_gbs = (
             4 * b_f * n_f * 4 / med(copy_reps) / 1e9 if copy_reps else None
         )
         # The multipass bound applies to the PLANES chain (the plan's own
-        # three passes); the c64 chain adds the extract/recombine pair.
+        # passes); the c64 chain adds the extract/recombine pair.  The
+        # PRIMARY fraction divides by the CO-MEASURED copy chain at this
+        # very shape, interleaved in this section (clock-window-fair);
+        # the flagship-copy version is kept as a secondary cross-check.
         eff = GIANT_PASSES * 2 * N * 8 / per_s / 1e9
+        from godsp_tpu.fft import large as _lg
+
+        ppn = _lg._peel_plan(N) if _lg._peel_on else None
+        plan_meta = (
+            {"type": "peel", "peels": ppn[0], "n3": ppn[1]}
+            if ppn is not None
+            else {"type": "fused", "d1_d2_n3": list(_giant_plan(N))}
+        )
+        frac_co = GIANT_PASSES * per_cp / per_s
         results[f"fft_2pow{log2n}"] = {
             "wall_s": per,
             "wall_s_reps": reps,
@@ -1394,10 +1434,13 @@ def main() -> None:
             "multipass_accounting": {
                 "passes": GIANT_PASSES,
                 "stages": GIANT_STAGES,
-                "plan_d1_d2_n3": list(_giant_plan(N)),
+                "plan": plan_meta,
                 "bytes_per_pass": 2 * N * 8,
                 "planes_effective_gbs": eff,
-                "copy_ceiling_gbs": copy_gbs,
+                "copy_pass_s_comeasured": per_cp,
+                "copy_pass_s_reps": list(reps_cp),
+                "fraction_of_3pass_bound_comeasured": frac_co,
+                "copy_ceiling_gbs_flagship": copy_gbs,
                 "fraction_of_multipass_bound": (
                     eff / copy_gbs if copy_gbs else None
                 ),
@@ -1406,14 +1449,83 @@ def main() -> None:
             "snr_db": snr_big,
             "roundtrip_snr_db": snr_rt,
         }
-        frac = eff / copy_gbs if copy_gbs else float("nan")
         log(
             f"fft 2^{log2n} single: c64 {per*1e3:.3f} ms / planes "
-            f"{per_s*1e3:.3f} ms  {2*N*8/per_s/1e9:.0f} GB/s one-pass / "
-            f"{eff:.0f} GB/s over {GIANT_PASSES} passes = {frac:.3f} of "
-            f"copy ceiling  snr={snr_big:.1f} dB (multi-tone)"
+            f"{per_s*1e3:.3f} ms  copy-pass {per_cp*1e3:.3f} ms co-measured "
+            f"-> {frac_co:.3f} of the 3-pass bound  "
+            f"snr={snr_big:.1f} dB (multi-tone)"
             + (f"  roundtrip={snr_rt:.1f} dB" if snr_rt is not None else "")
         )
+
+        # ---- Per-stage walls (VERDICT r4 #4), 2^24 + peel plan only:
+        # pins exactly where the remaining pass-equivalents live.
+        if log2n == 24 and ppn is not None:
+            from godsp_tpu.fft.large import _digit_axes, _fold_to_natural
+            from godsp_tpu.ops.pallas_fft import fft_pow2_split as _fps
+            from godsp_tpu.ops.pallas_outer import outer_dft_split as _ods
+
+            n3p = ppn[1]
+            m_rows = N // n3p
+
+            def stage_chain(op):
+                def make(K):
+                    @jax.jit
+                    def chain(ar, ai):
+                        for k in range(K):
+                            ar, ai = op(ar * (1.0 + 1e-6 * k), ai)
+                        return (jnp.abs(ar.reshape(-1)[0])
+                                + jnp.abs(ai.reshape(-1)[0]))
+
+                    return chain
+
+                return make
+
+            def s_peel1(ar, ai):
+                yr, yi = _ods(ar.reshape(1, 128, N // 128),
+                              ai.reshape(1, 128, N // 128), 128, 1)
+                return yr.reshape(N), yi.reshape(N)
+
+            def s_peel2(ar, ai):
+                yr, yi = _ods(ar.reshape(128, 128, N // 16384),
+                              ai.reshape(128, 128, N // 16384), 128, 1)
+                return yr.reshape(N), yi.reshape(N)
+
+            def s_rows(ar, ai):
+                yr, yi = _fps(ar.reshape(m_rows, n3p),
+                              ai.reshape(m_rows, n3p), order="digit")
+                return yr.reshape(N), yi.reshape(N)
+
+            f_axes = [(128, 1), (128, 128)] + [
+                (s, m_rows * st) for s, st in _digit_axes(n3p)
+            ]
+
+            def s_fold(ar, ai):
+                yr = _fold_to_natural(ar.reshape(1, N), (), 1, N, f_axes)
+                yi = _fold_to_natural(ai.reshape(1, N), (), 1, N, f_axes)
+                return yr.reshape(N), yi.reshape(N)
+
+            stage_ops = {"peel1": s_peel1, "peel2": s_peel2,
+                         f"rows{n3p}": s_rows, "fold": s_fold}
+            sprogs = {
+                nm: (
+                    pool.submit(
+                        lambda f=stage_chain(op)(4): f.lower(*planes).compile()
+                    ),
+                    pool.submit(
+                        lambda f=stage_chain(op)(16): f.lower(*planes).compile()
+                    ),
+                )
+                for nm, op in stage_ops.items()
+            }
+            walls = {}
+            for nm, (fl, fh) in sprogs.items():
+                walls[nm] = med(
+                    _chain_diff_reps(fl.result(), fh.result(), planes, 14)
+                ) * 1e3
+            results[f"fft_2pow{log2n}"]["multipass_accounting"][
+                "stage_walls_ms"] = walls
+            log("  2^24 stage walls (ms): "
+                + "  ".join(f"{k}={v:.3f}" for k, v in walls.items()))
 
     try:
         setup = task_result("giant24_setup")

@@ -206,6 +206,54 @@ def set_outer_kernel_enabled(on: bool) -> None:
     _outer_kernel_on = bool(on)
 
 
+# 128-peel plan (round 5).  The fused two-level outer kernel contracts
+# at K = d1, d2 < 128, and the MXU consumes a full K=128 systolic pass
+# regardless of contraction depth (probe_facdft measured the same
+# effect from the other side), so the balanced split's MXU time is
+# ~(128/d1 + 128/d2)/2 pass-equivalents — 3.3 measured at (64, 32).
+# When n = 128^k * n3 with n3 a kernel row size, k successive
+# SINGLE-LEVEL d=128 contractions (outer_dft_split with d2=1) run at
+# full MXU depth instead: one extra HBM pass at 2^24 buys back ~2
+# pass-equivalents of MXU stall.  Chip A/B: tools/probe_peel.py.
+_peel_on = True
+
+
+def set_peel_enabled(on: bool) -> None:
+    """A/B toggle for the 128-peel giant plan."""
+    global _peel_on
+    _peel_on = bool(on)
+
+
+# Fuse the last peel with the row FFT (ops/pallas_outer
+# peel_rows_fused_split): one HBM pass instead of two.  Chip verdict
+# (2^24, same session): fused stage 1.181 ms vs peel2 0.66 + rows 0.475
+# separate — the saved pass does NOT materialize because both forms are
+# bound by the same MXU contraction time, which the separate kernels
+# already overlap with their DMA.  Default OFF; kept as the measured
+# evidence + A/B toggle.
+_fuse_rows_on = False
+
+
+def set_fuse_rows_enabled(on: bool) -> None:
+    """A/B toggle for the fused last-peel + row-FFT kernel."""
+    global _fuse_rows_on
+    _fuse_rows_on = bool(on)
+
+
+def _peel_plan(n: int):
+    """([128] * k, n3) when n = 128^k * n3 with n3 a kernel row size;
+    None otherwise (2^22/2^23 keep the balanced fused plan)."""
+    from godsp_tpu.ops.pallas_fft import supported_size
+
+    for k in (1, 2, 3):
+        n3 = n >> (7 * k)
+        if n3 < 1024:
+            return None
+        if n3 <= _KERNEL_MAX and (n3 << (7 * k)) == n and supported_size(n3):
+            return [128] * k, n3
+    return None
+
+
 def fft_large_split(
     xr: jax.Array,
     xi: jax.Array,
@@ -229,6 +277,60 @@ def fft_large_split(
     lead = xr.shape[:-1]
     b = int(np.prod(lead, dtype=np.int64)) if lead else 1
     fdt = xr.dtype  # f32 on TPU; f64 under the CPU x64 parity tests
+
+    if _peel_on and _outer_kernel_on and fdt == jnp.float32:
+        pp = _peel_plan(n)
+        if pp is not None:
+            from godsp_tpu.ops.pallas_outer import (
+                outer_dft_split,
+                peel_rows_fused_split,
+                peel_rows_supported,
+            )
+
+            # ---- 128-peel plan: k single-level full-MXU-depth
+            # contractions, then kernel rows.  Peel i transforms each
+            # length-`rest` row independently (recursive Cooley-Tukey:
+            # bin k = k1 + 128 k2 + ... + 128^k * k3).  The LAST peel
+            # fuses with the row FFT into one HBM pass where the
+            # lane-slice row structure holds (n3 <= 8192) — the plan's
+            # passes then number 3 (first peel(s), fused peel+rows,
+            # fold) instead of 4.
+            peels, n3p = pp
+            fuse_last = (
+                _fuse_rows_on and row_fft is None
+                and peel_rows_supported(n3p)
+            )
+            br, bi = xr, xi
+            batch, rest, stride = b, n, 1
+            axes_outer = []
+            head = peels[:-1] if fuse_last else peels
+            for d in head:
+                rest //= d
+                br, bi = outer_dft_split(
+                    br.reshape(batch, d, rest),
+                    bi.reshape(batch, d, rest),
+                    d, 1, inverse=inverse, interpret=interpret,
+                )
+                axes_outer.append((d, stride))
+                stride *= d
+                batch *= d
+            if fuse_last:
+                d = peels[-1]
+                yr, yi = peel_rows_fused_split(
+                    br.reshape(batch, d, n3p),
+                    bi.reshape(batch, d, n3p),
+                    inverse=inverse, interpret=interpret,
+                )
+                axes_outer.append((d, stride))
+                stride *= d
+                axes = list(axes_outer) + [
+                    (s, stride * st) for s, st in _digit_axes(n3p)
+                ]
+                yr = _fold_to_natural(yr, lead, b, n, axes)
+                yi = _fold_to_natural(yi, lead, b, n, axes)
+                return yr, yi
+            return _finish_rows(br, bi, lead, b, n, stride, axes_outer,
+                                n3p, inverse, row_fft, interpret)
 
     if d2 > 1 and _outer_kernel_on and fdt == jnp.float32:
         from godsp_tpu.ops.pallas_outer import outer_dft_split

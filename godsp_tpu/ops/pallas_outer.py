@@ -53,8 +53,14 @@ _LANES = 128
 
 
 def outer_supported(d1: int, d2: int, n3: int) -> bool:
-    """Both levels dense (2..128) over a lane-tileable row length."""
-    return 2 <= d1 <= 128 and 2 <= d2 <= 128 and n3 % _LANES == 0
+    """Dense levels (2..128) over a lane-tileable row length.  d2 == 1
+    selects the SINGLE-LEVEL form (round 5): one full-width d1
+    contraction + its twiddle, no level 2 — the building block of the
+    128-peel plan, where every contraction runs at K = 128 (full MXU
+    depth) instead of the balanced d1, d2 < 128 split whose K < 128
+    passes waste the systolic array (measured ~3.3 pass-equivalents at
+    d1=64/d2=32; fft/large.py history)."""
+    return 2 <= d1 <= 128 and 1 <= d2 <= 128 and n3 % _LANES == 0
 
 
 def _pair(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -147,11 +153,6 @@ def _outer_kernel(*refs, d1: int, d2: int, T: int, prec):
     bh_r, bh_i = col(tbhr), col(tbhi)
     tbr = bh_r * tblr[:] - bh_i * tbli[:]  # (d1, T)
     tbi = bh_r * tbli[:] + bh_i * tblr[:]
-    ch_r, ch_i = col(tchr), col(tchi)
-    tcr = ch_r * tclr[:] - ch_i * tcli[:]  # (d2, T)
-    tci = ch_r * tcli[:] + ch_i * tclr[:]
-    xr = xr_ref[:].reshape(d1, d2, T)
-    xi = xi_ref[:].reshape(d1, d2, T)
 
     mm2 = partial(
         jax.lax.dot_general,
@@ -164,6 +165,26 @@ def _outer_kernel(*refs, d1: int, d2: int, T: int, prec):
         m2 = mi(vi)
         m3 = ms(vr + vi)
         return m1 - m2, m3 - m1 - m2
+
+    if d2 == 1:
+        # ---- Single-level form (128-peel building block): one
+        # (d1, d1) @ (d1, T) contraction + the Tb twiddle, store.
+        # Ta and Tc are all-ones at d2 == 1 (k2 == 0, i2 == 0).
+        ar, ai = kara(
+            lambda v: mm2(f1r[:], v),
+            lambda v: mm2(f1i[:], v),
+            lambda v: mm2(f1s[:], v),
+            xr_ref[:].reshape(d1, T), xi_ref[:].reshape(d1, T),
+        )
+        yr_ref[0] = ar * tbr - ai * tbi
+        yi_ref[0] = ar * tbi + ai * tbr
+        return
+
+    ch_r, ch_i = col(tchr), col(tchi)
+    tcr = ch_r * tclr[:] - ch_i * tcli[:]  # (d2, T)
+    tci = ch_r * tcli[:] + ch_i * tclr[:]
+    xr = xr_ref[:].reshape(d1, d2, T)
+    xi = xi_ref[:].reshape(d1, d2, T)
 
     if _l1_single_dot:
         # ---- Level 1 as ONE rank-3 contraction over rhs dim 0 ----
@@ -307,3 +328,156 @@ def outer_dft_split(
         interpret=interpret,
     )(xr3, xi3, *tables)
     return yr.reshape(*lead, rows, n3), yi.reshape(*lead, rows, n3)
+
+
+# ---------------------------------------------------------------------------
+# Fused last-peel + row-FFT kernel (round 5).
+#
+# In the 128-peel plan the LAST peel's natural unit of work is a
+# (128, n3) block: one d=128 sublane contraction + its twiddle yields
+# 128 COMPLETE length-n3 rows — exactly what the row FFT consumes next.
+# Running the row FFT (the lane-slice structure of ops/pallas_fft) on
+# that block while it is still in VMEM merges the plan's two middle
+# HBM passes into one: load once, level + twiddle + row FFT, store
+# digit-order rows.  Eligible for n3 <= 8192 (n1 = n3/128 <= 64, where
+# the lane-slice row structure holds; 2^28's n3 = 16384 keeps the
+# unfused path).  Chip A/B: tools/probe_peel.py / bench giant section.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _peel_rows_tables(n3: int, inverse: bool):
+    """F(128) Karatsuba triple + the (128, n3) last-peel twiddle
+    (exact f64 angles; the table is small enough to embed whole)."""
+    n = 128 * n3
+    sign = 2j * np.pi if inverse else -2j * np.pi
+    f1 = dft_matrix(128)
+    if inverse:
+        f1 = np.conj(f1)
+    k1 = np.arange(128, dtype=np.float64)
+    t = np.arange(n3, dtype=np.float64)
+    tb = np.exp(sign * np.outer(k1, t) / n)
+    c32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    return (
+        c32(f1.real), c32(f1.imag), c32(f1.real + f1.imag),
+        c32(tb.real), c32(tb.imag),
+    )
+
+
+def peel_rows_supported(n3: int) -> bool:
+    from godsp_tpu.ops.pallas_fft import _use_laneslice
+
+    return (
+        n3 % _LANES == 0
+        and 2 <= n3 // _LANES <= 64
+        and _use_laneslice(n3 // _LANES)
+    )
+
+
+def _peel_rows_kernel(*refs, n3: int, nb: int, inverse: bool, prec):
+    from godsp_tpu.ops.pallas_fft import _dft_slices, _karatsuba_g
+
+    (xr_ref, xi_ref, f1r, f1i, f1s, tbr, tbi, gr, gi, gs,
+     yr_ref, yi_ref) = refs
+    n1 = n3 // _LANES
+    mm = partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    for b in range(nb):
+        xr = xr_ref[b]  # (128, n3)
+        xi = xi_ref[b]
+        # ---- last-peel level: F(128) @ x, Karatsuba complex ----
+        m1 = mm(f1r[:], xr)
+        m2 = mm(f1i[:], xi)
+        m3 = mm(f1s[:], xr + xi)
+        ar, ai = m1 - m2, m3 - m1 - m2
+        # ---- twiddle (exact f32 VPU) ----
+        vr = ar * tbr[:] - ai * tbi[:]
+        vi = ar * tbi[:] + ai * tbr[:]
+        # ---- row FFT over lanes: the lane-slice structure ----
+        pairs = [
+            (vr[:, k * _LANES : (k + 1) * _LANES],
+             vi[:, k * _LANES : (k + 1) * _LANES])
+            for k in range(n1)
+        ]
+        A = _dft_slices(pairs, inverse)
+        for k1 in range(n1):
+            cr, ci = _karatsuba_g(A[k1][0], A[k1][1], k1, (gr, gi, gs))
+            yr_ref[b, :, k1 * _LANES : (k1 + 1) * _LANES] = cr
+            yi_ref[b, :, k1 * _LANES : (k1 + 1) * _LANES] = ci
+
+
+def peel_rows_fused_split(
+    xr: jax.Array,
+    xi: jax.Array,
+    inverse: bool = False,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused (d=128 peel + row FFT) over (..., 128, n3) float32 planes.
+
+    Each (128, n3) batch element is one independent length-128*n3
+    sub-transform: output row k1 holds the DIGIT-ORDER row FFT of the
+    twiddled level-k1 partial — identical data to
+    outer_dft_split(d1=128, d2=1) followed by fft_pow2_split(order=
+    "digit"), in ONE HBM pass instead of two.
+    """
+    from godsp_tpu.ops.pallas_fft import _ls_tables
+
+    if xr.shape != xi.shape:
+        raise ValueError("re/im planes must have identical shapes")
+    d, n3 = xr.shape[-2], xr.shape[-1]
+    if d != 128 or not peel_rows_supported(n3):
+        raise ValueError(f"unsupported fused peel-rows shape ({d}, {n3})")
+    lead = xr.shape[:-2]
+    B = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    xr3 = xr.reshape(B, 128, n3)
+    xi3 = xi.reshape(B, 128, n3)
+
+    # Batch elements per grid step: ~2-4 MB blocks keep the DMA fat.
+    nb = max(1, (1 << 20) // (128 * n3))
+    while B % nb:
+        nb -= 1
+
+    f1r, f1i, f1s, tbr, tbi = (
+        jnp.asarray(t) for t in _peel_rows_tables(n3, inverse)
+    )
+    lt = _ls_tables(n3, inverse, digit_in=False)
+    gr, gi, gs = (jnp.asarray(lt[k]) for k in ("gr", "gi", "gs"))
+    tables = [f1r, f1i, f1s, tbr, tbi, gr, gi, gs]
+    tbl_specs = [
+        pl.BlockSpec(
+            t.shape, lambda i, nd=t.ndim: (0,) * nd, memory_space=pltpu.VMEM
+        )
+        for t in tables
+    ]
+    spec = pl.BlockSpec(
+        (nb, 128, n3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    vma = getattr(jax.typeof(xr3), "vma", None) or frozenset()
+    n1 = n3 // _LANES
+    flops = 6 * B * 128 * n3 * (128 + _LANES) * 2
+    yr, yi = pl.pallas_call(
+        partial(_peel_rows_kernel, n3=n3, nb=nb, inverse=inverse,
+                prec=precision),
+        grid=(B // nb,),
+        in_specs=[spec, spec] + tbl_specs,
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 128, n3), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, 128, n3), jnp.float32, vma=vma),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops),
+            bytes_accessed=int(4 * B * 128 * n3 * 4),
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20,
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(xr3, xi3, *tables)
+    return yr.reshape(*lead, 128, n3), yi.reshape(*lead, 128, n3)

@@ -399,10 +399,15 @@ class TestLargeFFT:
         rng = np.random.default_rng(6)
         x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
         assert lg._outer_kernel_on
-        yr, yi = lg.fft_large_split(
-            jnp.asarray(x.real, jnp.float32), jnp.asarray(x.imag, jnp.float32),
-            interpret=True,
-        )
+        try:
+            lg.set_peel_enabled(False)  # pin the two-level fused path
+            yr, yi = lg.fft_large_split(
+                jnp.asarray(x.real, jnp.float32),
+                jnp.asarray(x.imag, jnp.float32),
+                interpret=True,
+            )
+        finally:
+            lg.set_peel_enabled(True)
         got = np.asarray(yr) + 1j * np.asarray(yi)
         assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
 
@@ -434,6 +439,7 @@ class TestLargeFFT:
         from godsp_tpu.fft import large as lg
 
         monkeypatch.setattr(lg, "_MAX_ROWS", 16)
+        monkeypatch.setattr(lg, "_peel_on", False)  # pin the two-call path
         n = 1 << 21
         rng = np.random.default_rng(8)
         x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
@@ -445,6 +451,66 @@ class TestLargeFFT:
         zr, zi = lg.fft_large_split(yr, yi, inverse=True, interpret=True)
         rt = (np.asarray(zr) + 1j * np.asarray(zi)) / n
         assert snr_db(rt, x.astype(np.complex128)) >= 110.0
+
+    @pytest.mark.parametrize("fuse", [False, True])
+    @pytest.mark.parametrize("n", [1 << 17, 1 << 21])
+    def test_peel_path_interpret(self, n, fuse, monkeypatch):
+        """The 128-peel plan (round 5): single-level full-MXU-depth
+        outer contractions (outer_dft_split d2=1), then kernel rows —
+        whole pipeline including the fold axes, forward and inverse.
+        fuse=True exercises the fused last-peel + row-FFT kernel
+        (peel_rows_fused_split; default-off, kept as measured evidence —
+        2^21's n3=16384 falls back to the unfused path either way)."""
+        from godsp_tpu.fft import large as lg
+
+        assert lg._peel_on and lg._peel_plan(n) is not None
+        monkeypatch.setattr(lg, "_fuse_rows_on", fuse)
+        rng = np.random.default_rng(n)
+        x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(np.complex64)
+        xr = jnp.asarray(x.real, jnp.float32)
+        xi = jnp.asarray(x.imag, jnp.float32)
+        yr, yi = lg.fft_large_split(xr, xi, interpret=True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert snr_db(got, np.fft.fft(x.astype(np.complex128))) >= 110.0
+        zr, zi = lg.fft_large_split(yr, yi, inverse=True, interpret=True)
+        rt = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        assert snr_db(rt, x.astype(np.complex128)) >= 110.0
+
+    def test_two_peel_axes_composition(self):
+        """k=2 peels (the 2^24..2^28 shape class) at test scale: the
+        oracle row transform isolates the peel-axes fold composition
+        (bin k = k1 + 128 k2 + 128^2 k3)."""
+        from godsp_tpu.fft import large as lg
+
+        n = 1 << 24
+        assert lg._peel_plan(n) == ([128, 128], 1024)
+        rng = np.random.default_rng(42)
+        # multi-tone: exact bins keep the oracle comparison cheap
+        bins = rng.choice(n, size=5, replace=False)
+        amps = rng.normal(size=5) + 1j * rng.normal(size=5)
+        t = np.arange(n, dtype=np.float64)
+        x = np.zeros(n, np.complex128)
+        for bq, a in zip(bins, amps):
+            x += a * np.exp(2j * np.pi * bq * t / n)
+        xf = x.astype(np.complex64)
+
+        def oracle_row(xr, xi, inverse):
+            z = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+            y = np.fft.ifft(z, axis=-1) * z.shape[-1] if inverse else (
+                np.fft.fft(z, axis=-1))
+            return jnp.asarray(y.real, jnp.float32), jnp.asarray(
+                y.imag, jnp.float32)
+
+        yr, yi = lg.fft_large_split(
+            jnp.asarray(xf.real, jnp.float32),
+            jnp.asarray(xf.imag, jnp.float32),
+            row_fft=oracle_row, interpret=True,
+        )
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = np.zeros(n, np.complex128)
+        for bq, a in zip(bins, amps):
+            ref[bq] = a * n
+        assert snr_db(got, ref) >= 100.0
 
     def test_unsupported_sizes(self):
         from godsp_tpu.fft.large import large_supported
