@@ -12,8 +12,11 @@ structure at n=16384 against the batched-3D default (slow remote
 compile expected; see BASELINE.md round-2 notes).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -375,10 +378,6 @@ def main():
         drive_n1_128()
 
 
-if __name__ == "__main__":
-    main()
-
-
 # --- session-4 surfaces (scipy build-out): drive each new DEVICE path
 # once on the chip and report SNR vs a host float64 oracle -----------------
 
@@ -655,3 +654,6 @@ def drive_fht():
     got = np.asarray(fht(a, dln, mu=0.5))
     ref = sf.fht(a.astype(np.float64), dln, mu=0.5)
     return f"fftlog snr {snr_db(got, ref):.1f} dB"
+
+if __name__ == "__main__":
+    main()
