@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from godsp_tpu._dtypes import complex_for
+from godsp_tpu._dtypes import complex_for, put
 from godsp_tpu.dsputils.utils import next_power_of_2
 from godsp_tpu.fft.pow2 import pow2_circular_filter
 
@@ -70,7 +70,11 @@ def _zoom_tables(n: int, m: int, f1: float, f2: float, fs: float,
     return _chain_tables(n, m, wk2, ak)
 
 
-def _czt_chain(x: jax.Array, tables) -> jax.Array:
+def _czt_apply(x: jax.Array, tables) -> jax.Array:
+    """Chain body; MUST run under jit (eager complex ops are
+    UNIMPLEMENTED on the axon TPU transport — the tables are trace-time
+    numpy constants, so jitting embeds them without any complex
+    device->host round trip)."""
     pre_np, post_np, fft_b_np, la = tables
     n = x.shape[-1]
     m = post_np.shape[0]
@@ -84,6 +88,19 @@ def _czt_chain(x: jax.Array, tables) -> jax.Array:
     # [n-1, n+m-1) because la >= n+m-1 pushes every aliased term below
     # index n-1.
     return conv[..., n - 1 : n + m - 1] * jnp.asarray(post_np, cdtype)
+
+
+@lru_cache(maxsize=None)
+def _czt_chain_jit(n: int, m: int, w: Optional[complex], a: complex):
+    tables = _czt_tables(n, m, w, a)
+    return jax.jit(lambda x: _czt_apply(x, tables))
+
+
+@lru_cache(maxsize=None)
+def _zoom_chain_jit(n: int, m: int, f1: float, f2: float, fs: float,
+                    endpoint: bool):
+    tables = _zoom_tables(n, m, f1, f2, fs, endpoint)
+    return jax.jit(lambda x: _czt_apply(x, tables))
 
 
 def czt(x, m: Optional[int] = None, w: Optional[complex] = None,
@@ -102,7 +119,7 @@ def czt(x, m: Optional[int] = None, w: Optional[complex] = None,
     within float64 range (mild spirals are fine; verified ~290 dB vs
     direct evaluation at |w| = e^-0.001).
     """
-    x = jnp.asarray(x)
+    x = put(x)
     n = x.shape[-1]
     if n < 1:
         raise ValueError("czt requires at least one input point")
@@ -112,7 +129,7 @@ def czt(x, m: Optional[int] = None, w: Optional[complex] = None,
     wkey = None if w is None else complex(w)
     if wkey is not None and wkey == 0:
         raise ValueError("w must be nonzero")
-    return _czt_chain(x, _czt_tables(n, m, wkey, complex(a)))
+    return _czt_chain_jit(n, m, wkey, complex(a))(x)
 
 
 def zoom_fft(x, fn, m: Optional[int] = None, fs: float = 2.0,
@@ -124,7 +141,7 @@ def zoom_fft(x, fn, m: Optional[int] = None, fs: float = 2.0,
     a band-limited slice of the spectrum without computing the full FFT.
     zoom_fft(x, 2) == fft(x) for real-frequency conventions (fs=2).
     """
-    x = jnp.asarray(x)
+    x = put(x)
     n = x.shape[-1]
     if n < 1:
         raise ValueError("zoom_fft requires at least one input point")
@@ -138,9 +155,7 @@ def zoom_fft(x, fn, m: Optional[int] = None, fs: float = 2.0,
     m = n if m is None else m
     if m < 1 or (endpoint and m < 2):
         raise ValueError("m must be >= 1 (>= 2 with endpoint=True)")
-    return _czt_chain(
-        x, _zoom_tables(n, m, f1, f2, float(fs), bool(endpoint))
-    )
+    return _zoom_chain_jit(n, m, f1, f2, float(fs), bool(endpoint))(x)
 
 
 class CZT:
@@ -163,12 +178,13 @@ class CZT:
         self.w = wkey if wkey is not None else np.exp(-2j * np.pi / m)
         self.a = complex(a)
         self._tables = _czt_tables(n, m, wkey, complex(a))
+        self._chain = _czt_chain_jit(n, m, wkey, complex(a))
 
     def __call__(self, x) -> jax.Array:
-        x = jnp.asarray(x)
+        x = put(x)
         if x.shape[-1] != self.n:
             raise ValueError(f"signal length must be {self.n}")
-        return _czt_chain(x, self._tables)
+        return self._chain(x)
 
     def points(self) -> np.ndarray:
         """The m contour points a * w^-k (scipy.signal.CZT.points)."""
@@ -200,6 +216,8 @@ class ZoomFFT(CZT):
         self.w = np.exp(-2j * np.pi * step / float(fs))
         self.a = np.exp(2j * np.pi * f1 / float(fs))
         self._tables = _zoom_tables(n, m, f1, f2, float(fs), bool(endpoint))
+        self._chain = _zoom_chain_jit(n, m, f1, f2, float(fs),
+                                      bool(endpoint))
 
 
 def czt_points(m: int, w: Optional[complex] = None,

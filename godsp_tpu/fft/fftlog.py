@@ -115,7 +115,9 @@ def fht(a, dln: float, mu: float, offset: float = 0.0,
     if bias != 0:
         pre, post = _bias_factors(n, float(dln), float(bias), float(offset))
         a = a * jnp.asarray(pre, a.dtype)
-    A = irfft(rfft(a) * jnp.asarray(u), n)[..., ::-1]
+    # u is complex host data: put() (split planes) — an eager
+    # complex h2d jnp.asarray poisons later d2h reads on axon
+    A = irfft(rfft(a) * put(u), n)[..., ::-1]
     if bias != 0:
         A = A * jnp.asarray(post, A.dtype)
     return A
@@ -132,7 +134,7 @@ def ifht(A, dln: float, mu: float, offset: float = 0.0,
     if bias != 0:
         pre, post = _bias_factors(n, float(dln), float(bias), float(offset))
         A = A / jnp.asarray(post, A.dtype)
-    a = irfft(rfft(A) / jnp.asarray(np.conj(u)), n)[..., ::-1]
+    a = irfft(rfft(A) / put(np.conj(u)), n)[..., ::-1]
     if bias != 0:
         a = a / jnp.asarray(pre, a.dtype)
     return a

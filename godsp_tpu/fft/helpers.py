@@ -38,16 +38,31 @@ def rfftfreq(n: int, d: float = 1.0) -> jax.Array:
     return jnp.arange(n // 2 + 1, dtype=f) / (n * d)
 
 
+@partial(jax.jit, static_argnames=("axes",))
+def _fftshift_jit(x, axes):
+    return jnp.fft.fftshift(x, axes=axes)
+
+
+@partial(jax.jit, static_argnames=("axes",))
+def _ifftshift_jit(x, axes):
+    return jnp.fft.ifftshift(x, axes=axes)
+
+
+def _shift_axes(axes):
+    return tuple(axes) if isinstance(axes, (list, tuple)) else axes
+
+
 def fftshift(x, axes=None) -> jax.Array:
-    """Move the zero-frequency bin to the center (numpy.fft.fftshift;
-    delegates to jnp.fft.fftshift)."""
-    return jnp.fft.fftshift(jnp.asarray(x), axes=axes)
+    """Move the zero-frequency bin to the center (numpy.fft.fftshift).
+    Jitted + put-routed: an eager complex roll (and even an eager
+    complex host->device transfer) is UNIMPLEMENTED on the axon
+    transport and poisons later device->host reads."""
+    return _fftshift_jit(put(x), _shift_axes(axes))
 
 
 def ifftshift(x, axes=None) -> jax.Array:
-    """Inverse of fftshift, exact also for odd lengths
-    (jnp.fft.ifftshift)."""
-    return jnp.fft.ifftshift(jnp.asarray(x), axes=axes)
+    """Inverse of fftshift, exact also for odd lengths."""
+    return _ifftshift_jit(put(x), _shift_axes(axes))
 
 
 def hilbert(x, N: int | None = None, axis: int = -1) -> jax.Array:

@@ -244,20 +244,30 @@ def _foh_gammas(A, B, dt):
 
 
 @jax.jit
-def _affine_scan_jit(M, V, x0):
-    """States of x_{k+1} = M x_k + V[k] for k = 0..K-1, including x0:
-    log-depth via associative_scan over affine maps (A, b) composed as
-    (A2 A1, A2 b1 + b2)."""
+def _affine_scan_jit(E, V, x0):
+    """States of x_{k+1} = (I + E) x_k + V[k] for k = 0..K-1, incl. x0:
+    log-depth via associative_scan over affine maps in RESIDUAL form —
+    the transition matrix is carried as its deviation E from the
+    identity, composed as (I+E2)(I+E1) = I + (E1 + E2 + E2 E1).
+
+    Why (chip-measured, round 5): for small dt the discretized Ad ~ I,
+    and storing Ad directly throws away the increment's relative
+    precision in f32 — the direct form measured 102 dB (CPU f32) and
+    14 dB (chip, where DEFAULT-precision f32 matmuls run as bf16) vs
+    scipy f64 over 2001 steps; residual form + HIGHEST measures
+    ~132 dB.  HIGHEST costs nothing here (n x n states are tiny)."""
     K = V.shape[0]
-    Ms = jnp.broadcast_to(M, (K,) + M.shape)
+    hi = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi)
+    Es = jnp.broadcast_to(E, (K,) + E.shape)
 
     def comb(c1, c2):
-        A1, b1 = c1
-        A2, b2 = c2
-        return A2 @ A1, (A2 @ b1[..., None])[..., 0] + b2
+        E1, b1 = c1
+        E2, b2 = c2
+        return E1 + E2 + mm(E2, E1), b1 + b2 + mm(E2, b1[..., None])[..., 0]
 
-    As, bs = jax.lax.associative_scan(comb, (Ms, V))
-    xs = (As @ x0[..., None])[..., 0] + bs
+    Es_, bs = jax.lax.associative_scan(comb, (Es, V))
+    xs = x0 + mm(Es_, x0[..., None])[..., 0] + bs
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
@@ -271,10 +281,13 @@ def _simulate(Ad, Bd1, Bd2, u, x0):
         v = v + u[1:] @ np.asarray(Bd2).T
     if K == 0:
         return put(np.asarray(x0, np.float64)[None, :].astype(np.float64))
-    M = put(np.asarray(Ad, np.float64))
+    # Residual form: subtract the identity IN f64, so the f32 cast
+    # carries E = Ad - I at full relative precision (see _affine_scan_jit).
+    Ad64 = np.asarray(Ad, np.float64)
+    E = put(Ad64 - np.eye(Ad64.shape[0]))
     V = put(np.asarray(v, np.float64))
     x0j = put(np.asarray(x0, np.float64))
-    return _affine_scan_jit(M.astype(fdt), V.astype(fdt), x0j.astype(fdt))
+    return _affine_scan_jit(E.astype(fdt), V.astype(fdt), x0j.astype(fdt))
 
 
 def dlsim(system, u, t=None, x0=None):

@@ -30,6 +30,7 @@ def section(name):
                 print(f"[ok] {name}: {msg}  ({time.time()-t0:.1f}s)", flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"[FAIL] {name}: {e!r}  ({time.time()-t0:.1f}s)", flush=True)
+        run.__name__ = fn.__name__  # keep --only matching by drive name
         return run
     return deco
 
@@ -104,14 +105,17 @@ def drive_streaming():
 @section("griffin-lim")
 def drive_griffin():
     from godsp_tpu.models import griffin_lim, stft
+    from godsp_tpu.utils import to_host
 
     rng = np.random.default_rng(3)
     nfft, hop = 1024, 512
     t = np.arange(hop * 40 + nfft) / 16000
     x = np.sin(2 * np.pi * 440 * t).astype(np.float32)
-    mag = np.abs(np.asarray(stft(x, nfft, hop=hop))).astype(np.float32)
+    # stft returns complex: to_host, never np.asarray (axon UNIMPLEMENTED
+    # poisons the runtime for every later section)
+    mag = np.abs(to_host(stft(x, nfft, hop=hop))).astype(np.float32)
     y = np.asarray(griffin_lim(mag, nfft, hop=hop, n_iter=16))
-    m2 = np.abs(np.asarray(stft(y, nfft, hop=hop)))
+    m2 = np.abs(to_host(stft(y, nfft, hop=hop)))
     rel = np.linalg.norm(m2 - mag) / np.linalg.norm(mag)
     return f"fused-loop spectral mismatch {rel:.3%} after 16 iters"
 
@@ -242,10 +246,12 @@ def drive_stream_stft():
     nfft, hop = 1024, 512
     x = rng.normal(size=hop * 256 + nfft).astype(np.float32)
     blocks = [x[: hop * 100], x[hop * 100 : hop * 200], x[hop * 200 :]]
+    from godsp_tpu.utils import to_host
+
     got = np.concatenate(
-        [np.asarray(b) for b in stream_stft(blocks, nfft, hop=hop)], axis=-2
+        [to_host(b) for b in stream_stft(blocks, nfft, hop=hop)], axis=-2
     )
-    ref = np.asarray(stft(x, nfft, hop=hop))
+    ref = to_host(stft(x, nfft, hop=hop))
     mg = np.concatenate(
         [np.asarray(b) for b in stream_mel(blocks, 16000.0, nfft, hop)],
         axis=-2,
@@ -264,6 +270,7 @@ def _ab_fft_split(n, batch, seed, variants, set_toggle, check_rows=4):
     restored to its pre-call value afterwards.
     """
     import jax
+    import jax.numpy as jnp
 
     from godsp_tpu._dtypes import put
     from godsp_tpu.dsputils import snr_db
@@ -280,7 +287,8 @@ def _ab_fft_split(n, batch, seed, variants, set_toggle, check_rows=4):
             ar, ai = r, xi
             for _ in range(K):
                 ar, ai = fft_split(ar * 1e-2, ai * 1e-2)
-            return ar
+            # scalar return: time_chain_diff materializes float(f(x))
+            return jnp.abs(ar[0, 0]) + jnp.abs(ai[0, 0])
 
         return chain
 
@@ -353,27 +361,37 @@ def main():
 
     jax.config.update("jax_platforms", "axon")
     print("devices:", jax.devices(), flush=True)
-    drive_istft_kernel()
-    drive_istft_roundtrip()
-    drive_streaming()
-    drive_griffin()
-    drive_sharded()
-    drive_czt()
-    drive_iir()
-    drive_resample_poly()
-    drive_stream_stft()
-    drive_natural_ab()
-    drive_16k_ab()
-    drive_conv2d()
-    drive_cwt()
-    drive_shorttime()
-    drive_lsim()
-    drive_splines()
-    drive_fht()
-    drive_pwelch_geometry()
-    drive_rfft_split()
-    drive_pwelch_packed_half()
-    drive_outer_split()
+    drives = [
+        drive_istft_kernel,
+        drive_istft_roundtrip,
+        drive_streaming,
+        drive_griffin,
+        drive_sharded,
+        drive_czt,
+        drive_iir,
+        drive_resample_poly,
+        drive_stream_stft,
+        drive_natural_ab,
+        drive_16k_ab,
+        drive_conv2d,
+        drive_cwt,
+        drive_shorttime,
+        drive_lsim,
+        drive_splines,
+        drive_fht,
+        drive_pwelch_geometry,
+        drive_rfft_split,
+        drive_pwelch_packed_half,
+        drive_outer_split,
+    ]
+    # --only <substr>[,<substr>...]: run matching drives in THIS process
+    # (one axon UNIMPLEMENTED poisons the runtime for every later
+    # section, so isolate suspects in their own process when debugging).
+    if "--only" in sys.argv:
+        pats = sys.argv[sys.argv.index("--only") + 1].split(",")
+        drives = [d for d in drives if any(p in d.__name__ for p in pats)]
+    for d in drives:
+        d()
     if "--n1-probe" in sys.argv:
         drive_n1_128()
 
@@ -430,7 +448,7 @@ def drive_shorttime():
                      scale_to="psd")
     Z = S.stft(x)
     back = np.asarray(S.istft(Z, k1=len(x)))
-    return (f"stft {np.asarray(Z).shape}, istft round-trip snr "
+    return (f"stft {Z.shape}, istft round-trip snr "
             f"{snr_db(back, x.astype(np.float64)):.1f} dB")
 
 
@@ -578,7 +596,15 @@ def drive_pwelch_packed_half():
         p_full, _ = pwelch_sharded(x, 2.0, opts, mesh=mesh1)
     finally:
         set_packed_half_enabled(True)
-    nbad = int(np.sum(np.asarray(p_half) != np.asarray(p_full)))
+    a, b = np.asarray(p_half), np.asarray(p_full)
+    # Bins 0..lp-2 contract against the same G columns -> bit-identical.
+    # The NYQUIST bin is computed by the packed kernel's dedicated
+    # alternating-sum contraction (different summation order than the
+    # full path's G column): algebraically equal, up to 1 ulp apart.
+    nbad = int(np.sum(a[:-1] != b[:-1]))
+    nyq_rel = abs(float(a[-1]) - float(b[-1])) / max(abs(float(b[-1])), 1e-30)
+    if nyq_rel > 1e-6:
+        raise AssertionError(f"Nyquist half-vs-full rel {nyq_rel:.2e}")
     # f64 oracle (reference semantics, pwelch.go:101-136)
     xs = np.asarray(x).astype(np.float64)
     stride, nfft, lp = 512, 1024, 513
@@ -599,7 +625,8 @@ def drive_pwelch_packed_half():
         raise AssertionError(f"pad<nfft shape {p2.shape}")
     if nbad or s < 120.0:
         raise AssertionError(f"{nbad} bins differ half-vs-full, {s:.1f} dB")
-    return (f"half==full bit-identical, {s:.1f} dB vs f64 oracle, "
+    return (f"half==full bit-identical below Nyquist (nyq rel "
+            f"{nyq_rel:.1e}), {s:.1f} dB vs f64 oracle, "
             f"pad<nfft -> {p2.shape[-1]} bins")
 
 
