@@ -55,9 +55,17 @@ def bluestein_fft(x: jax.Array) -> jax.Array:
 
     x: (..., N) complex.  Batched over leading axes.  Unnormalized; the
     public ifft reaches this through index-reversal (fft/fft.go:35-52), so
-    no separate inverse path is needed.
+    no separate inverse path is needed.  Jitted: called eagerly, the
+    complex chirp-table host->device transfers would poison the axon
+    transport (see CLAUDE.md); under jit they embed as trace constants.
     """
-    x = jnp.asarray(x)
+    from godsp_tpu._dtypes import put
+
+    return _bluestein_jit(put(x))
+
+
+@jax.jit
+def _bluestein_jit(x: jax.Array) -> jax.Array:
     n = x.shape[-1]
     cdtype = complex_for(x.dtype)
     x = x.astype(cdtype)

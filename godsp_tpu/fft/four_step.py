@@ -30,7 +30,7 @@ radix2.go:26-69).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -71,13 +71,22 @@ def fft_time_major(t: jax.Array, inverse: bool = False) -> jax.Array:
     """DFT over axis 0 of a (N, ...batch) complex array; N a power of 2.
 
     Unnormalized forward transform (inverse conjugates the tables, still
-    unnormalized — the public ifft handles the 1/N).
+    unnormalized — the public ifft handles the 1/N).  Jitted: eager
+    complex table transfers poison the axon transport (CLAUDE.md);
+    under jit the numpy tables embed as trace constants.
     """
     n = t.shape[0]
     if n & (n - 1):
         raise ValueError(f"fft_time_major requires a power-of-2 length, got {n}")
     if n <= 1:
         return t
+    from godsp_tpu._dtypes import put
+
+    return _fft_tm_jit(put(t), inverse)
+
+
+@partial(jax.jit, static_argnames=("inverse",))
+def _fft_tm_jit(t: jax.Array, inverse: bool) -> jax.Array:
     return _fft_tm(t, inverse)
 
 
@@ -131,6 +140,9 @@ def four_step_fft(x: jax.Array, inverse: bool = False) -> jax.Array:
     x: (..., N) complex, N a power of 2.  Transposes to time-major,
     transforms, transposes back.
     """
+    from godsp_tpu._dtypes import put
+
+    x = put(x)
     n = x.shape[-1]
     if n <= 1:
         return x

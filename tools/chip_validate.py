@@ -383,6 +383,7 @@ def main():
         drive_rfft_split,
         drive_pwelch_packed_half,
         drive_outer_split,
+        drive_api_smoke,
     ]
     # --only <substr>[,<substr>...]: run matching drives in THIS process
     # (one axon UNIMPLEMENTED poisons the runtime for every later
@@ -681,6 +682,148 @@ def drive_fht():
     got = np.asarray(fht(a, dln, mu=0.5))
     ref = sf.fht(a.astype(np.float64), dln, mu=0.5)
     return f"fftlog snr {snr_db(got, ref):.1f} dB"
+
+@section("api smoke sweep")
+def drive_api_smoke():
+    """Every remaining public DEVICE path not covered by a dedicated
+    section, executed once on the chip with tiny inputs and materialized
+    via to_host — catches latent transport bugs (eager complex
+    transfers, unjitted complex ops) that no CPU test can see.  Entries
+    are finiteness/shape smoke checks; numerical parity lives in the CPU
+    f64 suite and the dedicated sections."""
+    import jax.numpy as jnp
+
+    from godsp_tpu import fft, models, spectral
+    from godsp_tpu._dtypes import put
+    from godsp_tpu.utils import to_host
+
+    rng = np.random.default_rng(17)
+    xr = rng.normal(size=256).astype(np.float32)
+    yr2 = rng.normal(size=256).astype(np.float32)
+    xc = (rng.normal(size=240) + 1j * rng.normal(size=240)).astype(np.complex64)
+    img = rng.normal(size=(24, 32)).astype(np.float32)
+    k2 = rng.normal(size=(3, 5)).astype(np.float32)
+    x3 = (rng.normal(size=(2, 4, 8))
+          + 1j * rng.normal(size=(2, 4, 8))).astype(np.complex64)
+    X = np.fft.rfft(xr.astype(np.float64)).astype(np.complex64)
+    sos = np.asarray(models.butter(4, 0.2, output="sos"), np.float64)
+    t = np.sort(rng.uniform(0, 10, 200)).astype(np.float64)
+    yt = np.sin(3.0 * t).astype(np.float64)
+
+    entries = {
+        # fft module breadth
+        "bluestein_fft": lambda: fft.bluestein_fft(put(xc[:12])),
+        "convolve_c64": lambda: fft.convolve(put(xc[:64]), put(xc[64:128])),
+        "dct2": lambda: fft.dct(xr),
+        "idct2": lambda: fft.idct(xr),
+        "dst2": lambda: fft.dst(xr),
+        "idst2": lambda: fft.idst(xr),
+        "dctn": lambda: fft.dctn(img),
+        "idstn": lambda: fft.idstn(img),
+        "fftn": lambda: fft.fftn(put(x3)),
+        "ifftn": lambda: fft.ifftn(put(x3)),
+        "fft2_real": lambda: fft.fft2_real(img),
+        "ifft2_real": lambda: fft.ifft2_real(img),
+        "four_step_fft": lambda: fft.four_step_fft(put(xc[:128].astype(
+            np.complex64))),
+        "rfft2": lambda: fft.rfft2(img),
+        "irfft2": lambda: fft.irfft2(fft.rfft2(img)),
+        "rfftn": lambda: fft.rfftn(np.abs(np.asarray(x3)).astype(np.float32)),
+        "irfftn": lambda: fft.irfftn(put(x3[..., :5])),
+        "hfft2": lambda: fft.hfft2(put(x3[..., :5])),
+        "ihfft2": lambda: fft.ihfft2(img),
+        "hfftn": lambda: fft.hfftn(put(x3[..., :5])),
+        "ihfftn": lambda: fft.ihfftn(img),
+        "ihfft": lambda: fft.ihfft(xr),
+        "fhtoffset": lambda: np.float64(fft.fhtoffset(0.1, 0.5)),
+        "ifht": lambda: fft.ifht(xr, 0.1, 0.5),
+        # spectral breadth
+        "welch": lambda: spectral.welch(xr, fs=2.0, nperseg=64)[1],
+        "welch_csd": lambda: spectral.welch_csd(xr, yr2, nperseg=64)[1],
+        "welch_coherence": lambda: spectral.welch_coherence(
+            xr, yr2, nperseg=64)[1],
+        "csd": lambda: spectral.csd(xr, yr2, 2.0,
+                                    spectral.PwelchOptions(nfft=64))[0],
+        "coherence": lambda: spectral.coherence(
+            xr, yr2, 2.0, spectral.PwelchOptions(nfft=64))[0],
+        "periodogram": lambda: spectral.periodogram(xr, 2.0)[0],
+        "lombscargle": lambda: spectral.lombscargle(
+            t, yt, np.linspace(0.5, 5, 32)),
+        "spectrogram_scipy": lambda: spectral.spectrogram_scipy(
+            xr, fs=2.0, nperseg=64)[2],
+        "pwelch_from_frames": lambda: spectral.pwelch_from_frames(
+            rng.normal(size=(5, 64)).astype(np.float32), 2.0,
+            spectral.PwelchOptions(nfft=64))[0],
+        # models breadth (device compute paths)
+        "correlate": lambda: models.correlate(xr, yr2[:32]),
+        "fftconvolve": lambda: models.fftconvolve(xr, yr2[:32]),
+        "oaconvolve": lambda: models.oaconvolve(xr, yr2[:32]),
+        "correlate2d": lambda: models.correlate2d(img, k2),
+        "medfilt": lambda: models.medfilt(xr, 5),
+        "medfilt2d": lambda: models.medfilt2d(img, 3),
+        "order_filter": lambda: models.order_filter(
+            img, np.ones((3, 3)), 4),
+        "wiener": lambda: models.wiener(img, 3),
+        "savgol_filter": lambda: models.savgol_filter(xr, 11, 3),
+        "detrend": lambda: models.detrend(xr),
+        "decimate": lambda: models.decimate(xr, 4),
+        "resample": lambda: models.resample(xr, 100),
+        "upfirdn": lambda: models.upfirdn(yr2[:9], xr, 3, 2),
+        "sosfilt": lambda: models.sosfilt(sos, xr),
+        "sosfiltfilt": lambda: models.sosfiltfilt(sos, xr),
+        "symiirorder1": lambda: models.symiirorder1(xr, 0.5, 0.2),
+        "symiirorder2": lambda: models.symiirorder2(xr, 0.5, 0.3),
+        "sepfir2d": lambda: models.sepfir2d(
+            img, yr2[:5].astype(np.float64), yr2[:5].astype(np.float64)),
+        "spline_filter": lambda: models.spline_filter(img),
+        "qspline1d": lambda: models.qspline1d(xr),
+        "cspline2d": lambda: models.cspline2d(img),
+        "gauss_spline": lambda: models.gauss_spline(xr, 3),
+        "envelope": lambda: models.envelope(xr),
+        "hilbert2": lambda: models.hilbert2(img),
+        "square": lambda: models.square(t),
+        "sawtooth": lambda: models.sawtooth(t),
+        "chirp": lambda: models.chirp(t.astype(np.float32), 0.1, 10.0, 2.0),
+        "gausspulse": lambda: models.gausspulse(
+            np.linspace(-1, 1, 100), fc=5.0),
+        "sweep_poly": lambda: models.sweep_poly(
+            t.astype(np.float32), [0.01, 0.1, 1.0]),
+        "morlet": lambda: models.morlet(64),
+        "morlet2": lambda: models.morlet2(64, 8.0),
+        "ricker": lambda: models.ricker(64, 8.0),
+        "vectorstrength": lambda: models.vectorstrength(t, 2.0)[0],
+        "minimum_phase": lambda: models.minimum_phase(
+            models.firwin(31, 0.4) * 1.0),
+        "overlap_save": lambda: models.overlap_save(xr, yr2[:17]),
+        "fir_filter": lambda: models.fir_filter(yr2[:17], xr),
+        "stft_frames": lambda: models.stft_frames(put(xr), 64, 32),
+        "mfcc": lambda: models.mfcc(
+            rng.normal(size=4096).astype(np.float32), 16000.0),
+        "unit_impulse": lambda: models.unit_impulse(16, 3),
+        "deconvolve": lambda: models.deconvolve(
+            np.convolve(xr[:32], yr2[:5]), yr2[:5])[0],
+        "find_peaks": lambda: models.find_peaks(np.asarray(xr))[0],
+        "dlsim": lambda: models.dlsim(
+            (np.array([[0.5]]), np.array([[1.0]]), np.array([[1.0]]),
+             np.array([[0.0]]), 0.1), xr[:64].astype(np.float64))[1],
+    }
+    fails = []
+    for name, fn in entries.items():
+        try:
+            v = fn()
+            arr = to_host(v) if not isinstance(v, np.ndarray) else v
+            if not np.all(np.isfinite(np.asarray(arr, dtype=np.complex128)
+                                      if np.asarray(arr).dtype.kind == "c"
+                                      else np.asarray(arr, np.float64))):
+                fails.append(f"{name}: non-finite")
+        except Exception as e:  # noqa: BLE001
+            fails.append(f"{name}: {e!r}"[:140])
+    if fails:
+        raise AssertionError(f"{len(fails)}/{len(entries)} failed: " +
+                             " | ".join(fails[:6]))
+    return f"{len(entries)} public device paths executed + finite on chip"
+
+
 
 if __name__ == "__main__":
     main()
