@@ -1522,10 +1522,21 @@ def main() -> None:
                 walls[nm] = med(
                     _chain_diff_reps(fl.result(), fh.result(), planes, 14)
                 ) * 1e3
-            results[f"fft_2pow{log2n}"]["multipass_accounting"][
-                "stage_walls_ms"] = walls
+            ma = results[f"fft_2pow{log2n}"]["multipass_accounting"]
+            ma["stage_walls_ms"] = walls
+            # Clock-stable health metric: the copy-bound fraction
+            # breathes across windows because the pipeline is ~75% MXU
+            # time and the MXU/HBM clocks do not covary; the plan wall
+            # vs its OWN co-measured stage sum is stable (~1.15-1.2 =
+            # chain glue + inter-kernel bubbles; >1.4 would mean real
+            # uninstrumented slack).
+            ssum = sum(walls.values())
+            ma["stage_walls_sum_ms"] = ssum
+            ma["plan_wall_over_stage_sum"] = per_s * 1e3 / ssum
             log("  2^24 stage walls (ms): "
-                + "  ".join(f"{k}={v:.3f}" for k, v in walls.items()))
+                + "  ".join(f"{k}={v:.3f}" for k, v in walls.items())
+                + f"  sum={ssum:.3f} (plan/sum "
+                + f"{per_s * 1e3 / ssum:.2f})")
 
     try:
         setup = task_result("giant24_setup")
