@@ -29,11 +29,13 @@ from godsp_tpu.ops.pallas_fft import (
 )
 from godsp_tpu.ops.pallas_pwelch import (
     _phases,
+    framing_blocks,
     framing_halo,
+    framing_mode,
     frame_class_perm,
     _segs_per_tile,
-    _windowed_frames,
     fused_supported,
+    windowed_frames,
 )
 
 __all__ = ["csd_power_partials"]
@@ -49,6 +51,7 @@ def _csd_kernel(
     nfft: int,
     pad: int,
     halo: int,
+    framing: str = "row",
 ):
     """One tile: frame both -> window -> FFTs -> conj(X)Y -> masked sums."""
     if halo:
@@ -58,8 +61,10 @@ def _csd_kernel(
         hx_ref = hy_ref = None
     *tabs, re_ref, im_ref = rest
 
-    xw = _windowed_frames(bx_ref, hx_ref, w_ref, bt, stride, nfft, pad, halo)
-    yw = _windowed_frames(by_ref, hy_ref, w_ref, bt, stride, nfft, pad, halo)
+    xw = windowed_frames(bx_ref, hx_ref, w_ref, bt, stride, nfft, pad,
+                         halo, framing)
+    yw = windowed_frames(by_ref, hy_ref, w_ref, bt, stride, nfft, pad,
+                         halo, framing)
     n1 = pad // LANES
     xr, xi = _fft_steps_real(xw, tuple(tabs), bt, n1)
     yr, yi = _fft_steps_real(yw, tuple(tabs), bt, n1)
@@ -116,34 +121,29 @@ def csd_power_partials(
     P = _phases(stride)
     halo = framing_halo(nfft, stride)
 
-    def flat(ext):
-        e2 = ext.reshape(-1, ext.shape[-1]).astype(_F32)
-        need = n_tiles * T + halo
-        if e2.shape[-1] < need:
-            e2 = jnp.pad(e2, ((0, 0), (0, need - e2.shape[-1])))
-        return e2
-
-    ex2, ey2 = flat(ext_x), flat(ext_y)
+    ex2 = ext_x.reshape(-1, ext_x.shape[-1]).astype(_F32)
+    ey2 = ext_y.reshape(-1, ext_y.shape[-1]).astype(_F32)
     R = ex2.shape[0]
     mask2 = mask.reshape(-1, S).astype(_F32)
     if n_tiles * bt - S:
         mask2 = jnp.pad(mask2, ((0, 0), (0, n_tiles * bt - S)))
 
-    def blocks_of(e2):
-        return e2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
-
-    def halos_of(e2):
-        idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
-        return jnp.take(e2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
-
+    framing = framing_mode(nfft, stride)
+    in_x, specs_x, halo_k = framing_blocks(
+        ex2, n_tiles, bt, stride, nfft, halo, framing
+    )
+    in_y, specs_y, _ = framing_blocks(
+        ey2, n_tiles, bt, stride, nfft, halo, framing
+    )
+    halo = halo_k
     tile3 = lambda X: pl.BlockSpec(
         (1, 1, X), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    inputs = [blocks_of(ex2), blocks_of(ey2)]
-    in_specs = [tile3(T), tile3(T)]
-    if halo:
-        inputs += [halos_of(ex2), halos_of(ey2)]
-        in_specs += [tile3(halo), tile3(halo)]
+    inputs = [in_x[0], in_y[0]]
+    in_specs = [specs_x[0], specs_y[0]]
+    if len(in_x) > 1:
+        inputs += [in_x[1], in_y[1]]
+        in_specs += [specs_x[1], specs_y[1]]
     mp = max(bt, LANES)
     masks = mask2.reshape(R * n_tiles, bt)
     if P > 1:
@@ -173,6 +173,7 @@ def csd_power_partials(
         partial(
             _csd_kernel,
             bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
+            framing=framing,
         ),
         grid=(R * n_tiles,),
         in_specs=in_specs,

@@ -250,6 +250,101 @@ def _windowed_frames_2d(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
     return frames * w_ref[:]
 
 
+def framing_mode(nfft: int, stride: int) -> str:
+    """Framing structure for this geometry: "2d" (lane-aligned strides,
+    round-5 fast path) or "row" (flat blocks; phase-class strides)."""
+    return "2d" if _framing_2d_eligible(nfft, stride) else "row"
+
+
+def windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
+                    halo, framing):
+    """Framing dispatch shared by every frame->window->FFT kernel
+    (pwelch, stft/spectrogram/mel, csd)."""
+    if framing == "2d":
+        return _windowed_frames_2d(
+            block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
+            _halo_rows(nfft, stride),
+        )
+    return _windowed_frames(
+        block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo
+    )
+
+
+def framing_blocks(ext2, n_tiles, bt, stride, nfft, halo, framing):
+    """Signal-side operands for the chosen framing: (inputs, in_specs,
+    halo_for_kernel).  ext2: (R, L) f32 rows (each row framed
+    independently); the caller guarantees every masked/emitted segment's
+    samples exist in ext2 (zero-padded here to tile granularity).
+
+    "2d": (bt, stride) row blocks + up-to-_halo_rows halo rows — the
+    flat (1, T) single-sublane block this replaces loaded at 1/5 the
+    DMA rate (see _windowed_frames_2d).  For R == 1 the pad runs on the
+    FLAT view and the halo gather on 2-D rows: a padded (1, L)
+    intermediate is itself single-sublane-tiled (8x traffic) and a
+    batched 3-D gather lowers worse than the 2-D row take.
+    """
+    import jax.numpy as jnp  # local alias keeps call sites tidy
+
+    R = ext2.shape[0]
+    T = bt * stride
+    if framing == "2d":
+        hrows = _halo_rows(nfft, stride)
+        rows_needed = n_tiles * bt + hrows
+        need2 = rows_needed * stride
+        if R == 1:
+            flat = ext2.reshape(-1)
+            if flat.shape[0] < need2:
+                flat = jnp.pad(flat, (0, need2 - flat.shape[0]))
+            rows2 = flat[:need2].reshape(1, rows_needed, stride)
+        else:
+            if ext2.shape[-1] < need2:
+                ext2 = jnp.pad(
+                    ext2, ((0, 0), (0, need2 - ext2.shape[-1]))
+                )
+            rows2 = ext2[:, :need2].reshape(R, rows_needed, stride)
+        blocks = rows2[:, : n_tiles * bt].reshape(R * n_tiles, bt, stride)
+        inputs = [blocks]
+        in_specs = [pl.BlockSpec(
+            (1, bt, stride), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )]
+        if hrows:
+            ridx = (
+                (jnp.arange(n_tiles)[:, None] + 1) * bt
+                + jnp.arange(hrows)[None, :]
+            )
+            if R == 1:
+                halos = jnp.take(rows2[0], ridx, axis=0).reshape(
+                    n_tiles, hrows, stride
+                )
+            else:
+                halos = jnp.take(rows2, ridx, axis=1).reshape(
+                    R * n_tiles, hrows, stride
+                )
+            inputs.append(halos)
+            in_specs.append(pl.BlockSpec(
+                (1, hrows, stride), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        return inputs, in_specs, hrows * stride
+    need = n_tiles * T + halo
+    if ext2.shape[-1] < need:
+        ext2 = jnp.pad(ext2, ((0, 0), (0, need - ext2.shape[-1])))
+    blocks = ext2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
+    inputs = [blocks]
+    in_specs = [pl.BlockSpec(
+        (1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )]
+    if halo:
+        idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(
+            halo)[None, :]
+        halos = jnp.take(ext2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
+        inputs.append(halos)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ))
+    return inputs, in_specs, halo
+
+
 def _pwelch_kernel(
     *refs,
     bt: int,
@@ -275,15 +370,9 @@ def _pwelch_kernel(
         halo_ref = None
     *tabs, out_ref = rest
 
-    if framing == "2d":
-        xw = _windowed_frames_2d(
-            block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
-            _halo_rows(nfft, stride),
-        )
-    else:
-        xw = _windowed_frames(
-            block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo
-        )
+    xw = windowed_frames(
+        block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo, framing
+    )
     if half:
         ypr, ypi, nyq = _rfft_steps_packed(xw, tuple(tabs), pad // LANES)
         p = jnp.concatenate(
@@ -371,77 +460,11 @@ def pwelch_power_partials(
     if pad_s:
         mask2 = jnp.pad(mask2, ((0, 0), (0, pad_s)))
 
-    framing = "2d" if _framing_2d_eligible(nfft, stride) else "row"
-    if framing == "2d":
-        # 2-D-block framing (round 5): signal rows arrive as (bt, stride)
-        # blocks — a FREE row-major reshape — plus up-to-8 right-halo
-        # rows; the flat (1, T) single-sublane block this replaces
-        # loaded at 1/5 the DMA rate (see _windowed_frames_2d).
-        hrows = _halo_rows(nfft, stride)
-        rows_needed = n_tiles * bt + hrows
-        need2 = rows_needed * stride
-        if R == 1:
-            # Pad the FLAT view: a (1, L) f32 intermediate is itself
-            # tiled (8, 128) with one occupied sublane — 8x the HBM
-            # traffic of the packed 1-D layout (the same pathology the
-            # 2-D kernel blocks fix).  A 1-D pad keeps every
-            # intermediate packed and the reshape to rows free; padding
-            # the (1, L) form instead measured ~+1 ms at the bench
-            # geometry, erasing most of the kernel-side win.
-            flat = ext2.reshape(-1)
-            if flat.shape[0] < need2:
-                flat = jnp.pad(flat, (0, need2 - flat.shape[0]))
-            rows2 = flat[:need2].reshape(1, rows_needed, stride)
-        else:
-            if ext2.shape[-1] < need2:
-                ext2 = jnp.pad(
-                    ext2, ((0, 0), (0, need2 - ext2.shape[-1]))
-                )
-            rows2 = ext2[:, :need2].reshape(R, rows_needed, stride)
-        blocks = rows2[:, : n_tiles * bt].reshape(R * n_tiles, bt, stride)
-        inputs = [blocks]
-        in_specs = [pl.BlockSpec(
-            (1, bt, stride), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )]
-        if hrows:
-            ridx = (
-                (jnp.arange(n_tiles)[:, None] + 1) * bt
-                + jnp.arange(hrows)[None, :]
-            )
-            if R == 1:
-                # 2-D row gather (axis 0) lowers to clean contiguous-row
-                # DMAs; the batched 3-D form (axis 1 under a unit
-                # leading dim) does not.
-                halos = jnp.take(rows2[0], ridx, axis=0).reshape(
-                    n_tiles, hrows, stride
-                )
-            else:
-                halos = jnp.take(rows2, ridx, axis=1).reshape(
-                    R * n_tiles, hrows, stride
-                )
-            inputs.append(halos)
-            in_specs.append(pl.BlockSpec(
-                (1, hrows, stride), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ))
-        halo = hrows * stride  # kernel arg unpacking keys off truthiness
-    else:
-        need = n_tiles * T + halo
-        if ext2.shape[-1] < need:
-            ext2 = jnp.pad(ext2, ((0, 0), (0, need - ext2.shape[-1])))
-        # Per-tile operands are (n_tiles*R, 1, X) with (1, 1, X) blocks —
-        # see the layout note in _pwelch_kernel.
-        blocks = ext2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
-        inputs = [blocks]
-        in_specs = [pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-        if halo:
-            # Right halo of tile j = first `halo` samples after its block.
-            idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
-            halos = jnp.take(ext2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
-            inputs.append(halos)
-            in_specs.append(
-                pl.BlockSpec((1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-            )
+    framing = framing_mode(nfft, stride)
+    inputs, in_specs, halo = framing_blocks(
+        ext2, n_tiles, bt, stride, nfft, halo, framing
+    )
+    blocks = inputs[0]
     mp = max(bt, LANES)
     masks = mask2.reshape(R * n_tiles, bt)
     if P > 1:

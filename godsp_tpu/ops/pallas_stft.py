@@ -35,11 +35,13 @@ from godsp_tpu.ops.pallas_fft import (
 )
 from godsp_tpu.ops.pallas_pwelch import (
     _phases,
+    framing_blocks,
     framing_halo,
+    framing_mode,
     _segs_per_tile,
-    _windowed_frames,
     frame_class_perm,
     fused_supported,
+    windowed_frames,
 )
 
 __all__ = ["stft_pallas"]
@@ -56,6 +58,7 @@ def _stft_kernel(
     halo: int,
     out: str,
     natural_out: bool = False,
+    framing: str = "row",
 ):
     """One tile: frame -> window -> FFT -> per-segment outputs.
 
@@ -78,7 +81,9 @@ def _stft_kernel(
         *tabs, perm_ref = tabs
 
     n1 = pad // LANES
-    xw = _windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo)
+    xw = windowed_frames(
+        block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo, framing
+    )
     cr, ci = _fft_steps_real(xw, tuple(tabs), bt, n1)
     if out == "mel":
         # |X|^2 then the mel filterbank contraction — the full power
@@ -181,20 +186,11 @@ def stft_pallas(
 
     x2 = x.reshape(-1, x.shape[-1]).astype(_F32)
     R = x2.shape[0]
-    need = n_tiles * T + halo
-    if x2.shape[-1] < need:
-        x2 = jnp.pad(x2, ((0, 0), (0, need - x2.shape[-1])))
-
-    blocks = x2[:, : n_tiles * T].reshape(R * n_tiles, 1, T)
-    inputs = [blocks]
-    in_specs = [pl.BlockSpec((1, 1, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-    if halo:
-        idx = (jnp.arange(n_tiles)[:, None] + 1) * T + jnp.arange(halo)[None, :]
-        halos = jnp.take(x2, idx, axis=-1).reshape(R * n_tiles, 1, halo)
-        inputs.append(halos)
-        in_specs.append(
-            pl.BlockSpec((1, 1, halo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        )
+    framing = framing_mode(nfft, stride)
+    inputs, in_specs, halo = framing_blocks(
+        x2, n_tiles, bt, stride, nfft, halo, framing
+    )
+    blocks = inputs[0]
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
     if out == "mel":
@@ -256,7 +252,7 @@ def stft_pallas(
     kern = partial(
         _stft_kernel,
         bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-        out=out, natural_out=natural_kernel,
+        out=out, natural_out=natural_kernel, framing=framing,
     )
     call = partial(
         pl.pallas_call,

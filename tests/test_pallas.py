@@ -506,6 +506,49 @@ class TestPallasPwelch:
             pw.set_framing_2d_enabled(True)
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.parametrize("kernel", ["stft", "mel", "csd"])
+    def test_framing_2d_matches_row_stft_csd(self, kernel):
+        """The shared 2-D framing must be bit-identical to row framing
+        through EVERY consumer kernel (round-5 refactor: stft/
+        spectrogram/mel and csd ride the same framing_blocks as
+        pwelch)."""
+        from godsp_tpu import window as win
+        from godsp_tpu.ops import pallas_pwelch as pw
+        from godsp_tpu.ops.pallas_csd import csd_power_partials
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        nfft = pad = 256
+        stride = 128
+        segs = 21
+        L = (segs - 1) * stride + nfft
+        rng = np.random.default_rng(99)
+        x = jnp.asarray(rng.normal(size=L).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=L).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+        mask = jnp.ones((segs,), jnp.float32)
+        fb = jnp.asarray(rng.random((12, pad // 2 + 1)).astype(np.float32))
+
+        def run():
+            if kernel == "stft":
+                return np.asarray(stft_pallas(
+                    x, w, nfft, stride, segs, out="power", interpret=True))
+            if kernel == "mel":
+                return np.asarray(stft_pallas(
+                    x, w, nfft, stride, segs, out="mel", fb=fb,
+                    interpret=True))
+            re, im = csd_power_partials(
+                x, y, mask, w, nfft, stride, interpret=True)
+            return np.asarray(re) + 1j * np.asarray(im)
+
+        try:
+            pw.set_framing_2d_enabled(True)
+            a = run()
+            pw.set_framing_2d_enabled(False)
+            b = run()
+        finally:
+            pw.set_framing_2d_enabled(True)
+        np.testing.assert_array_equal(a, b)
+
     def test_framing_2d_eligibility(self):
         from godsp_tpu.ops import pallas_pwelch as pw
 
