@@ -891,6 +891,37 @@ def main() -> None:
 
         task(f"snr_pwelch{nfft}_s{stride}", pw_parity)
 
+    # Fused spectrogram (per-segment |X|^2 via the shared 2-D framing).
+    from godsp_tpu.models import spectrogram as _spectrogram
+
+    sig_sg, segs_sg, L_sg = pw_inputs[(1024, 512)]
+
+    def make_sg(K):
+        @jax.jit
+        def chain(z):
+            acc = 0.0
+            for k in range(K):
+                acc = acc + _spectrogram(
+                    z * (1.0 + 1e-6 * k), 1024, hop=512
+                )[0, 0]
+            return acc
+
+        return chain
+
+    reg("spectrogram", make_sg, sig_sg, 4, 12)
+
+    def sg_parity():
+        Ls = 512 * 256 + 1024
+        sh = np.asarray(sig_sg[:Ls]).astype(np.float64)
+        nfr = (Ls - 1024) // 512 + 1
+        idx = np.arange(nfr)[:, None] * 512 + np.arange(1024)[None, :]
+        ws = win.window_table_np("hann", 1024)
+        ref = np.abs(np.fft.rfft(sh[idx] * ws, axis=-1)) ** 2
+        got = np.asarray(_spectrogram(sig_sg[:Ls], 1024, hop=512))
+        return float(snr_db(got, ref))
+
+    task("snr_spectrogram", sg_parity)
+
     # Fused mel front end (frame->window->FFT->|.|^2->filterbank).
     from godsp_tpu.models import mel_spectrogram
     from godsp_tpu.models.mel import _filterbank_np
@@ -1599,6 +1630,23 @@ def main() -> None:
                 "msamples_per_s": L_m / per / 1e6,
                 "snr_db": task_result("snr_mel"),
             }
+
+        def build_sg(meds):
+            per = meds["spectrogram"]
+            segs = pw_geoms[(1024, 512)][0]
+            return {
+                "wall_s": per,
+                "msamples_per_s": L_sg / per / 1e6,
+                "ns_per_frame": per / segs * 1e9,
+                "snr_db": task_result("snr_spectrogram"),
+            }
+
+        d = sec("pallas_spectrogram1024_s512", ["spectrogram"], build_sg)
+        log(
+            f"pallas spectrogram 1024/512: {d['wall_s']*1e3:.3f} ms  "
+            f"{d['ns_per_frame']:.1f} ns/frame  "
+            f"snr={d['snr_db'] and f"{d['snr_db']:.1f}"} dB"
+        )
 
         d = sec("mel_frontend_1024", ["mel"], build_mel)
         log(

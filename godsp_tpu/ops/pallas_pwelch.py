@@ -205,19 +205,21 @@ def _halo_rows(nfft: int, stride: int) -> int:
     """Sublane rows of right-halo for the 2-D-block framing path,
     rounded up to a multiple of 8 (keeps bt + hrows 8-divisible for the
     sublane rolls)."""
-    m = nfft // stride
+    m = -(-nfft // stride)
     if m <= 1:
         return 0
     return -(-(m - 1) // 8) * 8
 
 
 def _framing_2d_eligible(nfft: int, stride: int) -> bool:
-    """Lane-aligned geometries (P == 1, whole number of stride periods
-    per frame) frame from (bt, stride) 2-D blocks."""
+    """Lane-aligned strides frame from (bt, stride) 2-D blocks.  When
+    stride does not divide nfft, each frame is the lane SLICE [:nfft]
+    of ceil(nfft/stride) concatenated rows — legal when nfft is a lane
+    multiple (slices land on 128-lane boundaries)."""
     return (
         _framing_2d
         and stride % LANES == 0
-        and nfft % stride == 0
+        and (nfft % stride == 0 or nfft % LANES == 0)
     )
 
 
@@ -232,10 +234,10 @@ def _windowed_frames_2d(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
     whole kernel's FFT is 30); 2-D blocks load at 10 ns/frame
     (tools/probe_pwfloor.py), taking the fused kernel from 77 to
     33 ns/frame end-to-end, bit-identical."""
-    m = nfft // stride
+    m = -(-nfft // stride)  # rows spanned per frame (ceil)
     x2 = block_ref[:].reshape(bt, stride)
     if m == 1:
-        frames = x2
+        frames = x2[:, :nfft]  # nfft < stride: head lanes of each row
     else:
         h2 = halo_ref[:].reshape(hrows, stride)
         ext_rows = jnp.concatenate([x2, h2], axis=0)  # (bt + hrows, stride)
@@ -244,7 +246,11 @@ def _windowed_frames_2d(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
         for k in range(1, m):
             rolled = pltpu.roll(ext_rows, S - k, 0)  # row i <- row i+k
             parts.append(rolled[:bt])
-        frames = jnp.concatenate(parts, axis=1)  # (bt, nfft)
+        frames = jnp.concatenate(parts, axis=1)  # (bt, m*stride)
+        if m * stride > nfft:
+            # stride does not divide nfft: lane-slice the row concat
+            # (nfft is a lane multiple per _framing_2d_eligible)
+            frames = frames[:, :nfft]
     if pad > nfft:
         frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
     return frames * w_ref[:]

@@ -477,6 +477,7 @@ class TestPallasPwelch:
          (1024, 1024, 128, False),    # m=8
          (256, 512, 128, False),      # pad > nfft through 2-D framing
          (256, 256, 256, False),      # m=1: no halo rows at all
+         (1024, 1024, 384, False),    # stride !| nfft: row-concat slice
          (1024, 1024, 512, True)],    # leading dims (R > 1 prep branch)
     )
     def test_framing_2d_matches_row(self, nfft, pad, stride, batched):
@@ -554,11 +555,14 @@ class TestPallasPwelch:
 
         assert pw._framing_2d_eligible(1024, 512)
         assert pw._framing_2d_eligible(1024, 128)
-        assert not pw._framing_2d_eligible(1024, 384)  # nfft % stride != 0
+        # stride does not divide nfft: still 2-D via the lane-slice of
+        # ceil(nfft/stride) concatenated rows (nfft % 128 == 0)
+        assert pw._framing_2d_eligible(1024, 384)
         assert not pw._framing_2d_eligible(1024, 160)  # stride % 128 != 0
         assert pw._halo_rows(1024, 512) == 8           # m-1=1 -> 8
         assert pw._halo_rows(1024, 128) == 8           # m-1=7 -> 8
         assert pw._halo_rows(2048, 128) == 16          # m-1=15 -> 16
+        assert pw._halo_rows(1024, 384) == 8           # m=ceil=3 -> 8
         assert pw._halo_rows(256, 256) == 0            # m=1: no halo
 
     def test_packed_layout_pin(self):
