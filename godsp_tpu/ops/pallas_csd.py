@@ -128,7 +128,7 @@ def csd_power_partials(
     if n_tiles * bt - S:
         mask2 = jnp.pad(mask2, ((0, 0), (0, n_tiles * bt - S)))
 
-    framing = framing_mode(nfft, stride)
+    framing = framing_mode(nfft, stride, bt)
     in_x, specs_x, halo_k = framing_blocks(
         ex2, n_tiles, bt, stride, nfft, halo, framing
     )

@@ -256,10 +256,78 @@ def _windowed_frames_2d(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
     return frames * w_ref[:]
 
 
-def framing_mode(nfft: int, stride: int) -> str:
-    """Framing structure for this geometry: "2d" (lane-aligned strides,
-    round-5 fast path) or "row" (flat blocks; phase-class strides)."""
-    return "2d" if _framing_2d_eligible(nfft, stride) else "row"
+def _phase_rows_geom(nfft: int, stride: int) -> tuple[int, int, int]:
+    """(P, W, mc) for phase-class 2-D framing: rows of width
+    W = P*stride (always a lane multiple), with class-c frames starting
+    at lane offset c*stride of row k; mc = extra rows a frame may span
+    beyond its own."""
+    P = _phases(stride)
+    W = P * stride
+    mc = -(-((P - 1) * stride + nfft) // W) - 1
+    return P, W, mc
+
+
+def _halo_rows_phase(nfft: int, stride: int) -> int:
+    _, _, mc = _phase_rows_geom(nfft, stride)
+    if mc <= 0:
+        return 0
+    return -(-mc // 8) * 8
+
+
+def _framing_2dp_eligible(nfft: int, stride: int, bt: int) -> bool:
+    """Phase-class strides (stride % 128 != 0) frame from (rpt, P*stride)
+     2-D rows: ONE lane roll per class aligns the class's frame starts,
+    then the slice lands on lane boundaries (nfft % 128 == 0).  Needs
+    rpt = bt/P rows per tile, 8-divisible for the sublane rolls."""
+    if not _framing_2d or nfft % LANES:
+        return False
+    P = _phases(stride)
+    return P > 1 and bt % (8 * P) == 0
+
+
+def framing_mode(nfft: int, stride: int, bt: int = 0) -> str:
+    """Framing structure for this geometry: "2d" (lane-aligned strides),
+    "2dp" (phase-class strides via per-class lane rolls, round 5), or
+    "row" (flat blocks, the fallback)."""
+    if _framing_2d_eligible(nfft, stride):
+        return "2d"
+    if _framing_2dp_eligible(nfft, stride, bt):
+        return "2dp"
+    return "row"
+
+
+def _windowed_frames_2d_phase(block_ref, halo_ref, w_ref, bt, stride,
+                              nfft, pad, hrows):
+    """Phase-class 2-D framing: rows of width W = P*stride (a lane
+    multiple); class-c frames start at lane offset c*stride of row k,
+    so ONE circular lane roll per class aligns the whole class and the
+    slice [:, :nfft] lands on lane boundaries.  Output class-major
+    (frame_class_perm order), like the flat-row path.  Chip: lane rolls
+    run at copy speed (~900 GB/s probe), vs the flat (1, T) block's
+    1/5-rate DMA."""
+    P, W, mc = _phase_rows_geom(nfft, stride)
+    rpt = bt // P
+    x2 = block_ref[:].reshape(rpt, W)
+    if mc > 0:
+        h2 = halo_ref[:].reshape(hrows, W)
+        ext_rows = jnp.concatenate([x2, h2], axis=0)
+        S = rpt + hrows
+        parts = [x2]
+        for k in range(1, mc + 1):
+            parts.append(pltpu.roll(ext_rows, S - k, 0)[:rpt])
+        wide = jnp.concatenate(parts, axis=1)  # (rpt, (mc+1)*W)
+    else:
+        wide = x2
+    Wt = wide.shape[1]
+    stacks = []
+    for c in range(P):
+        o = c * stride
+        v = pltpu.roll(wide, Wt - o, 1) if o else wide  # left-shift by o
+        stacks.append(v[:, :nfft])
+    frames = jnp.concatenate(stacks, axis=0)  # (bt, nfft), class-major
+    if pad > nfft:
+        frames = jnp.pad(frames, ((0, 0), (0, pad - nfft)))
+    return frames * w_ref[:]
 
 
 def windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
@@ -270,6 +338,11 @@ def windowed_frames(block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
         return _windowed_frames_2d(
             block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
             _halo_rows(nfft, stride),
+        )
+    if framing == "2dp":
+        return _windowed_frames_2d_phase(
+            block_ref, halo_ref, w_ref, bt, stride, nfft, pad,
+            _halo_rows_phase(nfft, stride),
         )
     return _windowed_frames(
         block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo
@@ -293,6 +366,47 @@ def framing_blocks(ext2, n_tiles, bt, stride, nfft, halo, framing):
 
     R = ext2.shape[0]
     T = bt * stride
+    if framing == "2dp":
+        # Phase-class rows: width W = P*stride (lane multiple), rpt
+        # rows per tile; same 1-D-pad / 2-D-gather discipline as "2d".
+        P, W, _mc = _phase_rows_geom(nfft, stride)
+        rpt = bt // P
+        hrows = _halo_rows_phase(nfft, stride)
+        rows_needed = n_tiles * rpt + hrows
+        need2 = rows_needed * W
+        if R == 1:
+            flat = ext2.reshape(-1)
+            if flat.shape[0] < need2:
+                flat = jnp.pad(flat, (0, need2 - flat.shape[0]))
+            rows2 = flat[:need2].reshape(1, rows_needed, W)
+        else:
+            if ext2.shape[-1] < need2:
+                ext2 = jnp.pad(ext2, ((0, 0), (0, need2 - ext2.shape[-1])))
+            rows2 = ext2[:, :need2].reshape(R, rows_needed, W)
+        blocks = rows2[:, : n_tiles * rpt].reshape(R * n_tiles, rpt, W)
+        inputs = [blocks]
+        in_specs = [pl.BlockSpec(
+            (1, rpt, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )]
+        if hrows:
+            ridx = (
+                (jnp.arange(n_tiles)[:, None] + 1) * rpt
+                + jnp.arange(hrows)[None, :]
+            )
+            if R == 1:
+                halos = jnp.take(rows2[0], ridx, axis=0).reshape(
+                    n_tiles, hrows, W
+                )
+            else:
+                halos = jnp.take(rows2, ridx, axis=1).reshape(
+                    R * n_tiles, hrows, W
+                )
+            inputs.append(halos)
+            in_specs.append(pl.BlockSpec(
+                (1, hrows, W), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ))
+        return inputs, in_specs, hrows * W
     if framing == "2d":
         hrows = _halo_rows(nfft, stride)
         rows_needed = n_tiles * bt + hrows
@@ -466,7 +580,7 @@ def pwelch_power_partials(
     if pad_s:
         mask2 = jnp.pad(mask2, ((0, 0), (0, pad_s)))
 
-    framing = framing_mode(nfft, stride)
+    framing = framing_mode(nfft, stride, bt)
     inputs, in_specs, halo = framing_blocks(
         ext2, n_tiles, bt, stride, nfft, halo, framing
     )

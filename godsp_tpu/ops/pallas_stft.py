@@ -186,7 +186,7 @@ def stft_pallas(
 
     x2 = x.reshape(-1, x.shape[-1]).astype(_F32)
     R = x2.shape[0]
-    framing = framing_mode(nfft, stride)
+    framing = framing_mode(nfft, stride, bt)
     inputs, in_specs, halo = framing_blocks(
         x2, n_tiles, bt, stride, nfft, halo, framing
     )

@@ -507,6 +507,40 @@ class TestPallasPwelch:
             pw.set_framing_2d_enabled(True)
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.parametrize(
+        "nfft,pad,stride,bt",
+        [(1024, 1024, 160, 256),   # P=4: the speech hop (10 ms @ 16 kHz)
+         (1024, 1024, 320, 64),    # P=2
+         (256, 256, 48, 64),       # P=8, nfft spans multiple rows
+         (1024, 2048, 160, 32)],   # pad > nfft through the 2dp path
+    )
+    def test_framing_2dp_matches_row(self, nfft, pad, stride, bt):
+        """Phase-class 2-D framing (round 5: per-class lane rolls over
+        (rpt, P*stride) rows) must be BIT-IDENTICAL to the flat-row
+        phase-class path."""
+        from godsp_tpu import window as win
+        from godsp_tpu.ops import pallas_pwelch as pw
+
+        assert pw.framing_mode(nfft, stride, bt) == "2dp"
+        rng = np.random.default_rng(nfft + stride)
+        segs = 3 * bt + 5  # partial last tile
+        L = (segs - 1) * stride + nfft
+        x = jnp.asarray(rng.normal(size=L).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+        mask = jnp.ones((segs,), jnp.float32)
+        try:
+            pw.set_framing_2d_enabled(True)
+            a = np.asarray(pw.pwelch_power_partials(
+                x, mask, w, nfft, stride, pad=pad, segs_per_tile=bt,
+                interpret=True))
+            pw.set_framing_2d_enabled(False)
+            b = np.asarray(pw.pwelch_power_partials(
+                x, mask, w, nfft, stride, pad=pad, segs_per_tile=bt,
+                interpret=True))
+        finally:
+            pw.set_framing_2d_enabled(True)
+        np.testing.assert_array_equal(a, b)
+
     @pytest.mark.parametrize("kernel", ["stft", "mel", "csd"])
     def test_framing_2d_matches_row_stft_csd(self, kernel):
         """The shared 2-D framing must be bit-identical to row framing
