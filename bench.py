@@ -234,7 +234,9 @@ def main() -> None:
 
     n_f, b_f = 1024, 16384
     SIZES = ((4096, 4096), (8192, 2048), (16384, 1024))
-    pw_specs = ((1024, 512), (256, 256))
+    # (1024, 160) is the phase-class row: the 10 ms speech hop through
+    # the round-5 per-class lane-roll framing
+    pw_specs = ((1024, 512), (256, 256), (1024, 160))
     n20 = 1 << 20
     nfft_m, hop_m = 1024, 512
     L_m = hop_m * 4096 + nfft_m

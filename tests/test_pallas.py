@@ -541,20 +541,21 @@ class TestPallasPwelch:
             pw.set_framing_2d_enabled(True)
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.parametrize("stride", [128, 48])
     @pytest.mark.parametrize("kernel", ["stft", "mel", "csd"])
-    def test_framing_2d_matches_row_stft_csd(self, kernel):
+    def test_framing_2d_matches_row_stft_csd(self, kernel, stride):
         """The shared 2-D framing must be bit-identical to row framing
         through EVERY consumer kernel (round-5 refactor: stft/
         spectrogram/mel and csd ride the same framing_blocks as
-        pwelch)."""
+        pwelch).  stride=48 exercises the phase-class (2dp) mode with
+        its per-frame output un-permutation."""
         from godsp_tpu import window as win
         from godsp_tpu.ops import pallas_pwelch as pw
         from godsp_tpu.ops.pallas_csd import csd_power_partials
         from godsp_tpu.ops.pallas_stft import stft_pallas
 
         nfft = pad = 256
-        stride = 128
-        segs = 21
+        segs = 70 if stride == 48 else 21
         L = (segs - 1) * stride + nfft
         rng = np.random.default_rng(99)
         x = jnp.asarray(rng.normal(size=L).astype(np.float32))
