@@ -8,6 +8,9 @@ XLA oracle paths).  Usage: python examples/large_fft_and_hilbert.py
 from __future__ import annotations
 
 import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 
 # Honor JAX_PLATFORMS even where sitecustomize pre-registers a TPU plugin.
 _p = _os.environ.get("JAX_PLATFORMS")

@@ -84,5 +84,6 @@ print(f"find_peaks_cwt located maxima at samples {list(peaks)}")
 
 # --- 8. one FFT sanity check through the kernel chain ----------------------
 x = rng.normal(size=4096)
-err = np.abs(np.asarray(gfft.fft(x)) - np.fft.fft(x)).max()
+from godsp_tpu.utils import to_host
+err = np.abs(to_host(gfft.fft(x)) - np.fft.fft(x)).max()
 print(f"fft parity vs numpy at n=4096: {err:.2e}")

@@ -46,9 +46,11 @@ def main():
 
     # 2. Spectral gate, then streaming synthesis in 4 chunks: the
     #    concatenated blocks + coda equal the one-shot inverse exactly.
-    mag = np.abs(np.asarray(s))
+    from godsp_tpu.utils import to_host
+
+    mag = np.abs(to_host(s))
     thresh = 0.1 * mag.max()
-    gated = np.where(mag > thresh, np.asarray(s), 0.0)
+    gated = np.where(mag > thresh, to_host(s), 0.0)
     F = gated.shape[0]
     q = F // 4
     chunks = [gated[i : i + q] for i in range(0, q * 4, q)]
@@ -65,7 +67,7 @@ def main():
     # 3. Griffin-Lim: throw the phase away, get a signal back whose
     #    spectrogram matches.
     y_gl = np.asarray(griffin_lim(mag, nfft, hop=hop, n_iter=32))
-    mag_gl = np.abs(np.asarray(stft(y_gl, nfft, hop=hop)))
+    mag_gl = np.abs(to_host(stft(y_gl, nfft, hop=hop)))
     rel = np.linalg.norm(mag_gl - mag) / np.linalg.norm(mag)
     print(f"griffin-lim spectral mismatch after 32 iters: {rel:.3%}")
 
