@@ -31,7 +31,10 @@ from godsp_tpu.ops.pallas_fft import (
     _fft_steps_real,
     _natural_perm_np,
     _natural_slices_mxu,
+    _rfft_steps_packed,
+    _rfft_tables,
     fft_real_tables,
+    rfft_supported_size,
 )
 from godsp_tpu.ops.pallas_pwelch import (
     _phases,
@@ -59,6 +62,7 @@ def _stft_kernel(
     out: str,
     natural_out: bool = False,
     framing: str = "row",
+    half: bool = False,
 ):
     """One tile: frame -> window -> FFT -> per-segment outputs.
 
@@ -84,6 +88,24 @@ def _stft_kernel(
     xw = windowed_frames(
         block_ref, halo_ref, w_ref, bt, stride, nfft, pad, halo, framing
     )
+    if out == "mel" and half:
+        # Half-Hermitian route (round 5): the rfft packed tables HALVE
+        # the MXU stream, and the filterbank contraction absorbs the
+        # packed bin order at zero cost (fb rows pre-permuted at trace
+        # time) — the power spectrum never leaves VMEM either way.
+        ypr, ypi, nyq = _rfft_steps_packed(xw, tuple(tabs), n1)
+        p = jnp.concatenate(
+            [ypr * ypr + ypi * ypi,
+             (nyq * nyq) * jnp.ones((1, LANES), _F32)],
+            axis=1,
+        )  # (bt, pad/2 + 128), packed one-sided
+        m_ref[:] = jax.lax.dot_general(
+            p, fb_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=_F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return
     cr, ci = _fft_steps_real(xw, tuple(tabs), bt, n1)
     if out == "mel":
         # |X|^2 then the mel filterbank contraction — the full power
@@ -193,24 +215,48 @@ def stft_pallas(
     blocks = inputs[0]
     inputs.append(jnp.asarray(w, _F32).reshape(1, pad))
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    from godsp_tpu.ops import pallas_pwelch as _pw
+
+    half = (
+        out == "mel" and _pw._half_enabled and rfft_supported_size(pad)
+    )
     if out == "mel":
-        # (pad, mel_pad) filterbank with rows permuted to the kernel's
-        # digit bin order; bins >= lp (the mirrored half) map to zero.
         import numpy as np
 
         n1_ = pad // LANES
         mel_pad = -(-n_mels // LANES) * LANES
-        fb_full = jnp.zeros((pad, mel_pad), _F32)
-        fb_full = fb_full.at[:lp, :n_mels].set(jnp.asarray(fb, _F32).T)
-        binidx = (
-            np.arange(n1_)[:, None] + n1_ * np.arange(LANES)[None, :]
-        ).reshape(-1)
-        fb_digit = fb_full[jnp.asarray(binidx)]
-        inputs.append(fb_digit)
+        fbT = np.zeros((lp, mel_pad), np.float32)
+        fbT[:, :n_mels] = np.asarray(fb, np.float32).T
+        if half:
+            # Rows in the kernel's PACKED one-sided order: position
+            # j*128 + h*64 + q holds bin (2j+h) + n1*q; the Nyquist
+            # weight rides lane pad/2 only (the other 127 broadcast
+            # lanes get zero — exact).
+            nh = pad // 2
+            b = np.arange(nh)
+            pos = ((b % n1_) // 2) * LANES + ((b % n1_) % 2) * (
+                LANES // 2) + b // n1_
+            fbk = np.zeros((nh + LANES, mel_pad), np.float32)
+            fbk[pos] = fbT[:nh]
+            fbk[nh] = fbT[lp - 1]
+        else:
+            # digit bin order over the full pad; mirrored half -> zero
+            fb_full = np.zeros((pad, mel_pad), np.float32)
+            fb_full[:lp] = fbT
+            binidx = (
+                np.arange(n1_)[:, None] + n1_ * np.arange(LANES)[None, :]
+            ).reshape(-1)
+            fbk = fb_full[binidx]
+        fbk = jnp.asarray(fbk)
+        inputs.append(fbk)
         in_specs.append(
-            pl.BlockSpec(fb_digit.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(fbk.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
-    order, tabs = fft_real_tables(pad)
+    if half:
+        tabs = _rfft_tables(pad)
+        order = ("gr", "gi", "gs", "alt")
+    else:
+        order, tabs = fft_real_tables(pad)
     from godsp_tpu.ops import pallas_fft as _pf
 
     # Natural-order emission in-kernel (MXU permute): lane-slice tables
@@ -252,7 +298,7 @@ def stft_pallas(
     kern = partial(
         _stft_kernel,
         bt=bt, stride=stride, nfft=nfft, pad=pad, halo=halo,
-        out=out, natural_out=natural_kernel, framing=framing,
+        out=out, natural_out=natural_kernel, framing=framing, half=half,
     )
     call = partial(
         pl.pallas_call,

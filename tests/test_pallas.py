@@ -542,6 +542,33 @@ class TestPallasPwelch:
         np.testing.assert_array_equal(a, b)
 
     @pytest.mark.parametrize("stride", [128, 48])
+    def test_mel_packed_half_matches_full(self, stride):
+        """The mel kernel's half-Hermitian route (round 5: packed rfft
+        tables + a packed-order filterbank) vs the full contraction —
+        same filterbank weights land on the same bins."""
+        from godsp_tpu import window as win
+        from godsp_tpu.ops import pallas_pwelch as pw
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        nfft = pad = 256
+        segs = 70 if stride == 48 else 21
+        L = (segs - 1) * stride + nfft
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=L).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+        fb = jnp.asarray(rng.random((12, pad // 2 + 1)).astype(np.float32))
+        try:
+            pw.set_packed_half_enabled(True)
+            a = np.asarray(stft_pallas(
+                x, w, nfft, stride, segs, out="mel", fb=fb, interpret=True))
+            pw.set_packed_half_enabled(False)
+            b = np.asarray(stft_pallas(
+                x, w, nfft, stride, segs, out="mel", fb=fb, interpret=True))
+        finally:
+            pw.set_packed_half_enabled(True)
+        assert snr_db(a, b.astype(np.float64)) >= 120.0
+
+    @pytest.mark.parametrize("stride", [128, 48])
     @pytest.mark.parametrize("kernel", ["stft", "mel", "csd"])
     def test_framing_2d_matches_row_stft_csd(self, kernel, stride):
         """The shared 2-D framing must be bit-identical to row framing
