@@ -221,12 +221,14 @@ def stft_pallas(
         out == "mel" and _pw._half_enabled and rfft_supported_size(pad)
     )
     if out == "mel":
+        # fb may be a TRACED array (models.mel passes it through jit):
+        # indices are trace-time numpy, the scatter/gather are jnp ops.
         import numpy as np
 
         n1_ = pad // LANES
         mel_pad = -(-n_mels // LANES) * LANES
-        fbT = np.zeros((lp, mel_pad), np.float32)
-        fbT[:, :n_mels] = np.asarray(fb, np.float32).T
+        fbT = jnp.zeros((lp, mel_pad), _F32)
+        fbT = fbT.at[:, :n_mels].set(jnp.asarray(fb, _F32).T)
         if half:
             # Rows in the kernel's PACKED one-sided order: position
             # j*128 + h*64 + q holds bin (2j+h) + n1*q; the Nyquist
@@ -236,18 +238,17 @@ def stft_pallas(
             b = np.arange(nh)
             pos = ((b % n1_) // 2) * LANES + ((b % n1_) % 2) * (
                 LANES // 2) + b // n1_
-            fbk = np.zeros((nh + LANES, mel_pad), np.float32)
-            fbk[pos] = fbT[:nh]
-            fbk[nh] = fbT[lp - 1]
+            fbk = jnp.zeros((nh + LANES, mel_pad), _F32)
+            fbk = fbk.at[jnp.asarray(pos)].set(fbT[:nh])
+            fbk = fbk.at[nh].set(fbT[lp - 1])
         else:
             # digit bin order over the full pad; mirrored half -> zero
-            fb_full = np.zeros((pad, mel_pad), np.float32)
-            fb_full[:lp] = fbT
+            fb_full = jnp.zeros((pad, mel_pad), _F32)
+            fb_full = fb_full.at[:lp].set(fbT)
             binidx = (
                 np.arange(n1_)[:, None] + n1_ * np.arange(LANES)[None, :]
             ).reshape(-1)
-            fbk = fb_full[binidx]
-        fbk = jnp.asarray(fbk)
+            fbk = fb_full[jnp.asarray(binidx)]
         inputs.append(fbk)
         in_specs.append(
             pl.BlockSpec(fbk.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)

@@ -541,6 +541,39 @@ class TestPallasPwelch:
             pw.set_framing_2d_enabled(True)
         np.testing.assert_array_equal(a, b)
 
+    def test_mel_traced_filterbank(self):
+        """fb arrives as a TRACED array when models.mel runs under jit
+        (the bench chain does): the packed-order filterbank construction
+        must use jnp ops, never np.asarray(fb) (regression: round-5's
+        first packed-fb build raised TracerArrayConversionError inside
+        the bench's jitted mel chain)."""
+        import jax
+
+        from godsp_tpu import window as win
+        from godsp_tpu.ops.pallas_stft import stft_pallas
+
+        nfft = pad = 256
+        stride, segs = 128, 21
+        L = (segs - 1) * stride + nfft
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=L).astype(np.float32))
+        w = jnp.asarray(win.window_table_np("hann", pad), jnp.float32)
+        fb_host = rng.random((12, pad // 2 + 1)).astype(np.float32)
+
+        @jax.jit
+        def run(xx, fb):
+            return stft_pallas(
+                xx, w, nfft, stride, segs, out="mel", fb=fb,
+                interpret=True,
+            )
+
+        got = np.asarray(run(x, jnp.asarray(fb_host)))
+        want = np.asarray(stft_pallas(
+            x, w, nfft, stride, segs, out="mel", fb=fb_host,
+            interpret=True,
+        ))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
     @pytest.mark.parametrize("stride", [128, 48])
     def test_mel_packed_half_matches_full(self, stride):
         """The mel kernel's half-Hermitian route (round 5: packed rfft
