@@ -1728,11 +1728,11 @@ def main() -> None:
     # chain twice more, spread across the run, and rebuild every section
     # from medians — no recorded number rests on a single window.
     # ------------------------------------------------------------------
-    if not shed("rep sweep 2/3", scale=1.2):
+    if not shed("rep sweep 2/3", scale=1.0):
         sweep_sections("2/3")
         flagship_rep("post-sweep2")
         emit_summary()
-    if not shed("rep sweep 3/3", scale=0.8):
+    if not shed("rep sweep 3/3", scale=0.7):
         sweep_sections("3/3")
         emit_summary()
 
@@ -1802,7 +1802,9 @@ def main() -> None:
     pw_inputs.clear()
     del xr_f, xi_f, xr_c, xi_c, x_p, xr_rf, xr_sp, xi_sp, z20, sig_m, xw_i
     del sig_fh, ext_sd
-    if not shed("giant-N 2^28", scale=1.0):
+    # 2^28 is a headline row: shed it only in genuinely bad windows
+    # (AFTER both redundancy sweeps and at a higher threshold).
+    if not shed("giant-N 2^28", scale=1.3):
         try:
             z28, snr_big28, snr_rt28 = giant_setup(28)
             giant_section(28, z28, snr_big28, snr_rt28)
