@@ -910,7 +910,10 @@ def main() -> None:
 
         return chain
 
-    reg("spectrogram", make_sg, sig_sg, 4, 12)
+    # HEAVY depths: shallow chains (k<=12) are flattered by tunnel
+    # RTT jitter (CLAUDE.md; a 4->12 mel chain once recorded an
+    # impossible 16 ns/frame, under the rfft floor)
+    reg("spectrogram", make_sg, sig_sg, 8, 24)
 
     def sg_parity():
         Ls = 512 * 256 + 1024
@@ -941,7 +944,7 @@ def main() -> None:
 
         return chain
 
-    reg("mel", make_mel, sig_m, 4, 12)
+    reg("mel", make_mel, sig_m, 8, 24)
 
     def mel_parity():
         Lm = hop_m * 255 + nfft_m
