@@ -282,7 +282,7 @@ def _framing_2dp_eligible(nfft: int, stride: int, bt: int) -> bool:
     if not _framing_2d or nfft % LANES:
         return False
     P = _phases(stride)
-    return P > 1 and bt % (8 * P) == 0
+    return P > 1 and bt >= 8 * P and bt % (8 * P) == 0
 
 
 def framing_mode(nfft: int, stride: int, bt: int = 0) -> str:
