@@ -177,7 +177,6 @@ class CZT:
         self.n, self.m = n, m
         self.w = wkey if wkey is not None else np.exp(-2j * np.pi / m)
         self.a = complex(a)
-        self._tables = _czt_tables(n, m, wkey, complex(a))
         self._chain = _czt_chain_jit(n, m, wkey, complex(a))
 
     def __call__(self, x) -> jax.Array:
@@ -215,7 +214,6 @@ class ZoomFFT(CZT):
         step = (f2 - f1) / ((m - 1) if endpoint else m)
         self.w = np.exp(-2j * np.pi * step / float(fs))
         self.a = np.exp(2j * np.pi * f1 / float(fs))
-        self._tables = _zoom_tables(n, m, f1, f2, float(fs), bool(endpoint))
         self._chain = _zoom_chain_jit(n, m, f1, f2, float(fs),
                                       bool(endpoint))
 

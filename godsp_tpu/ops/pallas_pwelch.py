@@ -355,23 +355,25 @@ def framing_blocks(ext2, n_tiles, bt, stride, nfft, halo, framing):
     independently); the caller guarantees every masked/emitted segment's
     samples exist in ext2 (zero-padded here to tile granularity).
 
-    "2d": (bt, stride) row blocks + up-to-_halo_rows halo rows — the
-    flat (1, T) single-sublane block this replaces loaded at 1/5 the
-    DMA rate (see _windowed_frames_2d).  For R == 1 the pad runs on the
-    FLAT view and the halo gather on 2-D rows: a padded (1, L)
-    intermediate is itself single-sublane-tiled (8x traffic) and a
+    "2d"/"2dp": 2-D row blocks + halo rows — the flat (1, T)
+    single-sublane block these replace loaded at 1/5 the DMA rate (see
+    _windowed_frames_2d).  The two modes differ only in row geometry:
+    (rpt, W) = (bt, stride) for lane-aligned strides, (bt/P, P*stride)
+    for phase classes.  For R == 1 the pad runs on the FLAT view and
+    the halo gather on 2-D rows: a padded (1, L) intermediate is itself
+    single-sublane-tiled (8x traffic — a CLAUDE.md invariant) and a
     batched 3-D gather lowers worse than the 2-D row take.
     """
-    import jax.numpy as jnp  # local alias keeps call sites tidy
-
     R = ext2.shape[0]
     T = bt * stride
-    if framing == "2dp":
-        # Phase-class rows: width W = P*stride (lane multiple), rpt
-        # rows per tile; same 1-D-pad / 2-D-gather discipline as "2d".
-        P, W, _mc = _phase_rows_geom(nfft, stride)
-        rpt = bt // P
-        hrows = _halo_rows_phase(nfft, stride)
+    if framing in ("2d", "2dp"):
+        if framing == "2dp":
+            P, W, _mc = _phase_rows_geom(nfft, stride)
+            rpt = bt // P
+            hrows = _halo_rows_phase(nfft, stride)
+        else:
+            rpt, W = bt, stride
+            hrows = _halo_rows(nfft, stride)
         rows_needed = n_tiles * rpt + hrows
         need2 = rows_needed * W
         if R == 1:
@@ -394,6 +396,9 @@ def framing_blocks(ext2, n_tiles, bt, stride, nfft, halo, framing):
                 + jnp.arange(hrows)[None, :]
             )
             if R == 1:
+                # 2-D row gather (axis 0) lowers to clean contiguous-row
+                # DMAs; the batched 3-D form (axis 1 under a unit
+                # leading dim) does not.
                 halos = jnp.take(rows2[0], ridx, axis=0).reshape(
                     n_tiles, hrows, W
                 )
@@ -407,45 +412,6 @@ def framing_blocks(ext2, n_tiles, bt, stride, nfft, halo, framing):
                 memory_space=pltpu.VMEM,
             ))
         return inputs, in_specs, hrows * W
-    if framing == "2d":
-        hrows = _halo_rows(nfft, stride)
-        rows_needed = n_tiles * bt + hrows
-        need2 = rows_needed * stride
-        if R == 1:
-            flat = ext2.reshape(-1)
-            if flat.shape[0] < need2:
-                flat = jnp.pad(flat, (0, need2 - flat.shape[0]))
-            rows2 = flat[:need2].reshape(1, rows_needed, stride)
-        else:
-            if ext2.shape[-1] < need2:
-                ext2 = jnp.pad(
-                    ext2, ((0, 0), (0, need2 - ext2.shape[-1]))
-                )
-            rows2 = ext2[:, :need2].reshape(R, rows_needed, stride)
-        blocks = rows2[:, : n_tiles * bt].reshape(R * n_tiles, bt, stride)
-        inputs = [blocks]
-        in_specs = [pl.BlockSpec(
-            (1, bt, stride), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )]
-        if hrows:
-            ridx = (
-                (jnp.arange(n_tiles)[:, None] + 1) * bt
-                + jnp.arange(hrows)[None, :]
-            )
-            if R == 1:
-                halos = jnp.take(rows2[0], ridx, axis=0).reshape(
-                    n_tiles, hrows, stride
-                )
-            else:
-                halos = jnp.take(rows2, ridx, axis=1).reshape(
-                    R * n_tiles, hrows, stride
-                )
-            inputs.append(halos)
-            in_specs.append(pl.BlockSpec(
-                (1, hrows, stride), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ))
-        return inputs, in_specs, hrows * stride
     need = n_tiles * T + halo
     if ext2.shape[-1] < need:
         ext2 = jnp.pad(ext2, ((0, 0), (0, need - ext2.shape[-1])))

@@ -158,6 +158,7 @@ def stft_pallas(
     segs_per_tile: int | None = None,
     interpret: bool = False,
     fb: jax.Array | None = None,
+    packed_half: bool | None = None,
 ):
     """Fused short-time transform of raw samples.
 
@@ -217,9 +218,13 @@ def stft_pallas(
     in_specs.append(pl.BlockSpec((1, pad), lambda i: (0, 0), memory_space=pltpu.VMEM))
     from godsp_tpu.ops import pallas_pwelch as _pw
 
-    half = (
-        out == "mel" and _pw._half_enabled and rfft_supported_size(pad)
-    )
+    # packed_half=None resolves the module toggle AT TRACE TIME (the
+    # same caveat as every kernel knob: a jitted caller bakes it in).
+    # A/B probes and toggle-sensitive callers pass it EXPLICITLY, like
+    # pwelch_power_partials' packed_half parameter.
+    if packed_half is None:
+        packed_half = _pw._half_enabled
+    half = out == "mel" and packed_half and rfft_supported_size(pad)
     if out == "mel":
         # fb may be a TRACED array (models.mel passes it through jit):
         # indices are trace-time numpy, the scatter/gather are jnp ops.
