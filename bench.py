@@ -483,6 +483,20 @@ def main() -> None:
                     "fraction_of_gmm_floor_median": round(
                         fl.get("fraction_of_gmm_floor") or 0.0, 4
                     ),
+                    # Every scheme cheaper on paper than the dense
+                    # HIGHEST contraction has been BUILT AND MEASURED on
+                    # this chip (round 4-5); the floor claim rests on
+                    # these recorded refutations, not inference:
+                    "floor_refuted_alternatives": [
+                        "balanced-int8 limbs: runs at the bf16 rate "
+                        "(tools/probe_int8.py, r4)",
+                        "all-VPU lane-DIF: 3.8x the MXU form "
+                        "(tools/probe_vdif.py, r4)",
+                        "factored 16x8 MXU lane-DFT: 25x the dense "
+                        "floor (tools/probe_facdft.py, r5)",
+                        "sublane-DIF VPU butterflies: 2x the dense "
+                        "peel (tools/probe_sdif.py, r5)",
+                    ],
                 },
             ),
         }
