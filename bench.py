@@ -488,14 +488,10 @@ def main() -> None:
                     # this chip (round 4-5); the floor claim rests on
                     # these recorded refutations, not inference:
                     "floor_refuted_alternatives": [
-                        "balanced-int8 limbs: runs at the bf16 rate "
-                        "(tools/probe_int8.py, r4)",
-                        "all-VPU lane-DIF: 3.8x the MXU form "
-                        "(tools/probe_vdif.py, r4)",
-                        "factored 16x8 MXU lane-DFT: 25x the dense "
-                        "floor (tools/probe_facdft.py, r5)",
-                        "sublane-DIF VPU butterflies: 2x the dense "
-                        "peel (tools/probe_sdif.py, r5)",
+                        "balanced-int8 limbs: bf16 rate (probe_int8, r4)",
+                        "all-VPU lane-DIF: 3.8x MXU (probe_vdif, r4)",
+                        "factored 16x8 MXU DFT: 25x (probe_facdft, r5)",
+                        "sublane-DIF butterflies: 2x (probe_sdif, r5)",
                     ],
                 },
             ),
